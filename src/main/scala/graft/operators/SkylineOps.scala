@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Direction, SkylineCore, SkylineQuery}
+
+/**
+ * Partitioning hints mirroring the reference's three schemes
+ * (`/root/reference/src/utils/functions.py:57-300`). The default
+ * ([[NoHint]]) needs none of them: Spark's partial aggregation already
+ * computes per-task local skylines on whatever partitioning the scan
+ * produced, so pre-shuffling by a spatial key is an *option*, not a
+ * requirement — it pays off when per-task local skylines would be large
+ * (high d) and a spatial split shrinks them (esp. [[AngleHint]]).
+ */
+sealed trait PartitionHint
+case object NoHint extends PartitionHint
+/** MR_DIM: 1-D range partition on the first skyline dimension into `p` buckets. */
+final case class DimHint(p: Int) extends PartitionHint
+/** MR_GRID: base-`b` grid cells + plan-time dominated-cell pruning. */
+final case class GridHint(b: Int) extends PartitionHint
+/** MR_ANGLE: angular cells, `p` buckets per angle. MIN-only, first orthant. */
+final case class AngleHint(p: Int) extends PartitionHint
+
+/**
+ * The user-facing skyline API:
+ *
+ * {{{
+ *   import graft.operators.SkylineOps._
+ *   df.skyline(Seq("price" -> Direction.Min, "size" -> Direction.Max))
+ *   df.skyline("SKYLINE OF price MIN, size MAX", hint = GridHint(4))
+ * }}}
+ *
+ * Output: one row per skyline point, with the original column names and
+ * types (exact duplicates collapsed — the reference's set semantics,
+ * functions.py:40,51).
+ */
+object SkylineOps {
+
+  /** Lossless dimension-value <-> double codecs per column type. Timestamps
+    * go through microseconds (exact in a double up to year ~2255); dates
+    * through epoch days. Integral/double types are exact below 2^53. */
+  private def toDouble(c: Column, dt: DataType): Column = dt match {
+    case TimestampType    => unix_micros(c).cast(DoubleType)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast(DoubleType) // session TZ is UTC
+    case DateType         => unix_date(c).cast(DoubleType)
+    case _: NumericType   => c.cast(DoubleType)
+    case other => throw new IllegalArgumentException(s"unsupported skyline dimension type: $other")
+  }
+
+  private def fromDouble(c: Column, dt: DataType): Column = dt match {
+    case TimestampType    => timestamp_micros(c.cast(LongType))
+    case TimestampNTZType => timestamp_micros(c.cast(LongType)).cast(TimestampNTZType)
+    case DateType         => date_from_unix_date(c.cast(IntegerType))
+    case DoubleType       => c
+    case nt: NumericType  => c.cast(nt)
+    case other => throw new IllegalArgumentException(s"unsupported skyline dimension type: $other")
+  }
+
+  /** Column form of [[SkylineCore.dimKey]] — same formula, so the plan-time
+    * kept-key enumeration for the grid prune matches the runtime keys. */
+  private def dimKeyExpr(p: Int, lo: Double, hi: Double, x: Column): Column = {
+    val range = (hi - lo) / p
+    when(x >= lit(hi), lit(p - 1))
+      .otherwise(least(greatest(floor((x - lit(lo)) / lit(range)).cast(IntegerType), lit(0)), lit(p - 1)))
+  }
+
+  implicit class DataFrameSkyline(val df: DataFrame) {
+
+    def skyline(query: String): DataFrame = skyline(SkylineQuery.parse(query))
+
+    def skyline(query: String, hint: PartitionHint): DataFrame =
+      skyline(SkylineQuery.parse(query), hint)
+
+    /**
+     * Compute the skyline (Pareto frontier) of `df` over `dims`.
+     *
+     * @param dims   (column, direction) per skyline dimension
+     * @param hint   optional pre-partitioning scheme (see [[PartitionHint]])
+     * @param bounds per-dim (lo, hi) value bounds for Dim/Grid hints, in
+     *               `dims` order after [[toDouble]] conversion. When absent
+     *               they are computed with one distributed min/max pass —
+     *               at large scale pass them explicitly (the reference
+     *               hard-codes `[0, 10^9]`, configurations.py:17-18).
+     */
+    def skyline(
+        dims: Seq[(String, Direction)],
+        hint: PartitionHint = NoHint,
+        bounds: Option[Seq[(Double, Double)]] = None): DataFrame = {
+      require(dims.nonEmpty, "empty dimension list")
+      val schema = df.schema
+      val types = dims.map { case (name, _) => schema(name).dataType }
+      val minDir = dims.map(_._2.isMin).toArray
+      hint match {
+        case AngleHint(_) =>
+          require(minDir.forall(identity),
+            "MR_ANGLE supports MIN-only queries (reference restriction, functions.py:327-329)")
+        case _ =>
+      }
+
+      val fwd = dims.zip(types).map { case ((name, _), dt) => toDouble(col(name), dt) }
+      val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
+      val pts = df.filter(nonNull).select(array(fwd: _*).as("_p"))
+
+      val sky = udaf(new SkylineAggregator(minDir))
+      val dim = (i: Int) => element_at(col("_p"), i + 1)
+
+      def resolvedBounds(): Seq[(Double, Double)] = bounds.getOrElse {
+        val aggs = dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i))))
+        val row = pts.agg(aggs.head, aggs.tail: _*).head()
+        dims.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+      }
+
+      /** Two-stage: per-key local skylines, then global merge — the shape of
+        * batch_job.py:96-188 as one declarative plan. */
+      def twoStage(keyed: DataFrame): DataFrame =
+        keyed
+          .groupBy("_k").agg(sky(col("_p")).as("_ls"))
+          .select(explode(col("_ls")).as("_p"))
+          .agg(sky(col("_p")).as("_sky"))
+
+      val skyDf = hint match {
+        case NoHint => pts.agg(sky(col("_p")).as("_sky"))
+
+        case DimHint(p) =>
+          val (lo, hi) = resolvedBounds().head
+          twoStage(pts.withColumn("_k", dimKeyExpr(p, lo, hi, dim(0))))
+
+        case GridHint(b) =>
+          val bs = resolvedBounds()
+          val key = dims.indices
+            .map(i => lit(math.pow(b, i).toLong) * dimKeyExpr(b, bs(i)._1, bs(i)._2, dim(i)))
+            .reduce(_ + _)
+          val kept = SkylineCore.keptGridKeys(minDir, b).map(_.toLong)
+          // Plan-time dominated-cell prune (D7): a constant isin filter that
+          // Catalyst folds/pushes — not a runtime UDF as in the reference.
+          twoStage(pts.withColumn("_k", key).filter(col("_k").isin(kept: _*)))
+
+        case AngleHint(p) =>
+          val d = dims.length
+          val range = (math.Pi / 2) / p
+          val key = (0 until d - 1).map { i =>
+            val tail = sqrt((i + 1 until d).map(j => dim(j) * dim(j)).reduce(_ + _))
+            val k = when(dim(i) === lit(0.0), lit(p - 1))
+              .otherwise(least(greatest(floor(atan(tail / dim(i)) / lit(range)).cast(IntegerType), lit(0)), lit(p - 1)))
+            lit(math.pow(p, i).toLong) * k
+          }.reduce(_ + _)
+          twoStage(pts.withColumn("_k", key))
+      }
+
+      skyDf
+        .select(explode(col("_sky")).as("_pt"))
+        .select(dims.zip(types).zipWithIndex.map { case (((name, _), dt), i) =>
+          fromDouble(element_at(col("_pt"), i + 1), dt).as(name)
+        }: _*)
+    }
+  }
+}

@@ -151,8 +151,14 @@ object SkylineCore {
   /**
    * Enumerate the grid keys NOT dominated by the best cell — exactly
    * `b^d - (b-1)^d` of `b^d` cells survive (reference README.md:55-57).
-   * Computable at plan time; becomes a plan-time `isin` filter, not a
-   * runtime UDF.
+   *
+   * NOTE — this is the reference's prune (`functions.py:177-192`) and it
+   * is UNSOUND on sparse data: its "corollary" (a cell may be filtered
+   * iff the best cell dominates it) silently assumes the best cell is
+   * non-empty. Counterexample: points (0,8), (8,0), (5,5) with b=2 —
+   * (5,5) is in the true skyline but sits in the cell dominated by the
+   * (empty) best cell, so the reference drops it. Kept here for parity
+   * tests only; the engine's GridHint uses [[keptOccupiedKeys]].
    */
   def keptGridKeys(minDir: Array[Boolean], b: Int): Seq[Int] = {
     val d = minDir.length
@@ -161,6 +167,25 @@ object SkylineCore {
     val best = bestGridDigits(minDir, b)
     (0 until total.toInt).filter { k =>
       !cellDominates(minDir, best, decimalToBase(k, b, d))
+    }
+  }
+
+  /**
+   * Sound dominated-cell prune: among the cells that actually contain
+   * points, keep those not strictly dominated by another occupied cell.
+   * Strict per-dim bucket dominance implies strict per-dim value
+   * dominance for any point pair across the two cells, so every point of
+   * a pruned cell is dominated by every point of its (non-empty)
+   * dominating cell — the prune can never drop a skyline point. On dense
+   * data where the best cell is occupied this keeps exactly the
+   * reference's `b^d - (b-1)^d` surviving cells.
+   */
+  def keptOccupiedKeys(minDir: Array[Boolean], b: Int, occupied: Seq[Int]): Seq[Int] = {
+    val d = minDir.length
+    val digits = occupied.map(k => k -> decimalToBase(k, b, d)).toMap
+    occupied.filter { c =>
+      val cd = digits(c)
+      !occupied.exists(a => a != c && cellDominates(minDir, digits(a), cd))
     }
   }
 

@@ -133,10 +133,16 @@ object SkylineOps {
           val key = dims.indices
             .map(i => lit(math.pow(b, i).toLong) * dimKeyExpr(b, bs(i)._1, bs(i)._2, dim(i)))
             .reduce(_ + _)
-          val kept = SkylineCore.keptGridKeys(minDir, b).map(_.toLong)
-          // Plan-time dominated-cell prune (D7): a constant isin filter that
-          // Catalyst folds/pushes — not a runtime UDF as in the reference.
-          twoStage(pts.withColumn("_k", key).filter(col("_k").isin(kept: _*)))
+          val keyed = pts.withColumn("_k", key)
+          // Dominated-cell prune (D7), made sound: one cheap pre-pass finds
+          // the occupied cells (map-side-combined distinct over at most b^d
+          // keys), the kept set is computed on the driver, and the prune
+          // becomes a plan-time isin filter — not a runtime UDF as in the
+          // reference. See SkylineCore.keptOccupiedKeys for why the
+          // reference's geometric best-cell prune is unsound on sparse data.
+          val occupied = keyed.select("_k").distinct().collect().map(_.getLong(0).toInt)
+          val kept = SkylineCore.keptOccupiedKeys(minDir, b, occupied.toSeq).map(_.toLong)
+          twoStage(keyed.filter(col("_k").isin(kept: _*)))
 
         case AngleHint(p) =>
           val d = dims.length

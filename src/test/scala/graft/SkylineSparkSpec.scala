@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Direction.{Max, Min}
+import graft.core.SkylineCore
+import graft.operators._
+import graft.operators.SkylineOps._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Integration tests for the df.skyline API against the pure-Scala core,
+  * plus hint-equivalence and type round-trip checks. */
+class SkylineSparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def randomDf(n: Int, d: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = Seq.fill(n)(Seq.fill(d)(rnd.nextInt(1000).toDouble))
+    rows.map { case Seq(a, b) => (a, b); case _ => sys.error("d=2 only") }
+      .toDF("x1", "x2")
+  }
+
+  test("skyline matches pure-Scala core on random data") {
+    val df = randomDf(2000, 2, seed = 1)
+    val got = df.skyline(Seq("x1" -> Min, "x2" -> Min))
+      .collect().map(r => Seq(r.getDouble(0), r.getDouble(1))).toSet
+    val pts = df.collect().map(r => Array(r.getDouble(0), r.getDouble(1)))
+    val want = SkylineCore.skylineOf(pts, Array(true, true)).map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("all partition hints produce the identical skyline") {
+    val df = randomDf(3000, 2, seed = 2).cache()
+    val dims = Seq("x1" -> Min, "x2" -> Min)
+    def result(h: PartitionHint) =
+      df.skyline(dims, hint = h).collect().map(_.toSeq).toSet
+    val base = result(NoHint)
+    assert(result(DimHint(8)) == base)
+    assert(result(GridHint(3)) == base)
+    assert(result(AngleHint(5)) == base)
+    df.unpersist()
+  }
+
+  test("MAX directions and mixed directions") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (3.0, 3.0), (0.5, 3.5))
+      .toDF("x1", "x2")
+    val got = df.skyline(Seq("x1" -> Max, "x2" -> Max))
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(3.0, 3.0), Seq(0.5, 3.5)))
+    val mixed = df.skyline(Seq("x1" -> Min, "x2" -> Max))
+      .collect().map(_.toSeq).toSet
+    assert(mixed == Set(Seq(0.5, 3.5)))
+  }
+
+  test("exact duplicate points collapse (reference set semantics)") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (1.0, 2.0), (2.0, 1.0)).toDF("x1", "x2")
+    val got = df.skyline(Seq("x1" -> Min, "x2" -> Min)).collect()
+    assert(got.length == 2)
+  }
+
+  test("timestamp dimension round-trips exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val sky = orders.skyline(Seq("o_totalprice" -> Max, "o_orderdate" -> Min))
+    val outSchema = sky.schema
+    assert(outSchema("o_orderdate").dataType == orders.schema("o_orderdate").dataType)
+    // every output (price, date) pair must exist verbatim in the input
+    val inPairs = orders.select("o_totalprice", "o_orderdate")
+      .collect().map(_.toSeq).toSet
+    val outPairs = sky.collect().map(_.toSeq).toSet
+    assert(outPairs.nonEmpty && outPairs.subsetOf(inPairs))
+  }
+
+  test("AngleHint rejects MAX dimensions (reference restriction)") {
+    val df = randomDf(10, 2, seed = 3)
+    intercept[IllegalArgumentException] {
+      df.skyline(Seq("x1" -> Max, "x2" -> Min), hint = AngleHint(4))
+    }
+  }
+
+  test("skyline query-string API end-to-end") {
+    val df = randomDf(500, 2, seed = 4)
+    val a = df.skyline("SKYLINE OF x1 MIN, x2 MAX").collect().map(_.toSeq).toSet
+    val b = df.skyline(Seq("x1" -> Min, "x2" -> Max)).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}

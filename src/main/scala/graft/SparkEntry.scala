@@ -1,17 +1,32 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Direction.{Max, Min}
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
 import graft.operators._
 import graft.operators.SkylineOps._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions for oracle parity with DuckDB:
+  *  - double aggregates are computed as exact DECIMAL sums and cast to
+  *    double at the end, so both engines produce bit-identical doubles
+  *    regardless of summation order;
+  *  - every computed column is aliased identically in the Spark plan and
+  *    the SQL (the driver's compare sorts columns by name);
+  *  - top-k queries carry a deterministic tie-break on a key column.
+  */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: String): org.apache.spark.sql.Column =
+    col(c).cast("decimal(18,2)")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -36,30 +51,163 @@ object SparkEntry {
     // Partitioning-scheme hints (MR_DIM / MR_GRID / MR_ANGLE): same result
     // as sky_li_2d by the partitioning-invariance property — same oracle.
     "sky_hint_dim" -> ((s, dir) =>
-      t(s, dir, "lineitem").skyline(
-        SkylineQueryDims.li2d, hint = DimHint(12))),
+      t(s, dir, "lineitem").skyline(SkylineQueryDims.li2d, hint = DimHint(12))),
     "sky_hint_grid" -> ((s, dir) =>
-      t(s, dir, "lineitem").skyline(
-        SkylineQueryDims.li2d, hint = GridHint(4))),
+      t(s, dir, "lineitem").skyline(SkylineQueryDims.li2d, hint = GridHint(4))),
     "sky_hint_angle" -> ((s, dir) =>
-      t(s, dir, "lineitem").skyline(
-        SkylineQueryDims.li2d, hint = AngleHint(8))),
+      t(s, dir, "lineitem").skyline(SkylineQueryDims.li2d, hint = AngleHint(8))),
+
+    // ----- relational surface (SURVEY §2.2/2.3: agg, joins, window, sort,
+    // set ops, rollup — Spark built-ins, Catalyst-optimized) -------------
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+    "q3_top_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("total_revenue"))
+    }),
+    "q_window_rank" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))),
+    "q_topk_lineitems" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+    "q_setop_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey")))),
+    "q_semijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+    "q_antijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec("l_quantity")).cast("double").as("sum_qty"))),
+    "q_events_hourly" -> ((s, dir) =>
+      // events.ts is TIMESTAMP(NANOS) surfaced as nanos-since-epoch long;
+      // bucket by integer hour for an engine-neutral window aggregation.
+      t(s, dir, "events")
+        .groupBy((col("ts") / lit(3600000000000L)).cast("long").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("sum_value"))),
+
+    // ----- text analysis (documents) ------------------------------------
+    "text_stats" -> ((s, dir) => {
+      val feats = TextFunctions.qualityFeatures(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +: col("n_chars") +: feats.map { case (n, c) => c.as(n) }: _*)
+    }),
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, dir) =>
+      Dedup.canonical(t(s, dir, "documents"), "doc_id", "text")),
+    "text_tokens_by_source" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          sum(TextFunctions.subwordCountEstimate(col("text"))).as("total_subwords"))),
+
+    // ----- deduplication (documents) ------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // ----- similarity search (embeddings) --------------------------------
+    "ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.topK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+    }),
+    "sim_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3)),
+    "sim_pairs_lsh" -> ((s, dir) =>
+      // 16 tables x 4 bits: sized for recall at the moderate 0.3 threshold
+      // (bits/tables trade recall against bucket-join width per target
+      // similarity; near-dup thresholds ~0.9 would use wider signatures).
+      Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, tables = 16, bits = 4)),
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 10, dim = 64)
+    }),
+
+    // ----- structured-streaming parity (reference batch_job shape:
+    // streaming plan + drain-the-source trigger, complete mode) ----------
+    "stream_sky_li_2d" -> ((s, dir) => {
+      val schema = t(s, dir, "lineitem").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      val sky = graft.streaming.SkylineStreaming.skylineStream(stream, SkylineQueryDims.li2d)
+      graft.streaming.SkylineStreaming.runOnce(sky, "stream_sky_li_2d_mem")
+    }),
+
+    // ----- multimodal plumbing (stubbed codec, real dataflow) ------------
+    "mm_decode" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      val decoded = Multimodal.decode(media)
+      Multimodal.resizePlan(decoded, maxSide = 256)
+        .join(decoded.toDF().select(col("doc_id"), col("n_bytes"), col("format")), "doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for the probabilistic-candidate
+    * operators (dedup_minhash, dedup_simhash, sim_pairs_lsh, ann_ivf):
+    * their hash-derived candidates are not SQL-expressible; they are
+    * gated in ScalaTest against their exact counterparts instead. */
   def oracleSql: Map[String, String] = {
 
-    /** O(n log n) exact 2-D skyline oracle: sort by dim1 (best first), a
-      * point survives iff its dim2 strictly beats the best dim2 seen among
-      * all preceding rows. `asc1`/`asc2` encode MIN (asc) / MAX (desc). */
-    def sky2d(table: String, c1: String, c2: String, min1: Boolean, min2: Boolean,
-              where: String = ""): String = {
+    /** O(n log n) exact 2-D skyline oracle: sort by dim1 (best first); a
+      * point survives iff no preceding point has a better-or-equal dim2. */
+    def sky2d(table: String, c1: String, c2: String, min1: Boolean, min2: Boolean): String = {
       val ord1 = if (min1) "ASC" else "DESC"
       val ord2 = if (min2) "ASC" else "DESC"
       val agg = if (min2) "min" else "max"
       val cmp = if (min2) "<" else ">"
-      s"""WITH d AS (SELECT DISTINCT $c1, $c2 FROM $table $where),
+      s"""WITH d AS (SELECT DISTINCT $c1, $c2 FROM $table),
          |m AS (SELECT $c1, $c2,
          |        $agg($c2) OVER (ORDER BY $c1 $ord1, $c2 $ord2
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
@@ -68,6 +216,36 @@ object SparkEntry {
     }
 
     val li2dOracle = sky2d("lineitem", "l_extendedprice", "l_discount", min1 = true, min2 = true)
+
+    // shared DuckDB fragments for text queries (mirror TextFunctions exactly)
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
+    val shingles3 =
+      s"""list_distinct(list_transform(generate_series(1, len($toks) - 2),
+         |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))""".stripMargin
+    val langLists = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "for", "it"),
+      "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+      "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"))
+    val scoreExprs = langLists.map { case (lang, ws) =>
+      lang -> s"len(list_filter(t.toks, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    }
+    val bestExpr = s"greatest(${scoreExprs.map(_._2).mkString(", ")})"
+    val langCase = scoreExprs
+      .map { case (lang, e) => s"WHEN $e = best AND best > 0 THEN '$lang'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+
+    // exact dot product over unnested positions, double math
+    val dotPairs =
+      """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nn FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dot
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2),
+        |cosv AS (SELECT id1, id2, dot / (n1.nn * n2.nn) AS c
+        |         FROM dots JOIN nrm n1 ON n1.vec_id = id1
+        |                   JOIN nrm n2 ON n2.vec_id = id2)""".stripMargin
 
     Map(
       "sky_li_2d" -> li2dOracle,
@@ -88,6 +266,127 @@ object SparkEntry {
           |    AND (q.l_quantity < p.l_quantity
           |      OR q.l_extendedprice < p.l_extendedprice
           |      OR q.l_discount < p.l_discount))""".stripMargin,
+
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE
+          |    AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "q3_top_orders" ->
+        """SELECT o_orderkey,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE
+          |    AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |              JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+      "q_region_revenue" ->
+        """SELECT r_name, count(*) AS n_orders,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |            JOIN nation ON c_nationkey = n_nationkey
+          |            JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin,
+      "q_window_rank" ->
+        """SELECT o_custkey, o_orderkey, rn FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          |  FROM orders) WHERE rn <= 3""".stripMargin,
+      "q_topk_lineitems" ->
+        """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+          |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+          |LIMIT 20""".stripMargin,
+      "q_setop_except" ->
+        "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+      "q_semijoin" ->
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin,
+      "q_antijoin" ->
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "q_events_hourly" ->
+        """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+          |  count(*) AS n_events,
+          |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "text_stats" ->
+        s"""SELECT doc_id, n_chars,
+           |  len(t.toks)::BIGINT AS n_tokens,
+           |  len(list_distinct(t.toks))::DOUBLE / len(t.toks) AS ttr,
+           |  list_aggregate(list_transform(t.toks, x -> len(x)), 'sum')::DOUBLE
+           |    / len(t.toks) AS mean_word_len,
+           |  (len(t.toks) >= 20 AND
+           |   len(list_distinct(t.toks))::DOUBLE / len(t.toks) >= 0.2) AS is_quality
+           |FROM (SELECT doc_id, n_chars, $toks AS toks FROM documents) t""".stripMargin,
+      "text_langid" ->
+        s"""SELECT doc_id, $langCase AS lang_pred
+           |FROM (SELECT doc_id, $bestExpr AS best, t.toks FROM
+           |  (SELECT doc_id, $toks AS toks FROM documents) t)
+           |  t""".stripMargin,
+      "text_fingerprint" ->
+        s"""SELECT md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint,
+           |  min(doc_id) AS keep_id, count(*) AS n_docs
+           |FROM documents GROUP BY 1""".stripMargin,
+      "text_tokens_by_source" ->
+        s"""SELECT source, count(*) AS n_docs,
+           |  sum(len(t.toks))::BIGINT AS total_tokens,
+           |  sum(list_aggregate(list_transform(t.toks, x -> 1 + (len(x) - 1) // 4), 'sum'))::BIGINT
+           |    AS total_subwords
+           |FROM (SELECT source, $toks AS toks FROM documents) t GROUP BY source""".stripMargin,
+
+      "dedup_exact" ->
+        "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+      "dedup_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
+           |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM tt),
+           |sz AS (SELECT doc_id, len(sh) AS sz FROM tt),
+           |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::DOUBLE AS inter
+           |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id1, id2, inter / (s1.sz + s2.sz - inter) AS jaccard
+           |FROM pairs JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+           |WHERE inter / (s1.sz + s2.sz - inter) >= 0.5""".stripMargin,
+
+      "ann_topk" ->
+        s"""$dotPairs,
+           |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv
+           |        UNION ALL
+           |        SELECT id2, id1, c FROM cosv),
+           |ranked AS (SELECT query_id, neighbor_id, c,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           |  FROM sym WHERE query_id < 50)
+           |SELECT query_id, neighbor_id, rank, round(c, 4) AS cos
+           |FROM ranked WHERE rank <= 10""".stripMargin,
+      "sim_pairs" ->
+        s"""$dotPairs
+           |SELECT id1, id2, round(c, 4) AS cos FROM cosv WHERE c >= 0.3""".stripMargin,
+
+      "mm_decode" ->
+        """SELECT doc_id,
+          |  64 + octet_length(encode(text)) % 577 AS width,
+          |  64 + (ascii(substr(text, 1, 1)) * 7) % 577 AS height,
+          |  least(256, 64 + octet_length(encode(text)) % 577) AS target_w,
+          |  floor(least(256, 64 + octet_length(encode(text)) % 577)
+          |    * (64 + (ascii(substr(text, 1, 1)) * 7) % 577)::DOUBLE
+          |    / (64 + octet_length(encode(text)) % 577))::INT AS target_h,
+          |  octet_length(encode(text))::BIGINT AS n_bytes,
+          |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+          |    ELSE 'webp' END AS format
+          |FROM documents""".stripMargin,
     )
   }
 }

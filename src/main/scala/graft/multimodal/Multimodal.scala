@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded media metadata produced by the (stubbed) image decoder. */
+case class DecodedMedia(
+    doc_id: Long,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    format: String,
+    mean_byte: Double)
+
+/**
+ * Multimodal-column plumbing: media as opaque `binary` columns with
+ * typed metadata, decoded via partition-batched typed `mapPartitions`.
+ *
+ * The Spark side — schema, partitioning, the per-partition batch loop,
+ * and the typed output contract — is real and tested. The *codec* is a
+ * deterministic STUB (this container has no image/audio libraries): a
+ * production deployment replaces `decodeStub` with a real decoder
+ * (e.g. libjpeg/ffmpeg via JNI) without touching the dataflow, which is
+ * the part that must survive 100 TB: binary payloads stay distributed,
+ * are decoded once per partition batch, and never collect to the driver.
+ */
+object Multimodal {
+
+  /** Fabricate a media table from any (id, text) table: the text bytes
+    * stand in for an encoded image payload. */
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("content"),
+      lit("image").as("media_type"))
+
+  /** STUB decoder: deterministic metadata derived from the payload bytes.
+    * Replace with a real codec in production (`???` marks the boundary). */
+  private def decodeStub(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    // real impl: val img = ImageIO.read(...) — unavailable here: ???
+    val n = bytes.length.toLong
+    val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    DecodedMedia(
+      doc_id = id,
+      n_bytes = n,
+      width = (64 + n % 577).toInt,
+      height = (64 + (first * 7) % 577).toInt,
+      format = (n % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" },
+      mean_byte = if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Decode a media table: typed mapPartitions over (doc_id, content)
+    * batches — the shape a vectorized decode (Arrow batch / pandas-UDF
+    * equivalent) takes in Scala Spark. */
+  def decode(media: DataFrame): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch => batch.map { case (id, bytes) => decodeStub(id, bytes) } }
+  }
+
+  /** Resize step stub: recompute target dims preserving aspect ratio —
+    * pure metadata arithmetic here; a real impl transforms pixels. */
+  def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame =
+    decoded.toDF().select(
+      col("doc_id"), col("width"), col("height"),
+      least(lit(maxSide), col("width")).as("target_w"),
+      // floor, not cast: Spark's double->int cast truncates while DuckDB's
+      // rounds; floor agrees in both for the non-negative case.
+      floor(least(lit(maxSide), col("width")) * col("height") / col("width"))
+        .cast("int").as("target_h"))
+}

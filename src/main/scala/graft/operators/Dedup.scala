@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Document deduplication at training-data-pipeline scale: exact,
+ * set-similarity (exact Jaccard with prefix filtering), MinHash+LSH,
+ * and SimHash. All operators are pure DataFrame compositions — shuffles
+ * only on join/group keys, no driver-side loops, no UDFs.
+ *
+ * Output convention for pair finders: (id1, id2[, score]) with
+ * id1 < id2, one row per qualifying pair.
+ */
+object Dedup {
+
+  /** Exact dedup: one row per distinct `textCol` value with the minimal
+    * id as the canonical survivor and the duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Canonical (bag-of-words) dedup: group by the md5 fingerprint of the
+    * sorted distinct token set, so word-order permutations collapse. */
+  def canonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** id -> distinct shingle set, empty docs removed. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextFunctions.shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact-Jaccard verification of candidate (id1, id2) pairs. */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val d1 = docs.select(col("id").as("id1"), col("sh").as("sh1"))
+    val d2 = docs.select(col("id").as("id2"), col("sh").as("sh2"))
+    cands
+      .join(d1, "id1").join(d2, "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /**
+   * Exact all-pairs Jaccard self-join over word `n`-gram shingle sets,
+   * with AllPairs-style prefix filtering (Bayardo et al., WWW'07; also
+   * Vernica et al., SIGMOD'10 for the MapReduce shape): order each
+   * document's shingles by ascending global frequency; a pair with
+   * J >= t must share a shingle within each side's first
+   * |x| - ceil(t*|x|) + 1 shingles, so the inverted index is built over
+   * those prefixes only — the frequent-shingle join blowup is bounded
+   * while staying exact. Candidates are then verified with the true
+   * Jaccard. Scales: the only wide operations are the frequency count,
+   * the prefix join, and the verify join, all on shuffled keys.
+   */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val docs = shingled(df, idCol, textCol, n)
+    val ex = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select("id", "s")
+    val cands = prefix.as("a").join(prefix.as("b"), Seq("s"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cands, docs, threshold)
+  }
+
+  /**
+   * MinHash + banded LSH near-duplicate pairs: `numPerm` min-hash values
+   * per document (xxhash64 with per-permutation seeds over the shingle
+   * set), grouped into `bands` bands; documents sharing any band bucket
+   * become candidates, verified with the exact Jaccard. Probabilistic
+   * recall (1 - (1 - t^r)^b), precision exact due to verification.
+   * The scale path for corpora where even prefix-filtered all-pairs is
+   * too wide: cost is O(docs * numPerm) map-side plus a bucket join.
+   */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val docs = shingled(df, idCol, textCol, n)
+    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
+    val mh = ex.groupBy("id").agg(
+      array((0 until numPerm).map(i => min(xxhash64(lit(i), col("s")))): _*).as("mh"))
+    val buckets = mh.select(col("id"), posexplode(
+      array((0 until bands).map(j =>
+        xxhash64(lit(j) +: (0 until r).map(k => element_at(col("mh"), j * r + k + 1)): _*)): _*)
+    ).as(Seq("band", "bh")))
+    val cands = buckets.as("a").join(buckets.as("b"), Seq("band", "bh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cands, docs, threshold)
+  }
+
+  /**
+   * SimHash near-duplicate pairs with Hamming distance <= `maxHamming`.
+   * 64-bit SimHash over the distinct token set (Charikar, STOC'02; the
+   * banded search follows Manku et al., WWW'07): split the 64 bits into
+   * `maxHamming + 1` bands — by pigeonhole any pair within the distance
+   * budget agrees exactly on at least one band, so the band join has
+   * PERFECT recall; candidates are verified with bit_count(xor).
+   */
+  /** 64-bit SimHash per document over the distinct token set
+    * (Charikar, STOC'02): bit k is the sign of the sum of +-1 votes from
+    * each token's hash bit k. Returns (id, sim). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.distinctTokens(col(textCol))).as("t"))
+    val withHash = toks.withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === lit(1L), 1L).otherwise(-1L))
+        .as(s"b$k"))
+    val bitSums = withHash.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    bitSums.select(col("id"),
+      (0 until 64).map(k =>
+        when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sim"))
+  }
+
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val sim = simhash(df, idCol, textCol)
+    val bands = sim.select(col("id"), col("sim"), posexplode(
+      array((0 until nBands).map(j =>
+        shiftright(col("sim"), j * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as(Seq("band", "bh")))
+    bands.as("a").join(bands.as("b"), Seq("band", "bh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

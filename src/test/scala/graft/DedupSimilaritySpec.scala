@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Gates for the approximate operators against their exact counterparts
+  * (the driver's DuckDB oracle cannot express hash-derived candidates,
+  * so this is where minhash/simhash/LSH correctness is enforced). */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash LSH pairs: exact precision, near-total recall on planted near-dups") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    assert(mh.subsetOf(exact), "verification must make precision exact")
+    assert(exact.nonEmpty, "test data should contain planted near-duplicates")
+    // planted pairs sit at J >= 0.9 where banded-LSH recall is ~1
+    assert(mh.size >= exact.size * 9 / 10,
+      s"recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("simhash banded search is EXACT for hamming <= maxHamming (pigeonhole)") {
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (id1, s1) <- sims; (id2, s2) <- sims if id1 < id2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield Seq(id1, id2, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id1"), col("id2"), col("hamming").cast("long"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
+  test("LSH cosine pairs are a verified subset of exact pairs") {
+    val exact = Similarity.cosinePairs(embs, "vec_id", "embedding", threshold = 0.3)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    val lsh = Similarity.lshPairs(embs, "vec_id", "embedding", threshold = 0.3,
+      dim = 64, tables = 16, bits = 4)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall unexpectedly low: $recall")
+    }
+  }
+
+  test("IVF top-k with nprobe=nlist degenerates to exact brute-force top-k") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.topK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nlist = 8, nprobe = 8, iters = 2)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(ivf == exact)
+  }
+
+  test("IVF top-k with nprobe < nlist keeps high recall") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Similarity.topK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nlist = 8, nprobe = 4, iters = 2)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall unexpectedly low: $recall")
+  }
+
+  test("canonical fingerprint dedup collapses word-order permutations") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.canonical(df, "doc_id", "text")
+      .select("keep_id", "n_docs").collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(1L, 2L), Seq(3L, 1L)))
+  }
+}

@@ -20,16 +20,33 @@ object TextFunctions {
   def distinctTokens(text: Column): Column =
     array_sort(array_distinct(tokens(text)))
 
-  /** Word n-gram shingles (space-joined), as an array of strings.
-    * For n=3: ["a b c", "b c d", ...]; docs shorter than n yield []. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(-1)))
-    transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+  /** Word n-gram shingles (space-joined) from a MATERIALIZED token-array
+    * column. For n=3: ["a b c", "b c d", ...]; shorter docs yield [].
+    *
+    * Callers must project the token array into its own column first
+    * (`df.select(tokens(col) as "toks")` then shingle from `col("toks")`):
+    * Catalyst does not common-subexpression-eliminate inside lambda
+    * functions, so passing `tokens(text)` directly would re-tokenize the
+    * whole document on every `element_at` access — O(len^2) per doc
+    * (measured 12s alone on 5k docs before this split). */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
+    // n shifted slices zipped, then one concat per shingle. Crucially the
+    // token array is referenced only n+1 times TOTAL (each slice is one
+    // O(len) pass), never once per element: optimizer rules
+    // (PushDownPredicates, InferFiltersFromGenerate) may substitute the
+    // token expression inline wherever `toks` is referenced, and a
+    // per-element reference (e.g. element_at(toks, i) inside the lambda)
+    // would turn tokenization quadratic after such a rewrite — measured
+    // as a 12x slowdown on the dedup path before this formulation.
+    val m = greatest(size(toks) - lit(n - 1), lit(0))
+    val zipped = arrays_zip((0 until n).map(j => slice(toks, lit(j + 1), m)): _*)
+    transform(zipped, s =>
+      concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
   }
 
-  /** Distinct word n-gram shingle set. */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
+  /** Distinct word n-gram shingle set from a materialized token array. */
+  def shingleSetFromTokens(toks: Column, n: Int): Column =
+    array_distinct(wordShinglesFromTokens(toks, n))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -30,10 +30,25 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** id -> distinct shingle set, empty docs removed. */
+  /** id -> distinct shingle set. Tokenizes into its own projection first —
+    * see [[TextFunctions.wordShinglesFromTokens]] for why inlining the
+    * tokenizer would be quadratic. Deliberately NO size(sh)>0 filter:
+    * predicate pushdown would substitute the whole shingle expression
+    * into a scan-level filter (recomputing it per row), and empty arrays
+    * already contribute no rows at the explode that feeds every
+    * candidate path. */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextFunctions.shingleSet(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), TextFunctions.shingleSetFromTokens(col("_toks"), n).as("sh"))
+
+  /** Same, with each shingle hashed to a long (xxhash64) once up front:
+    * every downstream join/aggregate/intersect then works on fixed-width
+    * longs instead of strings — smaller shuffles, cheaper comparisons.
+    * Set semantics are preserved up to 64-bit hash collisions
+    * (~(distinct shingles)^2 / 2^65 — negligible). */
+  private def shingledHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingled(df, idCol, textCol, n)
+      .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
 
   /** Exact-Jaccard verification of candidate (id1, id2) pairs. */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
@@ -63,7 +78,7 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val docs = shingled(df, idCol, textCol, n)
+    val docs = shingledHashed(df, idCol, textCol, n)
     val ex = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = ex.join(freq, "s")
@@ -71,9 +86,14 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
-      .select("id", "s")
-    val cands = prefix.as("a").join(prefix.as("b"), Seq("s"))
-      .filter(col("a.id") < col("b.id"))
+      .select("id", "sz", "s")
+    // Length filter on top of the prefix filter: J >= t forces
+    // t*|y| <= |x| (and symmetrically), so wildly different sizes can
+    // never qualify — prunes candidates before the expensive verify.
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") >= ceil(lit(threshold) * col("b.sz")) &&
+          col("b.sz") >= ceil(lit(threshold) * col("a.sz")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     verifyJaccard(cands, docs, threshold)
@@ -93,7 +113,7 @@ object Dedup {
       n: Int, threshold: Double, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
-    val docs = shingled(df, idCol, textCol, n)
+    val docs = shingledHashed(df, idCol, textCol, n)
     val ex = docs.select(col("id"), explode(col("sh")).as("s"))
     val mh = ex.groupBy("id").agg(
       array((0 until numPerm).map(i => min(xxhash64(lit(i), col("s")))): _*).as("mh"))

@@ -4,24 +4,35 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{dot, l2Norm}
+
 /**
  * Vector-similarity search over an embedding column (`array<float>`):
  * exact brute-force cosine top-k / threshold pairs as the baseline, and
  * LSH (random hyperplanes) + IVF (inverted-file, kmeans-bucketed)
- * variants as the 100 TB scale path. Dot products are native
- * `zip_with`/`aggregate` expressions in double precision — codegen'd,
- * no UDFs.
+ * variants as the 100 TB scale path. The per-pair hot loop is the
+ * codegen'd [[graft.functions.DotProduct]] expression over
+ * `array<double>` (Spark's higher-order functions evaluate lambdas
+ * interpreted — ~30x slower here); per-vector norms are computed once
+ * per side BEFORE the join, never per pair.
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Convenience form; the pairwise operators below precompute the norms
+    * per side instead of evaluating them per pair. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
+
+  /** Project (id, v: array<double>, n: L2 norm) — norms computed once per
+    * row, before any join replicates the vectors. */
+  private def prepped(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vAs))
+      .withColumn(nAs, l2Norm(col(vAs)))
 
   /**
    * Exact top-k cosine neighbors for each query vector: broadcast the
@@ -31,11 +42,11 @@ object Similarity {
   def topK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
@@ -46,10 +57,10 @@ object Similarity {
   /** Exact all-pairs with cosine >= threshold (brute-force block join —
     * the small-corpus baseline; use [[lshPairs]] at scale). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = prepped(df, idCol, vecCol, "id1", "v1", "n1")
+    val b = prepped(df, idCol, vecCol, "id2", "v2", "n2")
     a.crossJoin(b).filter(col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
@@ -62,10 +73,7 @@ object Similarity {
 
   private def signature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, k) =>
-      val dot = aggregate(
-        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+      when(dot(vec, lit(p)) >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /**
@@ -79,16 +87,17 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame = {
     val hp = hyperplanes(tables, bits, dim, seed)
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), posexplode(
-      array(hp.map(planes => signature(col(vecCol), planes)): _*)).as(Seq("table", "sig")))
+    val vd = col(vecCol).cast("array<double>")
+    val sigs = df.select(col(idCol).as("id"), posexplode(
+      array(hp.map(planes => signature(vd, planes)): _*)).as(Seq("table", "sig")))
     val cands = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    val v1 = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val v2 = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val v1 = prepped(df, idCol, vecCol, "id1", "v1", "n1")
+    val v2 = prepped(df, idCol, vecCol, "id2", "v2", "n2")
     cands.join(v1, "id1").join(v2, "id2")
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
@@ -104,11 +113,15 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val data = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val data = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
 
-    def dist2(vec: Column, c: Array[Double]): Column =
-      aggregate(zip_with(vec, lit(c), (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
-        lit(0.0), (acc, v) => acc + v)
+    // ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 with the codegen'd dot; the
+    // ||v||^2 term is constant per row and irrelevant to the argmin but
+    // kept so probe distances stay true distances.
+    def dist2(vec: Column, c: Array[Double]): Column = {
+      val c2 = c.map(x => x * x).sum
+      graft.functions.VectorFunctions.squaredNorm(vec) - lit(2.0) * dot(vec, lit(c)) + lit(c2)
+    }
 
     // argmin via array_min over (dist, idx) structs — struct ordering is
     // lexicographic so ties break on the lower index. A when/otherwise
@@ -120,7 +133,7 @@ object Similarity {
 
     // deterministic init: the nlist lowest-id vectors
     var centroids: Array[Array[Double]] = data.orderBy("id").limit(nlist)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .collect().map(_.getSeq[Double](1).toArray)
 
     for (_ <- 1 to iters) {
       val assigned = data.withColumn("c", assignExpr(col("v"), centroids))
@@ -141,7 +154,7 @@ object Similarity {
 
     val indexed = data.withColumn("c", assignExpr(col("v"), centroids))
     // nprobe nearest cells per query (by centroid distance)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val probed = q.withColumn("c", explode(array(
       (0 until nlist).map(i => struct(dist2(col("qv"), centroids(i)).as("d"), lit(i).as("i"))): _*)))
       .withColumn("pr", row_number().over(

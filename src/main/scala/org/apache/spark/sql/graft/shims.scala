@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Access shim for `private[sql]` Column <-> Expression conversion —
+ * the standard pattern for Spark extension libraries that define custom
+ * Catalyst expressions (cf. Sedona/Delta shim objects). Spark 4 removed
+ * the public `Column(expr)`/`col.expr` accessors in the Connect
+ * refactor; `classic.ExpressionUtils` is the blessed internal API.
+ */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

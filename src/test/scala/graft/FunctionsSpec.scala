@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.multimodal.Multimodal
+
+/** Unit tests for the codegen'd vector expressions, text functions, and
+  * multimodal plumbing. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("DotProduct / SquaredNorm match hand computation (eval + codegen paths)") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(0.0, 0.0))).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.squaredNorm(col("a")).as("n")).collect()
+    assert(rows(0).getDouble(0) == 32.0 && rows(0).getDouble(1) == 14.0)
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
+    // null propagation
+    val nulls = Seq((Option.empty[Array[Double]], Option(Array(1.0)))).toDF("a", "b")
+    assert(nulls.select(VectorFunctions.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      graft.operators.Similarity.cosine(col("a"), col("b")).as("same"),
+      graft.operators.Similarity.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("word shingles: sliding n-grams, short docs yield empty") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "  a   b c  ").toDF("text")
+    val got = df
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .select(TextFunctions.wordShinglesFromTokens(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq())
+    assert(got(2) == Seq("a b c"))
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog is in the house",
+      "le chat et la maison est pour un chien",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "fr", "und"))
+  }
+
+  test("fingerprint is order-insensitive and duplicate-insensitive") {
+    import spark.implicits._
+    val df = Seq("b a c", "c b a a", "a b").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal decode: deterministic stub metadata through mapPartitions") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val d = Multimodal.decode(media).collect().head
+    assert(d.doc_id == 1L && d.n_bytes == 11L)
+    assert(d.width == 64 + 11 % 577 && d.height == 64 + ('h'.toInt * 7) % 577)
+    assert(d.format == "webp") // 11 % 3 == 2
+    val resized = Multimodal.resizePlan(Multimodal.decode(media), 256).collect().head
+    assert(resized.getAs[Int]("target_w") == math.min(256, d.width))
+  }
+}

@@ -113,7 +113,11 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    // Lloyd iterations re-scan the corpus; cache the projected vectors for
+    // the duration of training (the canonical iterative-ML pattern — at
+    // cluster scale this is a MEMORY_AND_DISK persist of the same shape).
     val data = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .cache()
 
     // ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 with the codegen'd dot; the
     // ||v||^2 term is constant per row and irrelevant to the argmin but

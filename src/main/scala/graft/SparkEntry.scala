@@ -138,6 +138,9 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
     "text_fingerprint" -> ((s, dir) =>
       Dedup.canonical(t(s, dir, "documents"), "doc_id", "text")),
+    "text_rollhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))),
     "text_tokens_by_source" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -340,6 +343,12 @@ object SparkEntry {
         s"""SELECT md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint,
            |  min(doc_id) AS keep_id, count(*) AS n_docs
            |FROM documents GROUP BY 1""".stripMargin,
+      "text_rollhash" ->
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(0::BIGINT,
+          |    list_transform(string_split(text, ''), x -> ascii(x)::BIGINT)),
+          |    (a, b) -> (a * 131 + b) % 1000000007) AS rh
+          |FROM documents""".stripMargin,
       "text_tokens_by_source" ->
         s"""SELECT source, count(*) AS n_docs,
            |  sum(len(t.toks))::BIGINT AS total_tokens,

@@ -108,4 +108,16 @@ object TextFunctions {
     * distinct token set — identical in DuckDB (`md5(...)`) for the oracle. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", distinctTokens(text)))
+
+  /** Polynomial rolling hash (Rabin-Karp) over the character stream:
+    * fold of `acc * 131 + code (mod 1e9+7)` — order-sensitive (unlike
+    * [[fingerprint]]), exact-duplicate detection with a 4-byte-ish
+    * signature. Modulus keeps every intermediate below 2^63 so the same
+    * integer arithmetic is reproducible in any engine (DuckDB oracle:
+    * `list_reduce` with a prepended zero seed). */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * lit(131L) + c) % lit(1000000007L))
 }

@@ -71,6 +71,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(Seq(1, 2), Seq(3, 4)))
   }
 
+  test("event-time window + watermark: late data beyond the watermark is dropped") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-wm-in").toFile
+    Files.write(new java.io.File(inDir, "b1.csv").toPath,
+      "2026-01-01 10:01:00,a\n2026-01-01 10:03:00,a\n2026-01-01 10:58:00,b\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val events = SkylineStreaming.fromCsvPayload(raw, "ts STRING, k STRING")
+      .select(col("ts").cast("timestamp").as("ts"), col("k"))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("k"), col("n"))
+    val ckpt = Files.createTempDirectory("graft-wm-ckpt").toFile
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one on-time event and one far-late event (before the
+      // 10:48 watermark) that must be dropped
+      Files.write(new java.io.File(inDir, "b2.csv").toPath,
+        "2026-01-01 10:59:00,b\n2026-01-01 10:02:00,a\n".getBytes)
+      q.processAllAvailable()
+      // batch 3 advances the watermark past the 10:55-11:00 window so it emits
+      Files.write(new java.io.File(inDir, "b3.csv").toPath,
+        "2026-01-01 11:30:00,c\n".getBytes)
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // the 10:00-10:05 'a' window closed with ONLY the two on-time events
+      // (the late 10:02 arrival was dropped by the watermark), and the
+      // 10:55-11:00 'b' window saw both b events
+      assert(rows.contains(("2026-01-01 10:00:00", "a", 2L)), s"got $rows")
+      assert(rows.contains(("2026-01-01 10:55:00", "b", 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("GridHint is rejected on streams (needs batch occupancy pre-pass)") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Direction, SkylineCore, SkylineQuery}
+import org.apache.spark.sql.graft.ColumnShim
 
 /**
  * Partitioning hints mirroring the reference's three schemes
@@ -102,10 +103,18 @@ object SkylineOps {
 
       val fwd = dims.zip(types).map { case ((name, _), dt) => toDouble(col(name), dt) }
       val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
-      val pts = df.filter(nonNull).select(array(fwd: _*).as("_p"))
+      // One projected double column per dimension — no array packing on
+      // the per-row hot path; SkylineAggExpr consumes them directly.
+      val pts = df.filter(nonNull)
+        .select(fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
 
-      val sky = udaf(new SkylineAggregator(minDir))
-      val dim = (i: Int) => element_at(col("_p"), i + 1)
+      /** Skyline aggregate over the given dimension columns (native
+        * TypedImperativeAggregate; see [[SkylineAggExpr]]). */
+      def sky(cols: Seq[Column]): Column = ColumnShim.column(
+        SkylineAggExpr(cols.map(ColumnShim.expression), minDir).toAggregateExpression())
+
+      val dim = (i: Int) => col(s"_d$i")
+      val dimCols = dims.indices.map(dim)
 
       def resolvedBounds(): Seq[(Double, Double)] = bounds.getOrElse {
         val aggs = dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i))))
@@ -114,15 +123,16 @@ object SkylineOps {
       }
 
       /** Two-stage: per-key local skylines, then global merge — the shape of
-        * batch_job.py:96-188 as one declarative plan. */
+        * batch_job.py:96-188 as one declarative plan. Points travel as
+        * array<double> only between the (tiny) local and global stages. */
       def twoStage(keyed: DataFrame): DataFrame =
         keyed
-          .groupBy("_k").agg(sky(col("_p")).as("_ls"))
+          .groupBy("_k").agg(sky(dimCols).as("_ls"))
           .select(explode(col("_ls")).as("_p"))
-          .agg(sky(col("_p")).as("_sky"))
+          .agg(sky(dims.indices.map(i => element_at(col("_p"), i + 1))).as("_sky"))
 
       val skyDf = hint match {
-        case NoHint => pts.agg(sky(col("_p")).as("_sky"))
+        case NoHint => pts.agg(sky(dimCols).as("_sky"))
 
         case DimHint(p) =>
           val (lo, hi) = resolvedBounds().head

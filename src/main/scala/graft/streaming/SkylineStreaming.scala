@@ -52,14 +52,59 @@ object SkylineStreaming {
   private def structFromDdl(ddl: String) =
     org.apache.spark.sql.types.StructType.fromDDL(ddl)
 
+  /** Encode rows to the reference's JSON sink format
+    * (`batch_job.py:137-141`): each row's point struct as a JSON `value`
+    * payload column, ready for a Kafka (or any payload) sink. */
+  def toJsonPayload(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /**
+   * Kafka source with the reference's exact options
+   * (`batch_job.py:86-91` / `stream_job.py:87-92`): CSV-in-`value`
+   * decode included. `startingOffsets=earliest` reproduces the batch
+   * job's drain-the-topic behavior, `latest` the live job's.
+   * (Constructs the plan only — this environment has no broker; the
+   * decode path is covered by the file-source parity tests.)
+   */
+  def kafkaPointSource(
+      spark: SparkSession, servers: String, topic: String, schemaDdl: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    fromCsvPayload(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load(),
+      schemaDdl)
+
+  /** Kafka sink writer with the reference's topology (update/complete
+    * mode, checkpointing — `batch_job.py:144-153`). */
+  def kafkaSink(
+      result: DataFrame, servers: String, topic: String,
+      checkpointDir: String, outputMode: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    toJsonPayload(result).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(outputMode)
+      .trigger(trigger)
+
   /** Streaming skyline: the same single-aggregate plan as the batch path
     * — Complete output mode is required by the global aggregate. */
   def skylineStream(
       stream: DataFrame,
       dims: Seq[(String, Direction)],
       hint: PartitionHint = NoHint,
-      bounds: Option[Seq[(Double, Double)]] = None): DataFrame = {
+      bounds: Option[Seq[(Double, Double)]] = None,
+      dedup: Boolean = false): DataFrame = {
     require(stream.isStreaming, "skylineStream expects a streaming DataFrame")
+    // stream_job.py:180: state-backed dropDuplicates on the point columns
+    // before the global merge. Like the reference: no watermark, unbounded
+    // dedup state by design (the skyline agg itself collapses duplicates,
+    // so this only trims merge input, exactly the reference's rationale).
+    val input = if (dedup) stream.dropDuplicates(dims.map(_._1)) else stream
     hint match {
       case graft.operators.GridHint(_) =>
         throw new IllegalArgumentException(
@@ -69,7 +114,7 @@ object SkylineStreaming {
           "streaming DimHint requires explicit bounds (no pre-pass action on a stream)")
       case _ =>
     }
-    stream.skyline(dims, hint, bounds)
+    input.skyline(dims, hint, bounds)
   }
 
   /** Drain-the-source one-shot run into an in-memory table (the

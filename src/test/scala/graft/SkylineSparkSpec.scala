@@ -86,6 +86,23 @@ class SkylineSparkSpec extends AnyFunSuite {
     assert(outPairs.nonEmpty && outPairs.subsetOf(inPairs))
   }
 
+  test("5-dimensional skyline matches brute force (mixed directions)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(5000)((rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble,
+      rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+    val df = rows.toDF("a", "b", "c", "d", "e")
+    import graft.core.Direction
+    val dims: Seq[(String, Direction)] =
+      Seq("a" -> Min, "b" -> Max, "c" -> Min, "d" -> Max, "e" -> Min)
+    val got = df.skyline(dims).collect()
+      .map(r => (0 until 5).map(r.getDouble)).toSet
+    val minDir = dims.map(_._2.isMin).toArray
+    val pts = rows.map(t => Array(t._1, t._2, t._3, t._4, t._5))
+    val want = SkylineCore.skylineOf(pts, minDir).map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("AngleHint rejects MAX dimensions (reference restriction)") {
     val df = randomDf(10, 2, seed = 3)
     intercept[IllegalArgumentException] {

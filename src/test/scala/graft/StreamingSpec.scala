@@ -63,6 +63,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup variant (stream_job parity) yields the same skyline") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/lineitem.parquet")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val got = SkylineStreaming.runOnce(
+      SkylineStreaming.skylineStream(stream, dims, dedup = true), "stream_dedup_test")
+      .collect().map(_.toSeq).toSet
+    val want = batchDf.skyline(dims).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("toJsonPayload/fromJsonSkylinePayload round-trip the wire format") {
+    import spark.implicits._
+    val pts = Seq((1, 2), (3, 4)).toDF("x1", "x2")
+    val payload = SkylineStreaming.toJsonPayload(pts)
+    assert(payload.columns.toSeq == Seq("value"))
+    val json = payload.collect().map(_.getString(0)).toSet
+    assert(json == Set("""{"x1":1,"x2":2}""", """{"x1":3,"x2":4}"""))
+  }
+
   test("JSON skyline-relay payload decodes like the reference stage-2 input") {
     import spark.implicits._
     val raw = Seq("""[{"x1":1,"x2":2},{"x1":3,"x2":4}]""").toDF("value")

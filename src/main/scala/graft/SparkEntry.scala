@@ -122,7 +122,10 @@ object SparkEntry {
       // events.ts is TIMESTAMP(NANOS) surfaced as nanos-since-epoch long;
       // bucket by integer hour for an engine-neutral window aggregation.
       t(s, dir, "events")
-        .groupBy((col("ts") / lit(3600000000000L)).cast("long").as("hour_bucket"),
+        // integer `div`, not `/`: Column `/` promotes the ns-epoch long
+        // (~1.8e18 > 2^53) to double, quantizing near hour boundaries;
+        // DuckDB's `//` is exact integer division.
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("sum_value"))),

@@ -140,11 +140,16 @@ object SkylineCore {
   }
 
   /** decimal -> base-b digit list (LSB first), padded to d digits (functions.py:195-220). */
-  def decimalToBase(n0: Int, b: Int, d: Int): Array[Int] = {
+  def decimalToBase(n0: Int, b: Int, d: Int): Array[Int] =
+    decimalToBaseLong(n0.toLong, b, d)
+
+  /** As [[decimalToBase]] for Long keys — grid keys are b^d-sized and
+    * overflow Int quickly (e.g. b=4, d=16). */
+  def decimalToBaseLong(n0: Long, b: Int, d: Int): Array[Int] = {
     val out = new Array[Int](d)
     var n = n0
     var i = 0
-    while (n != 0 && i < d) { out(i) = n % b; n /= b; i += 1 }
+    while (n != 0 && i < d) { out(i) = (n % b).toInt; n /= b; i += 1 }
     out
   }
 
@@ -180,9 +185,9 @@ object SkylineCore {
    * data where the best cell is occupied this keeps exactly the
    * reference's `b^d - (b-1)^d` surviving cells.
    */
-  def keptOccupiedKeys(minDir: Array[Boolean], b: Int, occupied: Seq[Int]): Seq[Int] = {
+  def keptOccupiedKeys(minDir: Array[Boolean], b: Int, occupied: Seq[Long]): Seq[Long] = {
     val d = minDir.length
-    val digits = occupied.map(k => k -> decimalToBase(k, b, d)).toMap
+    val digits = occupied.map(k => k -> decimalToBaseLong(k, b, d)).toMap
     occupied.filter { c =>
       val cd = digits(c)
       !occupied.exists(a => a != c && cellDominates(minDir, digits(a), cd))

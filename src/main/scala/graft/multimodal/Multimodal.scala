@@ -39,7 +39,12 @@ object Multimodal {
   private def decodeStub(id: Long, bytes: Array[Byte]): DecodedMedia = {
     // real impl: val img = ImageIO.read(...) — unavailable here: ???
     val n = bytes.length.toLong
-    val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    // First *code point* of the decoded payload, not the first raw byte:
+    // for multi-byte UTF-8 leaders the two diverge (0xC3 vs U+00E9) and
+    // the arithmetic oracle works in code points.
+    val first =
+      if (bytes.isEmpty) 0
+      else new String(bytes, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }

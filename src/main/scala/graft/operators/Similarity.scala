@@ -164,10 +164,12 @@ object Similarity {
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("c.d").asc, col("c.i").asc)))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("c.i").as("c"))
-    probed.join(indexed, "c")
+      .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"), col("c.i").as("c"))
+    // norms once per side before the probe join replicates rows
+    val indexedN = indexed.withColumn("vn", l2Norm(col("v")))
+    probed.join(indexedN, "c")
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
       .filter(col("rank") <= k)

@@ -63,11 +63,17 @@ case class SkylineAggExpr(
     SkylineCore.merge(a, b, minDir)
 
   override def eval(buf: ArrayBuffer[Array[Double]]): Any = {
-    val sorted = buf.sortWith { (x, y) =>
+    // Double.compare, not <: the IEEE operators are not a strict weak
+    // order when NaN is present (NaN points are incomparable under
+    // dominance, so they can reach the buffer) and TimSort would throw
+    // "Comparison method violates its general contract!".
+    val ord: Ordering[Array[Double]] = (x: Array[Double], y: Array[Double]) => {
       var i = 0
-      while (i < x.length && x(i) == y(i)) i += 1
-      i < x.length && x(i) < y(i)
+      var cmp = 0
+      while (cmp == 0 && i < x.length) { cmp = java.lang.Double.compare(x(i), y(i)); i += 1 }
+      cmp
     }
+    val sorted = buf.sorted(ord)
     new GenericArrayData(sorted.map(p => new GenericArrayData(p): ArrayData).toArray)
   }
 

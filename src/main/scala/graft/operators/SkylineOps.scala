@@ -119,7 +119,14 @@ object SkylineOps {
       def resolvedBounds(): Seq[(Double, Double)] = bounds.getOrElse {
         val aggs = dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i))))
         val row = pts.agg(aggs.head, aggs.tail: _*).head()
-        dims.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+        // Empty input: min/max are null. Any bounds yield the correct
+        // empty skyline; use a degenerate-safe placeholder.
+        if (row.isNullAt(0)) dims.indices.map(_ => (0.0, 1.0))
+        else dims.indices.map { i =>
+          val lo = row.getDouble(2 * i)
+          val hi = row.getDouble(2 * i + 1)
+          if (hi > lo) (lo, hi) else (lo, lo + 1.0) // all-equal dim: 1 bucket
+        }
       }
 
       /** Two-stage: per-key local skylines, then global merge — the shape of
@@ -139,9 +146,13 @@ object SkylineOps {
           twoStage(pts.withColumn("_k", dimKeyExpr(p, lo, hi, dim(0))))
 
         case GridHint(b) =>
+          require(BigInt(b).pow(dims.length) <= BigInt(Long.MaxValue),
+            s"grid key space b^d = $b^${dims.length} overflows Long")
           val bs = resolvedBounds()
+          // Exact Long multipliers (math.pow doubles lose precision past 2^53).
+          val mult = Seq.iterate(1L, dims.length)(_ * b)
           val key = dims.indices
-            .map(i => lit(math.pow(b, i).toLong) * dimKeyExpr(b, bs(i)._1, bs(i)._2, dim(i)))
+            .map(i => lit(mult(i)) * dimKeyExpr(b, bs(i)._1, bs(i)._2, dim(i)))
             .reduce(_ + _)
           val keyed = pts.withColumn("_k", key)
           // Dominated-cell prune (D7), made sound: one cheap pre-pass finds
@@ -150,18 +161,23 @@ object SkylineOps {
           // becomes a plan-time isin filter — not a runtime UDF as in the
           // reference. See SkylineCore.keptOccupiedKeys for why the
           // reference's geometric best-cell prune is unsound on sparse data.
-          val occupied = keyed.select("_k").distinct().collect().map(_.getLong(0).toInt)
-          val kept = SkylineCore.keptOccupiedKeys(minDir, b, occupied.toSeq).map(_.toLong)
+          // Keys stay Long end-to-end: truncating to Int would corrupt the
+          // kept-set for b^d > 2^31 and silently drop cells.
+          val occupied = keyed.select("_k").distinct().collect().map(_.getLong(0))
+          val kept = SkylineCore.keptOccupiedKeys(minDir, b, occupied.toSeq)
           twoStage(keyed.filter(col("_k").isin(kept: _*)))
 
         case AngleHint(p) =>
           val d = dims.length
+          require(d < 2 || BigInt(p).pow(d - 1) <= BigInt(Long.MaxValue),
+            s"angle key space p^(d-1) = $p^${d - 1} overflows Long")
           val range = (math.Pi / 2) / p
+          val mult = Seq.iterate(1L, math.max(d - 1, 1))(_ * p)
           val key = (0 until d - 1).map { i =>
             val tail = sqrt((i + 1 until d).map(j => dim(j) * dim(j)).reduce(_ + _))
             val k = when(dim(i) === lit(0.0), lit(p - 1))
               .otherwise(least(greatest(floor(atan(tail / dim(i)) / lit(range)).cast(IntegerType), lit(0)), lit(p - 1)))
-            lit(math.pow(p, i).toLong) * k
+            lit(mult(i)) * k
           }.reduce(_ + _)
           twoStage(pts.withColumn("_k", key))
       }

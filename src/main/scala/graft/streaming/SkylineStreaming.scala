@@ -105,15 +105,16 @@ object SkylineStreaming {
     // dedup state by design (the skyline agg itself collapses duplicates,
     // so this only trims merge input, exactly the reference's rationale).
     val input = if (dedup) stream.dropDuplicates(dims.map(_._1)) else stream
-    hint match {
-      case graft.operators.GridHint(_) =>
-        throw new IllegalArgumentException(
-          "GridHint needs a batch occupancy pre-pass; not available on streams")
-      case graft.operators.DimHint(_) | graft.operators.AngleHint(_) =>
-        require(bounds.isDefined || hint.isInstanceOf[graft.operators.AngleHint],
-          "streaming DimHint requires explicit bounds (no pre-pass action on a stream)")
-      case _ =>
-    }
+    // All hints are rejected on streams: the hinted path is TWO chained
+    // aggregations (per-key local skylines, then the global merge), and
+    // Spark's UnsupportedOperationChecker forbids multiple streaming
+    // aggregations outside watermarked time-window chains. The hint adds
+    // nothing on a stream anyway — partial aggregation already computes
+    // per-task local skylines each micro-batch. (GridHint additionally
+    // needs a batch occupancy pre-pass.)
+    require(hint == NoHint,
+      "partition hints are batch-only: a hinted skyline is two chained " +
+        "aggregations, which Structured Streaming does not support")
     input.skyline(dims, hint, bounds)
   }
 

@@ -46,7 +46,16 @@ object SkylineJob {
     val df: DataFrame =
       if (input.endsWith(".parquet")) spark.read.parquet(input)
       else {
-        val schema = StructType(dims.map { case (name, _) => StructField(name, LongType) })
+        // Headerless CSV binds schema fields POSITIONALLY, so the schema
+        // must list columns in file order (x1, x2, ... as the reference
+        // writes them), not in query-dimension order — a "SKYLINE OF x2
+        // MIN, x1 MAX" query would otherwise silently read swapped
+        // columns. Sort names by their numeric suffix where present.
+        val fileOrder = dims.map(_._1).sortBy { name =>
+          val digits = name.dropWhile(!_.isDigit)
+          if (digits.nonEmpty && digits.forall(_.isDigit)) digits.toInt else Int.MaxValue
+        }
+        val schema = StructType(fileOrder.map(StructField(_, LongType)))
         spark.read.schema(schema).csv(input)
       }
     val sky = df.skyline(dims, hint)

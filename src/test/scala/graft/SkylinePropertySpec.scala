@@ -74,7 +74,7 @@ object SkylinePropertySpec extends Properties("skyline") {
       val bounds = Array((0.0, 8.0), (0.0, 8.0))
       def cell(p: Array[Double]) =
         SkylineCore.gridKey(b, SkylineCore.gridDigits(b, bounds, p))
-      val occupied = pts.map(cell).distinct
+      val occupied = pts.map(cell).distinct.map(_.toLong)
       val kept = SkylineCore.keptOccupiedKeys(dirs, b, occupied).toSet
       sky(pts, dirs).forall(p => kept.contains(cell(p.toArray)))
     }
@@ -91,8 +91,8 @@ object SkylinePropertySpec extends Properties("skyline") {
     val inTrueSkyline = sky(pts, dirs).contains(Seq(5.0, 5.0))
     Prop(inTrueSkyline && !keptRef.contains(cellOf55) &&
       SkylineCore.keptOccupiedKeys(dirs, 2, pts.map(p =>
-        SkylineCore.gridKey(2, SkylineCore.gridDigits(2, bounds, p))).distinct)
-        .contains(cellOf55))
+        SkylineCore.gridKey(2, SkylineCore.gridDigits(2, bounds, p)).toLong).distinct)
+        .contains(cellOf55.toLong))
   }
 
   property("angle keys partition: every point gets a key in [0, p^(d-1))") =

@@ -86,6 +86,27 @@ class SkylineSparkSpec extends AnyFunSuite {
     assert(outPairs.nonEmpty && outPairs.subsetOf(inPairs))
   }
 
+  test("udaf-based SkylineAggregator agrees with the native SkylineAggExpr path") {
+    import org.apache.spark.sql.functions.{array, col, explode, udaf}
+    val df = randomDf(2000, 2, seed = 21)
+    val agg = udaf(new graft.operators.SkylineAggregator(Array(true, true)))
+    val viaUdaf = df
+      .select(array(col("x1"), col("x2")).as("p"))
+      .agg(agg(col("p")).as("sky"))
+      .select(explode(col("sky")).as("pt"))
+      .collect().map(_.getSeq[Double](0)).toSet
+    val viaExpr = df.skyline(Seq("x1" -> Min, "x2" -> Min))
+      .collect().map(r => Seq(r.getDouble(0), r.getDouble(1))).toSet
+    assert(viaUdaf == viaExpr && viaUdaf.nonEmpty)
+  }
+
+  test("empty input with a hint yields an empty skyline (no bounds crash)") {
+    import org.apache.spark.sql.functions.col
+    val df = randomDf(100, 2, seed = 22).filter(col("x1") < -1)
+    assert(df.skyline(Seq("x1" -> Min, "x2" -> Min), hint = GridHint(3)).count() == 0)
+    assert(df.skyline(Seq("x1" -> Min, "x2" -> Min), hint = DimHint(4)).count() == 0)
+  }
+
   test("5-dimensional skyline matches brute force (mixed directions)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

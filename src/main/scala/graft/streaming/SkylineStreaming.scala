@@ -26,9 +26,10 @@ import graft.operators.{NoHint, PartitionHint}
  *    exists in the reference; the skyline buffer is the state and it is
  *    small for low d).
  *
- * Partition hints: only hints that need no pre-pass action work on a
- * stream (NoHint; Dim/Angle with explicit bounds). GridHint's occupancy
- * prune requires a batch pre-pass and is rejected here.
+ * Partition hints are batch-only (rejected here): a hinted skyline is
+ * two chained aggregations, which Structured Streaming forbids — and a
+ * stream needs no hint, since partial aggregation already computes
+ * per-task local skylines each micro-batch.
  */
 object SkylineStreaming {
 

@@ -48,6 +48,11 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
         .skyline(Seq("l_quantity" -> Min, "l_extendedprice" -> Min, "l_discount" -> Min))),
+    "sky_orders_date" -> ((s, dir) =>
+      // DateType dimension codec (epoch days) exercised end-to-end.
+      t(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
+        .skyline(Seq("o_date" -> Min, "o_totalprice" -> Max))),
     // Partitioning-scheme hints (MR_DIM / MR_GRID / MR_ANGLE): same result
     // as sky_li_2d by the partitioning-invariance property — same oracle.
     "sky_hint_dim" -> ((s, dir) =>
@@ -118,6 +123,32 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(dec("l_quantity")).cast("double").as("sum_qty"))),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))),
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+    "q_sessionize" -> ((s, dir) => {
+      // classic gap-based sessionization: a new session starts when the
+      // gap to the previous event of the same user exceeds 30 minutes;
+      // ts is exact ns-since-epoch (long), so arithmetic matches DuckDB.
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > lit(1800000000000L), 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"))
+    }),
     "q_events_hourly" -> ((s, dir) =>
       // events.ts is TIMESTAMP(NANOS) surfaced as nanos-since-epoch long;
       // bucket by integer hour for an engine-neutral window aggregation.
@@ -322,6 +353,36 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
           |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "sky_orders_date" -> {
+        val inner = "SELECT CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders"
+        s"""WITH d AS (SELECT DISTINCT o_date, o_totalprice FROM ($inner)),
+           |m AS (SELECT o_date, o_totalprice,
+           |        max(o_totalprice) OVER (ORDER BY o_date ASC, o_totalprice DESC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+           |      FROM d)
+           |SELECT o_date, o_totalprice FROM m WHERE prev IS NULL OR o_totalprice > prev""".stripMargin
+      },
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+      "q_distinct_agg" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "q_sessionize" ->
+        """WITH g AS (SELECT user_id, event_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+          |  FROM events),
+          |s AS (SELECT user_id, event_id,
+          |    CASE WHEN prev_ts IS NULL
+          |      OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS new_sess,
+          |    ts FROM g),
+          |n AS (SELECT user_id, event_id,
+          |    (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+          |  FROM s)
+          |SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
+          |FROM n GROUP BY user_id, session_id""".stripMargin,
       "q_events_hourly" ->
         """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
           |  count(*) AS n_events,

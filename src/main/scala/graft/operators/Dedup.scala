@@ -48,7 +48,8 @@ object Dedup {
     * (~(distinct shingles)^2 / 2^65 — negligible). */
   private def shingledHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     shingled(df, idCol, textCol, n)
-      .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+      .select(col("id"),
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("sh"))
 
   /** Exact-Jaccard verification of candidate (id1, id2) pairs. */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
@@ -56,7 +57,11 @@ object Dedup {
     val d2 = docs.select(col("id").as("id2"), col("sh").as("sh2"))
     cands
       .join(d1, "id1").join(d2, "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      // sorted two-pointer merge (codegen'd) — array_intersect would
+      // build a hash set per candidate pair
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("sh1"), col("sh2"))
+          .cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
       .filter(col("jaccard") >= threshold)

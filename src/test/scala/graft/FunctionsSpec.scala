@@ -27,6 +27,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nulls.select(VectorFunctions.dot(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("SortedIntersectCount: two-pointer merge over sorted long arrays") {
+    import spark.implicits._
+    import graft.functions.ArrayFunctions.sortedIntersectCount
+    val df = Seq(
+      (Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 9L)), // {3,5} -> 2
+      (Array(1L, 2L), Array(3L, 4L)),                 // disjoint -> 0
+      (Array.empty[Long], Array(1L))).toDF("a", "b")  // empty -> 0
+    val got = df.select(sortedIntersectCount(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 0L, 0L))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))

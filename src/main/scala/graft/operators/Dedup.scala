@@ -66,6 +66,9 @@ object Dedup {
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+      // candidates arrive WITH duplicates (callers skip the wide distinct
+      // on millions of candidate rows); dedup the tiny qualifying set here
+      .distinct()
   }
 
   /**
@@ -100,7 +103,6 @@ object Dedup {
           col("a.sz") >= ceil(lit(threshold) * col("b.sz")) &&
           col("b.sz") >= ceil(lit(threshold) * col("a.sz")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
     verifyJaccard(cands, docs, threshold)
   }
 
@@ -129,7 +131,6 @@ object Dedup {
     val cands = buckets.as("a").join(buckets.as("b"), Seq("band", "bh"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
     verifyJaccard(cands, docs, threshold)
   }
 
@@ -172,7 +173,7 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

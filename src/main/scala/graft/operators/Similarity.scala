@@ -93,13 +93,16 @@ object Similarity {
     val cands = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
     val v1 = prepped(df, idCol, vecCol, "id1", "v1", "n1")
     val v2 = prepped(df, idCol, vecCol, "id2", "v2", "n2")
+    // no wide distinct on raw candidates: the verify joins broadcast and
+    // the codegen'd dot is cheap, so dedup happens on the tiny qualifying
+    // set after the threshold filter instead
     cands.join(v1, "id1").join(v2, "id2")
       .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+      .distinct()
   }
 
   /**

@@ -85,11 +85,15 @@ object SkylineOps {
      *               they are computed with one distributed min/max pass —
      *               at large scale pass them explicitly (the reference
      *               hard-codes `[0, 10^9]`, configurations.py:17-18).
+     * @param presort SFS monotone-score sortWithinPartitions before the
+     *               aggregate — opt-in for high dimensionality (see the
+     *               measured tradeoff at the implementation site).
      */
     def skyline(
         dims: Seq[(String, Direction)],
         hint: PartitionHint = NoHint,
-        bounds: Option[Seq[(Double, Double)]] = None): DataFrame = {
+        bounds: Option[Seq[(Double, Double)]] = None,
+        presort: Boolean = false): DataFrame = {
       require(dims.nonEmpty, "empty dimension list")
       val schema = df.schema
       val types = dims.map { case (name, _) => schema(name).dataType }
@@ -105,8 +109,22 @@ object SkylineOps {
       val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
       // One projected double column per dimension — no array packing on
       // the per-row hot path; SkylineAggExpr consumes them directly.
-      val pts = df.filter(nonNull)
+      val projected = df.filter(nonNull)
         .select(fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+      // Optional SFS presort (Chomicki et al., ICDE'03): a monotone score
+      // — the sum of coordinates oriented so "better" is smaller — sorted
+      // ascending WITHIN partitions (no shuffle). If a dominates b then
+      // score(a) < score(b), so no point is ever dominated by a later
+      // one: the BNL insert never evicts incumbents. Measured: ~12% win
+      // at d=7/1M rows, but a 3-4x LOSS at d<=3 (the sort costs more
+      // than the near-free low-d BNL) — hence opt-in, for high-d or
+      // anti-correlated data where local skylines are large.
+      val pts = if (!presort) projected else {
+        val sfsScore = dims.indices
+          .map(i => if (minDir(i)) col(s"_d$i") else -col(s"_d$i"))
+          .reduce(_ + _)
+        projected.sortWithinPartitions(sfsScore.asc)
+      }
 
       /** Skyline aggregate over the given dimension columns (native
         * TypedImperativeAggregate; see [[SkylineAggExpr]]). */

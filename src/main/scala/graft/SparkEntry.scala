@@ -154,8 +154,10 @@ object SparkEntry {
       // bucket by integer hour for an engine-neutral window aggregation.
       t(s, dir, "events")
         // integer `div`, not `/`: Column `/` promotes the ns-epoch long
-        // (~1.8e18 > 2^53) to double, quantizing near hour boundaries;
-        // DuckDB's `//` is exact integer division.
+        // (~1.8e18 > 2^53) to double, quantizing near hour boundaries.
+        // NOTE Spark `div` truncates toward zero while DuckDB `//` floors;
+        // they agree only because event timestamps are post-epoch
+        // (non-negative) — an invariant of this dataset.
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -353,15 +355,9 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
           |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-      "sky_orders_date" -> {
-        val inner = "SELECT CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders"
-        s"""WITH d AS (SELECT DISTINCT o_date, o_totalprice FROM ($inner)),
-           |m AS (SELECT o_date, o_totalprice,
-           |        max(o_totalprice) OVER (ORDER BY o_date ASC, o_totalprice DESC
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
-           |      FROM d)
-           |SELECT o_date, o_totalprice FROM m WHERE prev IS NULL OR o_totalprice > prev""".stripMargin
-      },
+      "sky_orders_date" -> sky2d(
+        "(SELECT CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders)",
+        "o_date", "o_totalprice", min1 = true, min2 = false),
       "q_cube" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,

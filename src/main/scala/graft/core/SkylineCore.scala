@@ -187,6 +187,13 @@ object SkylineCore {
    */
   def keptOccupiedKeys(minDir: Array[Boolean], b: Int, occupied: Seq[Long]): Seq[Long] = {
     val d = minDir.length
+    // The prune is an O(|occupied|^2 * d) driver-side loop; cap it so a
+    // too-fine grid fails loudly instead of hanging the driver. 2^16
+    // occupied cells => <= ~4e9 cheap comparisons, still sub-second-ish;
+    // beyond that the caller should coarsen b.
+    require(occupied.size <= (1 << 16),
+      s"${occupied.size} occupied grid cells — too many for the dominated-cell " +
+        "prune; use a smaller grid base b")
     val digits = occupied.map(k => k -> decimalToBaseLong(k, b, d)).toMap
     occupied.filter { c =>
       val cd = digits(c)

@@ -44,7 +44,8 @@ object Multimodal {
     // the arithmetic oracle works in code points.
     val first =
       if (bytes.isEmpty) 0
-      else new String(bytes, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+      else new String(bytes, 0, math.min(4, bytes.length),
+        java.nio.charset.StandardCharsets.UTF_8).codePointAt(0) // 1 code point <= 4 bytes
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }

@@ -189,6 +189,8 @@ object SkylineOps {
           val d = dims.length
           require(d < 2 || BigInt(p).pow(d - 1) <= BigInt(Long.MaxValue),
             s"angle key space p^(d-1) = $p^${d - 1} overflows Long")
+          // d=1 has no angular coordinate: a single partition.
+          if (d == 1) twoStage(pts.withColumn("_k", lit(0L))) else {
           val range = (math.Pi / 2) / p
           val mult = Seq.iterate(1L, math.max(d - 1, 1))(_ * p)
           val key = (0 until d - 1).map { i =>
@@ -198,6 +200,7 @@ object SkylineOps {
             lit(mult(i)) * k
           }.reduce(_ + _)
           twoStage(pts.withColumn("_k", key))
+          }
       }
 
       skyDf

@@ -7,7 +7,6 @@ import org.apache.spark.sql.Row
 
 import graft.core.Direction
 import graft.operators.SkylineOps._
-import graft.operators.{NoHint, PartitionHint}
 
 /**
  * Structured-Streaming parity for the reference's streaming jobs
@@ -26,10 +25,10 @@ import graft.operators.{NoHint, PartitionHint}
  *    exists in the reference; the skyline buffer is the state and it is
  *    small for low d).
  *
- * Partition hints are batch-only (rejected here): a hinted skyline is
- * two chained aggregations, which Structured Streaming forbids — and a
- * stream needs no hint, since partial aggregation already computes
- * per-task local skylines each micro-batch.
+ * Partition hints are batch-only (not part of this API): a hinted
+ * skyline is two chained aggregations, which Structured Streaming
+ * forbids — and a stream needs no hint, since partial aggregation
+ * already computes per-task local skylines each micro-batch.
  */
 object SkylineStreaming {
 
@@ -93,12 +92,17 @@ object SkylineStreaming {
       .trigger(trigger)
 
   /** Streaming skyline: the same single-aggregate plan as the batch path
-    * — Complete output mode is required by the global aggregate. */
+    * — Complete output mode is required by the global aggregate.
+    *
+    * No hint/bounds parameters on purpose: the hinted path is TWO chained
+    * aggregations (per-key local skylines, then the global merge), and
+    * Spark's UnsupportedOperationChecker forbids multiple streaming
+    * aggregations outside watermarked time-window chains. A hint adds
+    * nothing on a stream anyway — partial aggregation already computes
+    * per-task local skylines each micro-batch. */
   def skylineStream(
       stream: DataFrame,
       dims: Seq[(String, Direction)],
-      hint: PartitionHint = NoHint,
-      bounds: Option[Seq[(Double, Double)]] = None,
       dedup: Boolean = false): DataFrame = {
     require(stream.isStreaming, "skylineStream expects a streaming DataFrame")
     // stream_job.py:180: state-backed dropDuplicates on the point columns
@@ -106,17 +110,7 @@ object SkylineStreaming {
     // dedup state by design (the skyline agg itself collapses duplicates,
     // so this only trims merge input, exactly the reference's rationale).
     val input = if (dedup) stream.dropDuplicates(dims.map(_._1)) else stream
-    // All hints are rejected on streams: the hinted path is TWO chained
-    // aggregations (per-key local skylines, then the global merge), and
-    // Spark's UnsupportedOperationChecker forbids multiple streaming
-    // aggregations outside watermarked time-window chains. The hint adds
-    // nothing on a stream anyway — partial aggregation already computes
-    // per-task local skylines each micro-batch. (GridHint additionally
-    // needs a batch occupancy pre-pass.)
-    require(hint == NoHint,
-      "partition hints are batch-only: a hinted skyline is two chained " +
-        "aggregations, which Structured Streaming does not support")
-    input.skyline(dims, hint, bounds)
+    input.skyline(dims)
   }
 
   /** Drain-the-source one-shot run into an in-memory table (the

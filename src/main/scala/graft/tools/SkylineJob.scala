@@ -46,16 +46,18 @@ object SkylineJob {
     val df: DataFrame =
       if (input.endsWith(".parquet")) spark.read.parquet(input)
       else {
-        // Headerless CSV binds schema fields POSITIONALLY, so the schema
-        // must list columns in file order (x1, x2, ... as the reference
-        // writes them), not in query-dimension order — a "SKYLINE OF x2
-        // MIN, x1 MAX" query would otherwise silently read swapped
-        // columns. Sort names by their numeric suffix where present.
-        val fileOrder = dims.map(_._1).sortBy { name =>
-          val digits = name.dropWhile(!_.isDigit)
-          if (digits.nonEmpty && digits.forall(_.isDigit)) digits.toInt else Int.MaxValue
+        // Headerless CSV binds schema fields POSITIONALLY. The reference
+        // writes columns x1..xd in order, so when every queried dim is
+        // x<i>-shaped, build the FULL x1..xmax schema (covering gaps —
+        // "SKYLINE OF x1 MIN, x3 MIN" must not bind x3 to the second
+        // column) and let the skyline projection pick the queried subset.
+        // Non-x<i> names on a headerless file are ambiguous -> reject.
+        val idx = dims.map(_._1).map { name =>
+          require(name.matches("x\\d+"),
+            s"headerless CSV needs x<i>-style dimension names, got '$name'")
+          name.drop(1).toInt
         }
-        val schema = StructType(fileOrder.map(StructField(_, LongType)))
+        val schema = StructType((1 to idx.max).map(i => StructField(s"x$i", LongType)))
         spark.read.schema(schema).csv(input)
       }
     val sky = df.skyline(dims, hint)

@@ -131,16 +131,4 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("all partition hints are rejected on streams (chained streaming aggs unsupported)") {
-    val dir = "/root/testdata/sf0.001"
-    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
-    for (h <- Seq[graft.operators.PartitionHint](graft.operators.GridHint(4),
-        graft.operators.DimHint(4), graft.operators.AngleHint(4))) {
-      intercept[IllegalArgumentException] {
-        SkylineStreaming.skylineStream(stream, dims, hint = h)
-      }
-    }
-  }
 }

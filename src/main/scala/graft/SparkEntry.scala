@@ -149,6 +149,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event"))
     }),
+    "q_bigjoin_status" -> ((s, dir) =>
+      // fact-to-fact join (orders x lineitem): the shuffle-join shape AQE
+      // arbitrates between broadcast and sort-merge as scale grows.
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec("l_extendedprice")).cast("double").as("total_price"))),
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"))),
     "q_events_hourly" -> ((s, dir) =>
       // events.ts is TIMESTAMP(NANOS) surfaced as nanos-since-epoch long;
       // bucket by integer hour for an engine-neutral window aggregation.
@@ -379,6 +392,16 @@ object SparkEntry {
           |  FROM s)
           |SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
           |FROM n GROUP BY user_id, session_id""".stripMargin,
+      "q_bigjoin_status" ->
+        """SELECT o_orderstatus, count(*) AS n_lines,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS total_price
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderstatus""".stripMargin,
+      "q_percentile" ->
+        """SELECT l_returnflag,
+          |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+          |  quantile_cont(l_extendedprice, 0.95) AS p95_price
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
       "q_events_hourly" ->
         """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
           |  count(*) AS n_events,

@@ -131,6 +131,24 @@ class SkylineSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL surface: skyline_agg via spark.sql matches the DSL") {
+    graft.operators.GraftFunctions.register(spark)
+    val df = randomDf(1000, 2, seed = 31)
+    df.createOrReplaceTempView("sql_sky_points")
+    val viaSql = spark.sql(
+      """SELECT p[0] AS x1, p[1] AS x2
+        |FROM (SELECT explode(skyline_agg('min,max', x1, x2)) AS p
+        |      FROM sql_sky_points)""".stripMargin)
+      .collect().map(r => Seq(r.getDouble(0), r.getDouble(1))).toSet
+    val viaDsl = df.skyline(Seq("x1" -> Min, "x2" -> Max))
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty)
+    // rejection rules carry over to SQL
+    intercept[Exception] {
+      spark.sql("SELECT skyline_agg('min,avg', x1, x2) FROM sql_sky_points").collect()
+    }
+  }
+
   test("skyline query-string API end-to-end") {
     val df = randomDf(500, 2, seed = 4)
     val a = df.skyline("SKYLINE OF x1 MIN, x2 MAX").collect().map(_.toSeq).toSet

@@ -113,6 +113,43 @@ object SkylineStreaming {
     input.skyline(dims)
   }
 
+  /**
+   * Per-key streaming skylines with custom state
+   * (`KeyValueGroupedDataset.mapGroupsWithState`): each key holds its
+   * running skyline as group state; every micro-batch folds the new
+   * points in with the BNL insert and re-emits the key's refined
+   * skyline (Update output mode). This is the stateful-operator form of
+   * the reference's per-partition local-skyline stage — state size per
+   * key is the skyline itself, the same bound as the batch aggregate.
+   * Numeric dimensions only (state is a plain Seq of points).
+   */
+  def skylineByKeyStream(
+      stream: DataFrame,
+      keyCol: String,
+      dims: Seq[(String, Direction)]): DataFrame = {
+    require(stream.isStreaming, "skylineByKeyStream expects a streaming DataFrame")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val minDir = dims.map(_._2.isMin).toArray
+    val proj = stream
+      .select(col(keyCol).cast("string").as("_k"),
+        array(dims.map { case (n, _) => col(n).cast("double") }: _*).as("_p"))
+      .as[(String, Seq[Double])]
+    proj
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Seq[Double]], (String, Seq[Seq[Double]])](
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val buf = scala.collection.mutable.ArrayBuffer.from(
+          state.getOption.getOrElse(Seq.empty).map(_.toArray))
+        rows.foreach { case (_, p) => graft.core.SkylineCore.insert(buf, p.toArray, minDir) }
+        val out = buf.map(_.toSeq).toSeq
+        state.update(out)
+        (key, out)
+      }
+      .toDF(keyCol, "skyline")
+  }
+
   /** Drain-the-source one-shot run into an in-memory table (the
     * reference's batch_job shape: streaming plan + once-trigger), and
     * return the materialized result. */

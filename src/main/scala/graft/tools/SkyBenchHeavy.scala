@@ -13,10 +13,13 @@ object SkyBenchHeavy {
     val cols = (1 to d).map(i => floor(rand(seed = i) * 1e9).cast("long").as(s"x$i"))
     val df = spark.range(10000000L).select(cols: _*)
     val dims = (1 to d).map(i => s"x$i" -> (Min: graft.core.Direction))
-    for (presort <- Seq(true, false)) {
+    for ((label, run) <- Seq[(String, () => Long)](
+        "angle3" -> (() => df.skyline(dims, hint = graft.operators.AngleHint(3)).count()),
+        "angle2" -> (() => df.skyline(dims, hint = graft.operators.AngleHint(2)).count()),
+        "nohint+presort" -> (() => df.skyline(dims, presort = true).count()))) {
       val t0 = System.nanoTime()
-      val size = df.skyline(dims, presort = presort).count()
-      println(f"[heavy] n=1e7 d=7 presort=$presort ${(System.nanoTime() - t0) / 1e9}%.1f s skyline=$size")
+      val size = run()
+      println(f"[heavy] n=1e7 d=7 $label ${(System.nanoTime() - t0) / 1e9}%.1f s skyline=$size")
     }
     spark.stop()
   }

@@ -92,6 +92,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(Seq(1, 2), Seq(3, 4)))
   }
 
+  test("mapGroupsWithState per-key skylines refine across micro-batches") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-state-in").toFile
+    val ckpt = Files.createTempDirectory("graft-state-ckpt").toFile
+    Files.write(new java.io.File(inDir, "b1.csv").toPath,
+      "a,5,5\na,3,7\nb,1,1\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val pts = SkylineStreaming.fromCsvPayload(raw, "k STRING, x1 INT, x2 INT")
+    val byKey = SkylineStreaming.skylineByKeyStream(pts, "k",
+      Seq("x1" -> Min, "x2" -> Min))
+    val q = byKey.writeStream.format("memory").queryName("state_sky_test")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      def current(): Map[String, Set[Seq[Double]]] =
+        spark.table("state_sky_test").collect()
+          .groupBy(_.getString(0))
+          // update mode appends re-emissions; the latest row per key wins
+          .map { case (k, rows) =>
+            k -> rows.last.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq).toSet
+          }
+      val s1 = current()
+      assert(s1("a") == Set(Seq(5.0, 5.0), Seq(3.0, 7.0)))
+      assert(s1("b") == Set(Seq(1.0, 1.0)))
+
+      // batch 2: (4,4) evicts (5,5) from a's STATE; b unchanged
+      Files.write(new java.io.File(inDir, "b2.csv").toPath, "a,4,4\n".getBytes)
+      q.processAllAvailable()
+      val s2 = current()
+      assert(s2("a") == Set(Seq(4.0, 4.0), Seq(3.0, 7.0)))
+    } finally q.stop()
+  }
+
   test("event-time window + watermark: late data beyond the watermark is dropped") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-wm-in").toFile

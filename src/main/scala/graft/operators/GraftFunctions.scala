@@ -46,7 +46,14 @@ object GraftFunctions {
   }
 
   /** Register graft's SQL functions on the session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    org.apache.spark.sql.graft.FunctionRegistration.registerAggregate(
-      spark, "skyline_agg", buildSkylineAgg)
+  def register(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graft.FunctionRegistration
+    reg.registerAggregate(spark, "skyline_agg", buildSkylineAgg)
+    reg.registerAggregate(spark, "graft_dot",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)))
+    reg.registerAggregate(spark, "graft_squared_norm",
+      exprs => graft.functions.SquaredNorm(exprs.head))
+    reg.registerAggregate(spark, "graft_sorted_intersect_count",
+      exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1)))
+  }
 }

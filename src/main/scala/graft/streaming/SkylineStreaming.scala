@@ -52,11 +52,17 @@ object SkylineStreaming {
   private def structFromDdl(ddl: String) =
     org.apache.spark.sql.types.StructType.fromDDL(ddl)
 
-  /** Encode rows to the reference's JSON sink format
-    * (`batch_job.py:137-141`): each row's point struct as a JSON `value`
-    * payload column, ready for a Kafka (or any payload) sink. */
+  /** Encode rows to a JSON-object-per-row `value` payload column, ready
+    * for a Kafka (or any payload) sink. */
   def toJsonPayload(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Encode a whole point set as ONE JSON array-of-structs payload — the
+    * reference's local-skyline wire format (`batch_job.py:136-141`:
+    * `to_json(collect_list(struct(...)))` per partition key). The
+    * round-trip inverse of [[fromJsonSkylinePayload]]. */
+  def toJsonSkylineArrayPayload(df: DataFrame): DataFrame =
+    df.agg(to_json(collect_list(struct(df.columns.map(col): _*))).as("value"))
 
   /**
    * Kafka source with the reference's exact options

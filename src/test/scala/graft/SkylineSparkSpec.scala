@@ -147,6 +147,11 @@ class SkylineSparkSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT skyline_agg('min,avg', x1, x2) FROM sql_sky_points").collect()
     }
+    // scalar custom expressions are SQL-callable too
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)), " +
+        "graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L))").head()
+    assert(dot.getDouble(0) == 11.0 && dot.getLong(1) == 2L)
   }
 
   test("skyline query-string API end-to-end") {

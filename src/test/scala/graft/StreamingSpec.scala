@@ -84,6 +84,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(json == Set("""{"x1":1,"x2":2}""", """{"x1":3,"x2":4}"""))
   }
 
+  test("array payload round-trip: toJsonSkylineArrayPayload <-> fromJsonSkylinePayload") {
+    import spark.implicits._
+    val pts = Seq((1, 2), (3, 4), (5, 6)).toDF("x1", "x2")
+    val payload = SkylineStreaming.toJsonSkylineArrayPayload(pts)
+    val back = SkylineStreaming.fromJsonSkylinePayload(payload, "x1 INT, x2 INT")
+      .collect().map(_.toSeq).toSet
+    assert(back == Set(Seq(1, 2), Seq(3, 4), Seq(5, 6)))
+  }
+
   test("JSON skyline-relay payload decodes like the reference stage-2 input") {
     import spark.implicits._
     val raw = Seq("""[{"x1":1,"x2":2},{"x1":3,"x2":4}]""").toDF("value")

@@ -1,10 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.StringType
-
-import graft.core.Direction
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /**
  * SQL-surface registration: exposes the skyline aggregate to
@@ -14,15 +12,18 @@ import graft.core.Direction
  * {{{
  *   GraftFunctions.register(spark)
  *   spark.sql("""
- *     SELECT p._1 AS price, p._2 AS discount
+ *     SELECT p[0] AS price, p[1] AS discount
  *     FROM (SELECT explode(skyline_agg('min,min', l_extendedprice, l_discount)) AS p
  *           FROM lineitem)
  *   """)
  * }}}
  *
  * `skyline_agg(<directions literal>, dim1, dim2, ...)` — the first
- * argument is a foldable comma-separated min/max list, one entry per
- * dimension column; returns array<array<double>> (the sorted skyline).
+ * argument is a plain string literal, a comma-separated min/max list
+ * with one entry per dimension column; returns array<array<double>>
+ * (the sorted skyline). Dimensions are cast to double (numeric and
+ * castable types work; rows whose cast yields null are dropped, the
+ * same contract as the DSL path).
  */
 object GraftFunctions {
 
@@ -42,18 +43,28 @@ object GraftFunctions {
     }
     require(minDir.length == exprs.length - 1,
       s"skyline_agg: ${minDir.length} directions for ${exprs.length - 1} dimension columns")
-    SkylineAggExpr(exprs.tail, minDir).toAggregateExpression()
+    // Cast every dimension to double like the DSL path does — without it
+    // an int64 column would ClassCastException inside update() at runtime.
+    SkylineAggExpr(exprs.tail.map(Cast(_, DoubleType)), minDir).toAggregateExpression()
   }
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
+      build(exprs)
+    }
 
   /** Register graft's SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.FunctionRegistration
-    reg.registerAggregate(spark, "skyline_agg", buildSkylineAgg)
-    reg.registerAggregate(spark, "graft_dot",
-      exprs => graft.functions.DotProduct(exprs(0), exprs(1)))
-    reg.registerAggregate(spark, "graft_squared_norm",
-      exprs => graft.functions.SquaredNorm(exprs.head))
-    reg.registerAggregate(spark, "graft_sorted_intersect_count",
-      exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1)))
+    reg.registerFunction(spark, "skyline_agg", buildSkylineAgg)
+    reg.registerFunction(spark, "graft_dot",
+      arity("graft_dot", 2)(exprs => graft.functions.DotProduct(exprs(0), exprs(1))))
+    reg.registerFunction(spark, "graft_squared_norm",
+      arity("graft_squared_norm", 1)(exprs => graft.functions.SquaredNorm(exprs.head)))
+    reg.registerFunction(spark, "graft_sorted_intersect_count",
+      arity("graft_sorted_intersect_count", 2)(
+        exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

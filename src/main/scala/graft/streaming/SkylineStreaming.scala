@@ -61,8 +61,12 @@ object SkylineStreaming {
     * reference's local-skyline wire format (`batch_job.py:136-141`:
     * `to_json(collect_list(struct(...)))` per partition key). The
     * round-trip inverse of [[fromJsonSkylinePayload]]. */
-  def toJsonSkylineArrayPayload(df: DataFrame): DataFrame =
-    df.agg(to_json(collect_list(struct(df.columns.map(col): _*))).as("value"))
+  def toJsonSkylineArrayPayload(df: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val pointCols = df.columns.filterNot(keyCols.contains).map(col).toSeq
+    val payload = to_json(collect_list(struct(pointCols: _*))).as("value")
+    if (keyCols.isEmpty) df.agg(payload) // global form (stage-2 output)
+    else df.groupBy(keyCols.map(col): _*).agg(payload) // per-key (stage-1 output)
+  }
 
   /**
    * Kafka source with the reference's exact options
@@ -138,7 +142,13 @@ object SkylineStreaming {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val minDir = dims.map(_._2.isMin).toArray
+    val keyType = stream.schema(keyCol).dataType
+    // drop rows with null dims — the batch-path contract (the reference
+    // drops rows with missing coords); a null element would also break
+    // the non-null Seq[Double] encoder below.
+    val nonNull = (keyCol +: dims.map(_._1)).map(col(_).isNotNull).reduce(_ && _)
     val proj = stream
+      .filter(nonNull)
       .select(col(keyCol).cast("string").as("_k"),
         array(dims.map { case (n, _) => col(n).cast("double") }: _*).as("_p"))
       .as[(String, Seq[Double])]
@@ -154,6 +164,8 @@ object SkylineStreaming {
         (key, out)
       }
       .toDF(keyCol, "skyline")
+      // the group key travels as string; restore the input column type
+      .withColumn(keyCol, col(keyCol).cast(keyType))
   }
 
   /** Drain-the-source one-shot run into an in-memory table (the

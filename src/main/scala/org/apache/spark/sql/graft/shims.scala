@@ -17,9 +17,9 @@ object ColumnShim {
 }
 
 /** Access shim for the `private[sql]` session function registry, used to
-  * expose graft's aggregates to `spark.sql(...)`. */
+  * expose graft's functions (scalar and aggregate) to `spark.sql(...)`. */
 object FunctionRegistration {
-  def registerAggregate(
+  def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
       builder: Seq[Expression] => Expression): Unit = {

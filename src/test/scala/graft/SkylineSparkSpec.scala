@@ -152,6 +152,15 @@ class SkylineSparkSpec extends AnyFunSuite {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)), " +
         "graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L))").head()
     assert(dot.getDouble(0) == 11.0 && dot.getLong(1) == 2L)
+    // wrong arity fails loudly, not silently
+    intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d), array(1.0d), array(1.0d))").collect()
+    }
+    // integer dimension columns work through the SQL path (cast to double)
+    val ints = spark.sql(
+      """SELECT explode(skyline_agg('min,min', CAST(x1 AS BIGINT), CAST(x2 AS BIGINT)))
+        |FROM sql_sky_points""".stripMargin).collect()
+    assert(ints.nonEmpty)
   }
 
   test("skyline query-string API end-to-end") {

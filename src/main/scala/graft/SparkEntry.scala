@@ -202,6 +202,8 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
@@ -286,6 +288,20 @@ object SparkEntry {
     val langCase = scoreExprs
       .map { case (lang, e) => s"WHEN $e = best AND best > 0 THEN '$lang'" }
       .mkString("CASE ", " ", " ELSE 'und' END")
+
+    // exact word-trigram Jaccard pair CTEs, shared by dedup_jaccard and
+    // dedup_cluster ('good' = qualifying pairs at threshold 0.5)
+    val jaccardCtes =
+      s"""t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
+         |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM tt),
+         |sz AS (SELECT doc_id, len(sh) AS sz FROM tt),
+         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::DOUBLE AS inter
+         |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |good AS (SELECT id1, id2, inter / (s1.sz + s2.sz - inter) AS jaccard
+         |         FROM pairs JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         |         WHERE inter / (s1.sz + s2.sz - inter) >= 0.5)""".stripMargin
 
     // exact dot product over unnested positions, double math
     val dotPairs =
@@ -442,16 +458,21 @@ object SparkEntry {
       "dedup_exact" ->
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
       "dedup_jaccard" ->
-        s"""WITH t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
-           |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
-           |ex AS (SELECT doc_id, unnest(sh) AS s FROM tt),
-           |sz AS (SELECT doc_id, len(sh) AS sz FROM tt),
-           |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::DOUBLE AS inter
-           |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-           |          GROUP BY 1, 2)
-           |SELECT id1, id2, inter / (s1.sz + s2.sz - inter) AS jaccard
-           |FROM pairs JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-           |WHERE inter / (s1.sz + s2.sz - inter) >= 0.5""".stripMargin,
+        s"""WITH $jaccardCtes
+           |SELECT id1, id2, jaccard FROM good""".stripMargin,
+      "dedup_cluster" ->
+        // connected components over the qualifying pair graph via a
+        // recursive reachability CTE; cluster id = min reachable doc id.
+        s"""WITH RECURSIVE $jaccardCtes,
+           |edges AS (SELECT id1 AS a, id2 AS b FROM good
+           |          UNION ALL SELECT id2, id1 FROM good),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           |SELECT d.doc_id AS id,
+           |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+           |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |GROUP BY d.doc_id""".stripMargin,
 
       "ann_topk" ->
         s"""$dotPairs,

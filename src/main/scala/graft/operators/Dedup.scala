@@ -107,6 +107,49 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate CLUSTERS: connected components over the verified
+   * near-dup pair graph, labeling every document with the smallest
+   * doc id reachable from it — the canonical survivor of its cluster.
+   * Output: (id, cluster_id); documents with no near-dup form singleton
+   * clusters (cluster_id = own id).
+   *
+   * Components are computed by iterative min-label propagation as
+   * DataFrame jobs (each round: every node adopts the minimum label in
+   * its neighborhood) — the standard large-graph connected-components
+   * shape; rounds needed = graph diameter, and near-dup clusters are
+   * shallow. Converges by a driver-checked fixpoint with a small round
+   * cap.
+   */
+  def clusters(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxRounds: Int = 10): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold).select("id1", "id2")
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .withColumnRenamed("id1", "src").withColumnRenamed("id2", "dst")
+      .cache()
+    var labels = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /**
    * MinHash + banded LSH near-duplicate pairs: `numPerm` min-hash values
    * per document (xxhash64 with per-permutation seeds over the shingle
    * set), grouped into `bands` bands; documents sharing any band bucket

@@ -75,6 +75,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall unexpectedly low: $recall")
   }
 
+  test("near-dup clusters: transitive chains collapse to one component") {
+    import spark.implicits._
+    // a~b and b~c are near-dups (high trigram overlap) but a~c alone is
+    // weaker — the cluster must still unite all three transitively.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val ab = base + " endone endtwo"
+    val bc = base + " endtwo endthree"
+    val df = Seq(
+      (10L, ab), (20L, bc), (30L, base + " endthree endfour"),
+      (99L, (100 to 130).map(i => s"z$i").mkString(" "))) // unrelated singleton
+      .toDF("doc_id", "text")
+    val got = Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(10L) == 10L && got(20L) == 10L && got(30L) == 10L,
+      s"chain should collapse to min id: $got")
+    assert(got(99L) == 99L)
+  }
+
   test("canonical fingerprint dedup collapses word-order permutations") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta"))

@@ -135,14 +135,21 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(msgs, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      // one cached join serves both the convergence test and the update
+      val joined = labels.join(msgs, Seq("id"), "left").cache()
+      val changed = joined.filter(col("nbr_min") < col("label")).limit(1).count()
+      if (changed == 0) {
+        joined.unpersist()
+        converged = true
+      } else {
+        val next = joined
+          .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .cache()
+        next.count() // materialize before dropping parents
+        labels.unpersist()
+        joined.unpersist()
+        labels = next
+      }
       round += 1
     }
     edges.unpersist()

@@ -86,7 +86,9 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val docs = shingledHashed(df, idCol, textCol, n)
+    // the shingled table feeds three plan branches (inverted index +
+    // both verify sides); cache it rather than re-shingling per branch
+    val docs = shingledHashed(df, idCol, textCol, n).cache()
     val ex = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = ex.join(freq, "s")
@@ -170,7 +172,7 @@ object Dedup {
       n: Int, threshold: Double, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
-    val docs = shingledHashed(df, idCol, textCol, n)
+    val docs = shingledHashed(df, idCol, textCol, n).cache()
     val ex = docs.select(col("id"), explode(col("sh")).as("s"))
     val mh = ex.groupBy("id").agg(
       array((0 until numPerm).map(i => min(xxhash64(lit(i), col("s")))): _*).as("mh"))

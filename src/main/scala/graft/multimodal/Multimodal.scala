@@ -69,6 +69,28 @@ object Multimodal {
       .mapPartitions { batch => batch.map { case (id, bytes) => decodeStub(id, bytes) } }
   }
 
+  /**
+   * Frame-sampling plan for video payloads (STUB codec, real dataflow):
+   * derive a deterministic fake duration from the payload size, then
+   * emit one row per sampled frame at `everyNthSec` spacing — the
+   * explode-shaped output a real decoder (ffmpeg via JNI) would produce,
+   * with frames staying distributed (never collected).
+   */
+  def frameSamplePlan(media: DataFrame, everyNthSec: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        // real impl: ffprobe duration + frame grab — unavailable here: ???
+        val durationSec = 1 + (bytes.length % 120) // fake: up to 2 minutes
+        (0 until durationSec by everyNthSec).map { t =>
+          (id, t, durationSec, s"frame_${id}_$t") // handle, not pixels
+        }
+      }
+      .toDF("doc_id", "frame_ts_sec", "duration_sec", "frame_ref")
+  }
+
   /** Resize step stub: recompute target dims preserving aspect ratio —
     * pure metadata arithmetic here; a real impl transforms pixels. */
   def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame =

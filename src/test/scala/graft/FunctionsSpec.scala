@@ -78,6 +78,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("multimodal frame sampling: one row per sampled frame, deterministic") {
+    import spark.implicits._
+    val docs = Seq((7L, "x" * 130)).toDF("doc_id", "text") // 130 bytes -> 11s fake duration
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.frameSamplePlan(media, everyNthSec = 5).collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 5, 10))
+    assert(frames.forall(_.getInt(2) == 11))
+    assert(frames.head.getString(3) == "frame_7_0")
+  }
+
   test("multimodal decode: deterministic stub metadata through mapPartitions") {
     import spark.implicits._
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")

@@ -77,6 +77,7 @@ object Multimodal {
    * with frames staying distributed (never collected).
    */
   def frameSamplePlan(media: DataFrame, everyNthSec: Int): DataFrame = {
+    require(everyNthSec > 0, s"everyNthSec must be positive, got $everyNthSec")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("content"))

@@ -124,13 +124,16 @@ object Dedup {
    */
   def clusters(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxRounds: Int = 10): DataFrame = {
+      n: Int, threshold: Double, maxRounds: Int = 20): DataFrame = {
     val pairs = jaccardPairs(df, idCol, textCol, n, threshold).select("id1", "id2")
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .withColumnRenamed("id1", "src").withColumnRenamed("id2", "dst")
       .cache()
-    var labels = df.select(col(idCol).cast("long").as("id"))
+    // Iterate ONLY over edge-incident nodes — near-dups are typically a
+    // small fraction of the corpus, so per-round cost follows the pair
+    // graph, not the corpus. Singletons join back at the end.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var converged = false
     var round = 0
@@ -154,8 +157,16 @@ object Dedup {
       }
       round += 1
     }
+    // A silent wrong answer is worse than an error: labels are only valid
+    // at the fixpoint (each round propagates the min one hop, so rounds
+    // needed = component diameter).
+    require(converged,
+      s"connected components did not converge within $maxRounds rounds " +
+        "(component diameter exceeds the cap); raise maxRounds")
     edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /**

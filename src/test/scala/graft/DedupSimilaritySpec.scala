@@ -75,22 +75,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall unexpectedly low: $recall")
   }
 
-  test("near-dup clusters: transitive chains collapse to one component") {
+  test("near-dup clusters: genuinely transitive chains collapse to one component") {
     import spark.implicits._
-    // a~b and b~c are near-dups (high trigram overlap) but a~c alone is
-    // weaker — the cluster must still unite all three transitively.
-    val base = (1 to 30).map(i => s"w$i").mkString(" ")
-    val ab = base + " endone endtwo"
-    val bc = base + " endtwo endthree"
-    val df = Seq(
-      (10L, ab), (20L, bc), (30L, base + " endthree endfour"),
-      (99L, (100 to 130).map(i => s"z$i").mkString(" "))) // unrelated singleton
+    // doc_i = block_i ++ block_{i+1}: ADJACENT docs share one 30-word
+    // block (trigram J ~= 0.33); docs two or more hops apart share
+    // nothing (J = 0). Only the chain's transitive closure unites them.
+    def block(b: Int) = (1 to 30).map(i => s"b${b}w$i").mkString(" ")
+    val docs = (0 until 4).map(i => ((i + 1) * 10L, block(i) + " " + block(i + 1)))
+    val df = (docs :+ (99L, (100 to 130).map(i => s"z$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val got = Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.5)
+    // sanity: adjacent pairs qualify at 0.3, non-adjacent pairs do not
+    val pairSet = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((10L, 20L), (20L, 30L), (30L, 40L)), s"pairs: $pairSet")
+    val got = Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got(10L) == 10L && got(20L) == 10L && got(30L) == 10L,
+    assert(Seq(10L, 20L, 30L, 40L).forall(got(_) == 10L),
       s"chain should collapse to min id: $got")
     assert(got(99L) == 99L)
+  }
+
+  test("clusters fails loudly when the round cap is below the chain diameter") {
+    import spark.implicits._
+    def block(b: Int) = (1 to 30).map(i => s"b${b}w$i").mkString(" ")
+    val docs = (0 until 5).map(i => ((i + 1) * 10L, block(i) + " " + block(i + 1)))
+    val df = docs.toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.3, maxRounds = 1).collect()
+    }
   }
 
   test("canonical fingerprint dedup collapses word-order permutations") {

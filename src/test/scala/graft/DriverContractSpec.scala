@@ -20,7 +20,7 @@ class DriverContractSpec extends AnyFunSuite {
   test("all queries execute at sf0.001 (schema + plan sanity, count >= 0)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(150)}") }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(150)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

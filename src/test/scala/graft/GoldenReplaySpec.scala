@@ -45,6 +45,22 @@ class GoldenReplaySpec extends AnyFunSuite {
     }.toMap
   }
 
+  test("D=3 reference corpus: Spark engine agrees with the pure-Scala core") {
+    // no golden output exists for D=3 ("Too big to paste here") — gate the
+    // distributed path against the independently-tested pure core instead.
+    val schema = StructType(Seq("x1", "x2", "x3").map(StructField(_, LongType)))
+    val df = spark.read.schema(schema)
+      .csv("/root/reference/data/points_D_3_N_100_000.csv").cache()
+    val got = df.skyline(Seq("x1" -> Min, "x2" -> Min, "x3" -> Min))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = df.collect().map(r =>
+      Array(r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val want = graft.core.SkylineCore.skylineOf(pts, Array(true, true, true))
+      .map(_.map(_.toLong).toSeq).toSet
+    df.unpersist()
+    assert(got == want && got.nonEmpty)
+  }
+
   test("replay reference golden skylines on points_D_2_N_100_000.csv") {
     val cases = goldenCases("points_D_2_N_100_000.csv")
     assert(cases.size == 4, s"expected 4 golden direction combos, parsed: ${cases.keys}")

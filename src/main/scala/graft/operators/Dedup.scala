@@ -124,8 +124,38 @@ object Dedup {
    */
   def clusters(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxRounds: Int = 20): DataFrame = {
+      n: Int, threshold: Double, maxRounds: Int = 20,
+      driverMaxEdges: Int = 1000000): DataFrame = {
     val pairs = jaccardPairs(df, idCol, textCol, n, threshold).select("id1", "id2")
+
+    // Hybrid strategy, like broadcast-join thresholding: the verified
+    // pair graph is typically orders of magnitude smaller than the
+    // corpus, so when it fits comfortably on the driver, a union-find
+    // there replaces several distributed iteration jobs; past the
+    // threshold, fall back to min-label propagation.
+    val sample = pairs.limit(driverMaxEdges + 1).collect()
+    if (sample.length <= driverMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      sample.foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val labelMap = parent.keys.map(k => k -> find(k)).toSeq
+      val spark = df.sparkSession
+      import spark.implicits._
+      val labelDf = labelMap.toDF("id", "label")
+      return df.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+    }
+
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .withColumnRenamed("id1", "src").withColumnRenamed("id2", "dst")

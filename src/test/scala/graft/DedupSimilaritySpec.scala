@@ -88,20 +88,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val pairSet = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairSet == Set((10L, 20L), (20L, 30L), (30L, 40L)), s"pairs: $pairSet")
-    val got = Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(Seq(10L, 20L, 30L, 40L).forall(got(_) == 10L),
-      s"chain should collapse to min id: $got")
-    assert(got(99L) == 99L)
+    // both strategies must agree: driver union-find and distributed
+    // min-label propagation (forced via driverMaxEdges = 0)
+    for (driverMax <- Seq(1000000, 0)) {
+      val got = Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.3,
+        driverMaxEdges = driverMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(Seq(10L, 20L, 30L, 40L).forall(got(_) == 10L),
+        s"chain should collapse to min id (driverMax=$driverMax): $got")
+      assert(got(99L) == 99L)
+    }
   }
 
-  test("clusters fails loudly when the round cap is below the chain diameter") {
+  test("distributed clusters path fails loudly when the round cap is below the diameter") {
     import spark.implicits._
     def block(b: Int) = (1 to 30).map(i => s"b${b}w$i").mkString(" ")
     val docs = (0 until 5).map(i => ((i + 1) * 10L, block(i) + " " + block(i + 1)))
     val df = docs.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
-      Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.3, maxRounds = 1).collect()
+      Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.3,
+        maxRounds = 1, driverMaxEdges = 0).collect()
     }
   }
 

@@ -53,6 +53,13 @@ object SparkEntry {
       t(s, dir, "orders")
         .select(col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
         .skyline(Seq("o_date" -> Min, "o_totalprice" -> Max))),
+    "sky_by_segment" -> ((s, dir) =>
+      // per-group skylines: one price/date Pareto frontier per market
+      // segment (keyed aggregate of the same native skyline).
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .skylineBy(Seq("c_mktsegment"),
+          Seq("o_totalprice" -> Max, "o_orderdate" -> Min))),
     // Partitioning-scheme hints (MR_DIM / MR_GRID / MR_ANGLE): same result
     // as sky_li_2d by the partitioning-invariance property — same oracle.
     "sky_hint_dim" -> ((s, dir) =>
@@ -384,6 +391,18 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
           |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "sky_by_segment" ->
+        // the 2-D window sweep, partitioned per group key
+        """WITH j AS (SELECT c_mktsegment, o_totalprice, o_orderdate
+          |           FROM orders JOIN customer ON o_custkey = c_custkey),
+          |d AS (SELECT DISTINCT c_mktsegment, o_totalprice, o_orderdate FROM j),
+          |m AS (SELECT c_mktsegment, o_totalprice, o_orderdate,
+          |        min(o_orderdate) OVER (PARTITION BY c_mktsegment
+          |          ORDER BY o_totalprice DESC, o_orderdate ASC
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+          |      FROM d)
+          |SELECT c_mktsegment, o_totalprice, o_orderdate FROM m
+          |WHERE prev IS NULL OR o_orderdate < prev""".stripMargin,
       "sky_orders_date" -> sky2d(
         "(SELECT CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders)",
         "o_date", "o_totalprice", min1 = true, min2 = false),

@@ -72,6 +72,34 @@ object SkylineOps {
 
     def skyline(query: String): DataFrame = skyline(SkylineQuery.parse(query))
 
+    /**
+     * Per-group skylines: one Pareto frontier per distinct key tuple
+     * (e.g. the price/quality frontier per product category). Composes
+     * the same native aggregate with groupBy — partial aggregation
+     * computes per-task per-group local skylines, the shuffle carries
+     * only (key, skyline-buffer) pairs.
+     */
+    def skylineBy(keyCols: Seq[String], dims: Seq[(String, Direction)]): DataFrame = {
+      require(dims.nonEmpty, "empty dimension list")
+      require(keyCols.nonEmpty, "skylineBy needs at least one key column (use skyline otherwise)")
+      val schema = df.schema
+      val types = dims.map { case (name, _) => schema(name).dataType }
+      val minDir = dims.map(_._2.isMin).toArray
+      val fwd = dims.zip(types).map { case ((name, _), dt) => toDouble(col(name), dt) }
+      val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
+      val pts = df.filter(nonNull).select(
+        keyCols.map(col) ++ fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+      val skyCol = ColumnShim.column(SkylineAggExpr(
+        dims.indices.map(i => ColumnShim.expression(col(s"_d$i"))), minDir)
+        .toAggregateExpression())
+      pts.groupBy(keyCols.map(col): _*)
+        .agg(skyCol.as("_sky"))
+        .select(keyCols.map(col) :+ explode(col("_sky")).as("_pt"): _*)
+        .select(keyCols.map(col) ++ dims.zip(types).zipWithIndex.map {
+          case (((name, _), dt), i) => fromDouble(element_at(col("_pt"), i + 1), dt).as(name)
+        }: _*)
+    }
+
     def skyline(query: String, hint: PartitionHint): DataFrame =
       skyline(SkylineQuery.parse(query), hint)
 

@@ -86,6 +86,17 @@ class SkylineSparkSpec extends AnyFunSuite {
     assert(outPairs.nonEmpty && outPairs.subsetOf(inPairs))
   }
 
+  test("skylineBy computes an independent frontier per group") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1.0, 5.0), ("g1", 2.0, 2.0), ("g1", 3.0, 3.0), // (3,3) dominated
+      ("g2", 9.0, 9.0) // dominated globally but alone in its group
+    ).toDF("g", "x1", "x2")
+    val got = df.skylineBy(Seq("g"), Seq("x1" -> Min, "x2" -> Min))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set(("g1", 1.0, 5.0), ("g1", 2.0, 2.0), ("g2", 9.0, 9.0)))
+  }
+
   test("udaf-based SkylineAggregator agrees with the native SkylineAggExpr path") {
     import org.apache.spark.sql.functions.{array, col, explode, udaf}
     val df = randomDf(2000, 2, seed = 21)

@@ -126,7 +126,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxRounds: Int = 20,
       driverMaxEdges: Int = 1000000): DataFrame = {
-    val pairs = jaccardPairs(df, idCol, textCol, n, threshold).select("id1", "id2")
+    // ids normalized to long up front (the union-find reads longs; the
+    // distributed path would otherwise rely on join-side coercions).
+    // Cached: the threshold probe below and BOTH strategies reuse the
+    // verified pairs, and the jaccard pipeline is the expensive part.
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold)
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
+      .cache()
 
     // Hybrid strategy, like broadcast-join thresholding: the verified
     // pair graph is typically orders of magnitude smaller than the
@@ -151,6 +157,7 @@ object Dedup {
       val spark = df.sparkSession
       import spark.implicits._
       val labelDf = labelMap.toDF("id", "label")
+      pairs.unpersist()
       return df.select(col(idCol).cast("long").as("id"))
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
@@ -194,6 +201,7 @@ object Dedup {
       s"connected components did not converge within $maxRounds rounds " +
         "(component diameter exceeds the cap); raise maxRounds")
     edges.unpersist()
+    pairs.unpersist()
     df.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))

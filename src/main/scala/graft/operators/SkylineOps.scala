@@ -82,6 +82,10 @@ object SkylineOps {
     def skylineBy(keyCols: Seq[String], dims: Seq[(String, Direction)]): DataFrame = {
       require(dims.nonEmpty, "empty dimension list")
       require(keyCols.nonEmpty, "skylineBy needs at least one key column (use skyline otherwise)")
+      val overlap = keyCols.toSet.intersect(dims.map(_._1).toSet)
+      require(overlap.isEmpty, s"key and dimension columns overlap: $overlap")
+      val reserved = keyCols.filter(k => k.startsWith("_d") || k == "_sky" || k == "_pt")
+      require(reserved.isEmpty, s"key column names collide with internal aliases: $reserved")
       val schema = df.schema
       val types = dims.map { case (name, _) => schema(name).dataType }
       val minDir = dims.map(_._2.isMin).toArray

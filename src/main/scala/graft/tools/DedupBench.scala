@@ -17,6 +17,7 @@ import graft.operators.Dedup
 object DedupBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
+    require(n >= 100, s"need n >= 100 so near-dups get planted, got $n")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -34,14 +35,16 @@ object DedupBench {
       when(col("is_dup"), concat(col("body"), lit(" extratoken"))).otherwise(col("body")).as("text"))
 
     val t0 = System.nanoTime()
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    // cache so the recall count below reuses the materialized pairs
+    // (and the printed time covers all executed work)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).cache()
     val found = pairs.count()
-    val dt = (System.nanoTime() - t0) / 1e9
     val planted = n / 100
-    // planted pair = (100k-1, 100k); anything else the generator collided on is fine
+    // planted pair = (100k+98, 100k+99) for each block k
     val recallHits = pairs
       .filter(col("id2") === col("id1") + 1 && col("id2") % 100 === 99)
       .count()
+    val dt = (System.nanoTime() - t0) / 1e9
     println(f"[dedupbench] n=$n%8d minhash pairs=$found planted=$planted " +
       f"recall=${recallHits.toDouble / planted}%.3f time=${dt}%.1f s")
     spark.stop()

@@ -42,16 +42,36 @@ class SkylineSparkSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("all partition hints produce the identical skyline") {
-    val df = randomDf(3000, 2, seed = 2).cache()
-    val dims = Seq("x1" -> Min, "x2" -> Min)
-    def result(h: PartitionHint) =
-      df.skyline(dims, hint = h).collect().map(_.toSeq).toSet
-    val base = result(NoHint)
-    assert(result(DimHint(8)) == base)
-    assert(result(GridHint(3)) == base)
-    assert(result(AngleHint(5)) == base)
-    df.unpersist()
+  test("all partition hints produce the identical skyline (multiple seeds)") {
+    for (seed <- Seq(2L, 17L, 41L)) {
+      val df = randomDf(3000, 2, seed).cache()
+      val dims = Seq("x1" -> Min, "x2" -> Min)
+      def result(h: PartitionHint) =
+        df.skyline(dims, hint = h).collect().map(_.toSeq).toSet
+      val base = result(NoHint)
+      assert(result(DimHint(8)) == base, s"DimHint seed=$seed")
+      assert(result(GridHint(3)) == base, s"GridHint seed=$seed")
+      assert(result(AngleHint(5)) == base, s"AngleHint seed=$seed")
+      assert(df.skyline(dims, presort = true).collect().map(_.toSeq).toSet == base,
+        s"presort seed=$seed")
+      df.unpersist()
+    }
+  }
+
+  test("skyline_agg composes with SQL GROUP BY (per-group frontiers in pure SQL)") {
+    import spark.implicits._
+    graft.operators.GraftFunctions.register(spark)
+    val df = Seq(("g1", 1.0, 5.0), ("g1", 2.0, 2.0), ("g1", 3.0, 3.0), ("g2", 9.0, 9.0))
+      .toDF("g", "x1", "x2")
+    df.createOrReplaceTempView("sql_group_sky")
+    val viaSql = spark.sql(
+      """SELECT g, p[0] AS x1, p[1] AS x2 FROM (
+        |  SELECT g, explode(skyline_agg('min,min', x1, x2)) AS p
+        |  FROM sql_group_sky GROUP BY g)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val viaDsl = df.skylineBy(Seq("g"), Seq("x1" -> Min, "x2" -> Min))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(viaSql == viaDsl)
   }
 
   test("MAX directions and mixed directions") {

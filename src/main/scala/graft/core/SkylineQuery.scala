@@ -20,9 +20,12 @@ object SkylineQuery {
 
   def parse(query: String): Seq[(String, Direction)] = {
     val t = query.trim
-    val lower = t.toLowerCase
-    require(lower.startsWith("skyline of"), s"query must start with 'SKYLINE OF': $query")
-    val body = t.drop("skyline of".length).trim
+    // Word-boundary prefix match: "SKYLINE OFprice MIN" must not parse as
+    // a query on 'price'. Whitespace between/after the keywords may vary.
+    val prefix = "^(?i)skyline\\s+of\\s+".r
+    val m = prefix.findFirstMatchIn(t).getOrElse(
+      throw new IllegalArgumentException(s"query must start with 'SKYLINE OF': $query"))
+    val body = t.drop(m.end).trim
     require(body.nonEmpty, "empty dimension list")
     val dims = body.split(",").toSeq.map { part =>
       val toks = part.trim.split("\\s+")

@@ -51,6 +51,18 @@ object Dedup {
       .select(col("id"),
         array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("sh"))
 
+  /** Materialize `out` (persisted) while the upstream `handles` caches are
+    * live, then release the handles: repeated pair-finder calls in a
+    * long-lived session must not accumulate cached shingle tables. The
+    * returned result stays persisted (it is the tiny qualifying-pair set);
+    * callers that loop should `unpersist()` it when done. */
+  private def materializeThenRelease(out: DataFrame, handles: DataFrame*): DataFrame = {
+    val cached = out.persist()
+    cached.count()
+    handles.foreach(_.unpersist(blocking = false))
+    cached
+  }
+
   /** Exact-Jaccard verification of candidate (id1, id2) pairs. */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val d1 = docs.select(col("id").as("id1"), col("sh").as("sh1"))
@@ -105,7 +117,7 @@ object Dedup {
           col("a.sz") >= ceil(lit(threshold) * col("b.sz")) &&
           col("b.sz") >= ceil(lit(threshold) * col("a.sz")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    verifyJaccard(cands, docs, threshold)
+    materializeThenRelease(verifyJaccard(cands, docs, threshold), docs)
   }
 
   /**
@@ -126,13 +138,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxRounds: Int = 20,
       driverMaxEdges: Int = 1000000): DataFrame = {
-    // ids normalized to long up front (the union-find reads longs; the
-    // distributed path would otherwise rely on join-side coercions).
-    // Cached: the threshold probe below and BOTH strategies reuse the
-    // verified pairs, and the jaccard pipeline is the expensive part.
-    val pairs = jaccardPairs(df, idCol, textCol, n, threshold)
+    // jaccardPairs returns the verified pair set already materialized and
+    // persisted; the long cast on top of that cache is a cheap projection,
+    // so no second cache layer. ids normalized to long up front (the
+    // union-find reads longs; the distributed path would otherwise rely
+    // on join-side coercions).
+    val rawPairs = jaccardPairs(df, idCol, textCol, n, threshold)
+    val pairs = rawPairs
       .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
-      .cache()
 
     // Hybrid strategy, like broadcast-join thresholding: the verified
     // pair graph is typically orders of magnitude smaller than the
@@ -157,7 +170,7 @@ object Dedup {
       val spark = df.sparkSession
       import spark.implicits._
       val labelDf = labelMap.toDF("id", "label")
-      pairs.unpersist()
+      rawPairs.unpersist()
       return df.select(col(idCol).cast("long").as("id"))
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
@@ -201,7 +214,7 @@ object Dedup {
       s"connected components did not converge within $maxRounds rounds " +
         "(component diameter exceeds the cap); raise maxRounds")
     edges.unpersist()
-    pairs.unpersist()
+    rawPairs.unpersist()
     df.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
@@ -232,7 +245,7 @@ object Dedup {
     val cands = buckets.as("a").join(buckets.as("b"), Seq("band", "bh"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    verifyJaccard(cands, docs, threshold)
+    materializeThenRelease(verifyJaccard(cands, docs, threshold), docs)
   }
 
   /**

@@ -138,9 +138,12 @@ object Similarity {
         struct(dist2(vec, c).as("d"), lit(i).as("i"))
       }: _*)).getField("i")
 
-    // deterministic init: the nlist lowest-id vectors
+    // deterministic init: the nlist lowest-id vectors. A corpus smaller
+    // than nlist yields fewer centroids — every loop below runs over
+    // centroids.length, never the requested nlist.
     var centroids: Array[Array[Double]] = data.orderBy("id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "ivfTopK: empty corpus")
 
     for (_ <- 1 to iters) {
       val assigned = data.withColumn("c", assignExpr(col("v"), centroids))
@@ -159,11 +162,17 @@ object Similarity {
       centroids = updated
     }
 
+    // Training is over (the collect loops above materialized the cache);
+    // release it so repeated calls in a long-lived session don't pin
+    // blocks. The final probe job below recomputes `data` from source —
+    // one extra scan, no leak.
+    data.unpersist(blocking = false)
+
     val indexed = data.withColumn("c", assignExpr(col("v"), centroids))
     // nprobe nearest cells per query (by centroid distance)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val probed = q.withColumn("c", explode(array(
-      (0 until nlist).map(i => struct(dist2(col("qv"), centroids(i)).as("d"), lit(i).as("i"))): _*)))
+      centroids.indices.map(i => struct(dist2(col("qv"), centroids(i)).as("d"), lit(i).as("i"))): _*)))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("c.d").asc, col("c.i").asc)))
       .filter(col("pr") <= nprobe)

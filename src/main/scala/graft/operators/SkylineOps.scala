@@ -64,8 +64,13 @@ object SkylineOps {
     * kept-key enumeration for the grid prune matches the runtime keys. */
   private def dimKeyExpr(p: Int, lo: Double, hi: Double, x: Column): Column = {
     val range = (hi - lo) / p
+    // Clamp in DOUBLE before the Int cast (matches SkylineCore.dimKey's
+    // clamp-before-truncate): with caller-supplied bounds that under-cover
+    // the data, floor((x-lo)/range) can sit far outside Int range and the
+    // bare cast would throw under ANSI mode (or wrap with ANSI off).
     when(x >= lit(hi), lit(p - 1))
-      .otherwise(least(greatest(floor((x - lit(lo)) / lit(range)).cast(IntegerType), lit(0)), lit(p - 1)))
+      .otherwise(least(greatest(floor((x - lit(lo)) / lit(range)), lit(0.0)), lit((p - 1).toDouble))
+        .cast(IntegerType))
   }
 
   implicit class DataFrameSkyline(val df: DataFrame) {

@@ -143,6 +143,18 @@ object SkylineStreaming {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val minDir = dims.map(_._2.isMin).toArray
     val keyType = stream.schema(keyCol).dataType
+    // The group key travels as its string form and is cast back at the
+    // end; that round-trip is only lossless for strings and integrals.
+    // Float/double keys can collapse distinct values and timestamp keys
+    // shift with the session time zone — reject them loudly.
+    keyType match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"skylineByKeyStream key column '$keyCol' has type $other; " +
+          "only string and integral key types round-trip losslessly through the group key")
+    }
     // drop rows with null dims — the batch-path contract (the reference
     // drops rows with missing coords); a null element would also break
     // the non-null Seq[Double] encoder below.

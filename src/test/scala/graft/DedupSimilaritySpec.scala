@@ -75,6 +75,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall unexpectedly low: $recall")
   }
 
+  test("IVF survives a corpus smaller than nlist (fewer centroids than requested)") {
+    val tiny = embs.filter(col("vec_id") < 5) // 5 vectors, nlist = 16
+    val queries = tiny.filter(col("vec_id") < 2)
+    val ivf = Similarity.ivfTopK(tiny, queries, "vec_id", "embedding",
+      k = 3, dim = 64, nlist = 16, nprobe = 16, iters = 2)
+    val exact = Similarity.topK(tiny, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(ivf.select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet == exact)
+  }
+
   test("near-dup clusters: genuinely transitive chains collapse to one component") {
     import spark.implicits._
     // doc_i = block_i ++ block_{i+1}: ADJACENT docs share one 30-word

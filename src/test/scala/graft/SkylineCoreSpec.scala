@@ -175,5 +175,13 @@ class SkylineCoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SkylineQuery.parse("SELECT * FROM t"))
     intercept[IllegalArgumentException](SkylineQuery.parse("SKYLINE OF x1 AVG"))
     intercept[IllegalArgumentException](SkylineQuery.parse("SKYLINE OF x1"))
+    // keyword prefix needs a word boundary: OFprice is not OF price
+    intercept[IllegalArgumentException](SkylineQuery.parse("SKYLINE OFprice MIN"))
+    intercept[IllegalArgumentException](SkylineQuery.parse("SKYLINEOF price MIN"))
+  }
+
+  test("parser tolerates repeated whitespace between keywords") {
+    assert(SkylineQuery.parse("SKYLINE  OF\t price MIN") ==
+      Seq("price" -> Direction.Min))
   }
 }

@@ -58,6 +58,22 @@ class SkylineSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("under-covering explicit bounds stay correct and don't overflow the key cast") {
+    import spark.implicits._
+    // data far outside the declared [0, 1] bounds on both sides; the raw
+    // floor((x-lo)/range) lands way past Int range and must be clamped in
+    // double BEFORE the Int cast (ANSI mode would otherwise throw)
+    val df = Seq((-1.0e12, 5.0), (0.5, 0.5), (2.0e12, -3.0e11), (0.2, 0.9))
+      .toDF("x1", "x2")
+    val dims = Seq("x1" -> Min, "x2" -> Min)
+    val base = df.skyline(dims).collect().map(_.toSeq).toSet
+    val tight = Some(Seq((0.0, 1.0), (0.0, 1.0)))
+    assert(df.skyline(dims, hint = DimHint(4), bounds = tight)
+      .collect().map(_.toSeq).toSet == base)
+    assert(df.skyline(dims, hint = GridHint(3), bounds = tight)
+      .collect().map(_.toSeq).toSet == base)
+  }
+
   test("skyline_agg composes with SQL GROUP BY (per-group frontiers in pure SQL)") {
     import spark.implicits._
     graft.operators.GraftFunctions.register(spark)

@@ -136,6 +136,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("skylineByKeyStream rejects key types that don't round-trip through string") {
+    val inDir = Files.createTempDirectory("graft-keytype-in").toFile
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    // double key: "1.0" and "1.00" would collapse / shift through the cast
+    val pts = SkylineStreaming.fromCsvPayload(raw, "k DOUBLE, x1 INT, x2 INT")
+    val ex = intercept[IllegalArgumentException] {
+      SkylineStreaming.skylineByKeyStream(pts, "k", Seq("x1" -> Min, "x2" -> Min))
+    }
+    assert(ex.getMessage.contains("round-trip"))
+  }
+
   test("event-time window + watermark: late data beyond the watermark is dropped") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-wm-in").toFile

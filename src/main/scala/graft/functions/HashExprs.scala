@@ -1,0 +1,334 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types._
+
+/**
+ * Fused hash/sketch kernels for the dedup and similarity operators.
+ *
+ * The direct DataFrame formulations of MinHash / SimHash / hyperplane-LSH
+ * need one aggregate or signature sub-expression PER permutation/bit —
+ * 64-wide expression trees that (a) explode the whole-stage-codegen unit
+ * (multi-second janino compiles per query) and (b) for the hash sketches
+ * force an explode + wide groupBy shuffle. Each kernel below is a single
+ * unary expression evaluating the whole sketch in one tight primitive
+ * loop per row: map-side only, tiny codegen unit, no shuffle at all.
+ *
+ * Hash compatibility: [[MinHashSignature]] reproduces the built-in
+ * `xxhash64(lit(i), s)` chain bit-for-bit (seed 42, then each child value
+ * hashed with the running result as seed — see Spark's XxHash64), and
+ * [[SimHash64]] reproduces `xxhash64(token)`; the fused kernels are
+ * drop-in equal to the expression trees they replace.
+ */
+private[graft] trait ArrayKernel { self: UnaryExpression =>
+  override def nullable: Boolean = true
+
+  protected def elementType: DataType
+  protected def kernelName: String
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et == elementType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$kernelName requires array<${elementType.simpleString}> input, got $other")
+  }
+}
+
+/**
+ * All `numPerm` min-hash values of a shingle set in one pass:
+ * `out[p] = min over s in set of xxhash64(lit(p), s)`. Empty sets hash
+ * to null (a shingle-less doc has no signature — callers filter).
+ */
+case class MinHashSignature(child: Expression, numPerm: Int)
+    extends UnaryExpression with ArrayKernel {
+
+  override protected def elementType: DataType = LongType
+  override protected def kernelName: String = prettyName
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // xxhash64(lit(p), s) == hashLong(s, hashInt(p, 42)); the per-permutation
+  // seeds are the constant prefix of that chain.
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numPerm)(p => XXH64.hashInt(p, 42L))
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getLong(i)
+      var p = 0
+      while (p < numPerm) {
+        val h = XXH64.hashLong(s, seeds(p))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  long[] $mins = new long[$numPerm];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $s = $a.getLong($i);
+         |    for (int $p = 0; $p < $numPerm; $p++) {
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($s, $seedsRef[$p]);
+         |      if ($h < $mins[$p]) $mins[$p] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/**
+ * 64-bit SimHash of a token set (Charikar, STOC'02) in one pass: bit k of
+ * the result is the sign of the sum over tokens of +-1 votes from bit k
+ * of `xxhash64(token)`. Token-less docs hash to null.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ArrayKernel {
+
+  override protected def elementType: DataType = StringType
+  override protected def kernelName: String = prettyName
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) sim |= (1L << k); k += 1 }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val sim = ctx.freshName("sim")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  int[] $votes = new int[64];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+         |      $a.getUTF8String($i), 42L);
+         |    for (int $k = 0; $k < 64; $k++) {
+         |      if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
+         |    }
+         |  }
+         |  long $sim = 0L;
+         |  for (int $k = 0; $k < 64; $k++) { if ($votes[$k] > 0) $sim |= (1L << $k); }
+         |  ${ev.value} = $sim;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/**
+ * All `tables` random-hyperplane sign signatures of a vector in one pass
+ * (Charikar, STOC'02): bit k of signature t is `1` iff
+ * `dot(v, plane[t][k]) >= 0`. Planes are flattened to one driver-side
+ * double[] of length tables*bits*dim.
+ */
+case class HyperplaneSignatures(
+    child: Expression, planesFlat: Array[Double], tables: Int, bits: Int, dim: Int)
+    extends UnaryExpression with ArrayKernel {
+
+  require(planesFlat.length == tables * bits * dim, "planes shape mismatch")
+
+  override protected def elementType: DataType = DoubleType
+  override protected def kernelName: String = prettyName
+  override def prettyName: String = "hyperplane_signatures"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var k = 0
+      while (k < bits) {
+        val base = (t * bits + k) * dim
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += planesFlat(base + j) * arr.getDouble(j); j += 1 }
+        if (s >= 0) sig |= (1L << k)
+        k += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planesFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val sig = ctx.freshName("sig")
+      val sigs = ctx.freshName("sigs")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long[] $sigs = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $k = 0; $k < $bits; $k++) {
+         |    int $base = ($t * $bits + $k) * $dim;
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) { $s += $planesRef[$base + $j] * $a.getDouble($j); }
+         |    if ($s >= 0) $sig |= (1L << $k);
+         |  }
+         |  $sigs[$t] = $sig;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
+    copy(child = newChild)
+}
+
+/**
+ * Squared L2 distances from a vector to each of `centroids` in one pass:
+ * `out[c] = sum_j (v[j] - centroid[c][j])^2`. Used by IVF assignment
+ * (argmin) and probe ranking; centroids are a flattened driver-side
+ * double[] so successive Lloyd iterations generate IDENTICAL codegen
+ * source (the new centroids ride along as a referenced object — no
+ * recompile per iteration).
+ */
+case class CentroidDistances(child: Expression, centsFlat: Array[Double], ncent: Int, dim: Int)
+    extends UnaryExpression with ArrayKernel {
+
+  require(centsFlat.length == ncent * dim, "centroid shape mismatch")
+
+  override protected def elementType: DataType = DoubleType
+  override protected def kernelName: String = prettyName
+  override def prettyName: String = "centroid_distances"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Double](ncent)
+    var c = 0
+    while (c < ncent) {
+      val base = c * dim
+      var s = 0.0
+      var j = 0
+      while (j < n) { val d = arr.getDouble(j) - centsFlat(base + j); s += d * d; j += 1 }
+      out(c) = s
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", centsFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $out = new double[$ncent];
+         |for (int $c = 0; $c < $ncent; $c++) {
+         |  int $base = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $d = $a.getDouble($j) - $centsRef[$base + $j];
+         |    $s += $d * $d;
+         |  }
+         |  $out[$c] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDistances =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  private def e(c: Column): Expression = ColumnShim.expression(c)
+
+  /** Column API for [[MinHashSignature]] — input array<long> shingle set. */
+  def minhashSignature(sh: Column, numPerm: Int): Column =
+    ColumnShim.column(MinHashSignature(e(sh), numPerm))
+
+  /** Column API for [[SimHash64]] — input array<string> token set. */
+  def simhash64(tokens: Column): Column =
+    ColumnShim.column(SimHash64(e(tokens)))
+
+  /** Column API for [[HyperplaneSignatures]] — input array<double>. */
+  def hyperplaneSignatures(vec: Column, planes: Array[Array[Array[Double]]]): Column = {
+    val tables = planes.length
+    val bits = planes.head.length
+    val dim = planes.head.head.length
+    ColumnShim.column(HyperplaneSignatures(e(vec), planes.flatten.flatten, tables, bits, dim))
+  }
+
+  /** Column API for [[CentroidDistances]] — input array<double>. */
+  def centroidDistances(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnShim.column(CentroidDistances(
+      e(vec), centroids.flatten, centroids.length, centroids.head.length))
+}

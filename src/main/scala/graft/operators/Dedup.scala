@@ -235,9 +235,15 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     val docs = shingledHashed(df, idCol, textCol, n).cache()
-    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
-    val mh = ex.groupBy("id").agg(
-      array((0 until numPerm).map(i => min(xxhash64(lit(i), col("s")))): _*).as("mh"))
+    // One fused kernel computes all numPerm min-hashes per row map-side
+    // (bit-identical to min(xxhash64(lit(i), s)) per permutation) — the
+    // explode + numPerm-wide groupBy shuffle this replaces was the
+    // operator's dominant cost. Shingle-less docs (null signature) have
+    // no bands, matching the explode semantics it replaces.
+    val mh = docs
+      .select(col("id"),
+        graft.functions.HashFunctions.minhashSignature(col("sh"), numPerm).as("mh"))
+      .filter(col("mh").isNotNull)
     val buckets = mh.select(col("id"), posexplode(
       array((0 until bands).map(j =>
         xxhash64(lit(j) +: (0 until r).map(k => element_at(col("mh"), j * r + k + 1)): _*)): _*)
@@ -259,19 +265,14 @@ object Dedup {
   /** 64-bit SimHash per document over the distinct token set
     * (Charikar, STOC'02): bit k is the sign of the sum of +-1 votes from
     * each token's hash bit k. Returns (id, sim). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextFunctions.distinctTokens(col(textCol))).as("t"))
-    val withHash = toks.withColumn("h", xxhash64(col("t")))
-    val bitAggs = (0 until 64).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === lit(1L), 1L).otherwise(-1L))
-        .as(s"b$k"))
-    val bitSums = withHash.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-    bitSums.select(col("id"),
-      (0 until 64).map(k =>
-        when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sim"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // One fused kernel per row (see [[graft.functions.SimHash64]]): the
+    // explode + 64-aggregate groupBy it replaces shuffled every token and
+    // compiled a 64-column codegen unit. Token-less docs drop out (null),
+    // matching the explode semantics.
+    df.select(col(idCol).as("id"), TextFunctions.distinctTokens(col(textCol)).as("_toks"))
+      .select(col("id"), graft.functions.HashFunctions.simhash64(col("_toks")).as("sim"))
+      .filter(col("sim").isNotNull)
 
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,

@@ -71,38 +71,39 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  private def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, k) =>
-      when(dot(vec, lit(p)) >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /**
    * Random-hyperplane LSH near-neighbor pairs (Charikar, STOC'02):
    * `tables` independent `bits`-bit sign signatures; pairs colliding in
    * any table are candidates, verified with exact cosine. Probabilistic
    * recall (P[bit match] = 1 - angle/pi), exact precision. The bucket
    * join replaces the O(n^2) block join at scale.
+   *
+   * All tables*bits hyperplane dots are computed by ONE fused kernel per
+   * row ([[graft.functions.HyperplaneSignatures]]); the per-bit
+   * expression tree it replaces compiled a tables*bits-wide codegen unit.
+   * Candidates are de-duplicated BEFORE the verify join: a pair can
+   * collide in up to `tables` tables, and the distinct runs on slim
+   * (id1, id2) rows — cheaper than verifying each duplicate against two
+   * attached vectors.
    */
   def lshPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame = {
     val hp = hyperplanes(tables, bits, dim, seed)
-    val vd = col(vecCol).cast("array<double>")
-    val sigs = df.select(col(idCol).as("id"), posexplode(
-      array(hp.map(planes => signature(vd, planes)): _*)).as(Seq("table", "sig")))
+    val sigs = df.select(col(idCol).as("id"),
+        graft.functions.HashFunctions.hyperplaneSignatures(
+          col(vecCol).cast("array<double>"), hp).as("sigs"))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
     val cands = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
     val v1 = prepped(df, idCol, vecCol, "id1", "v1", "n1")
     val v2 = prepped(df, idCol, vecCol, "id2", "v2", "n2")
-    // no wide distinct on raw candidates: the verify joins broadcast and
-    // the codegen'd dot is cheap, so dedup happens on the tiny qualifying
-    // set after the threshold filter instead
     cands.join(v1, "id1").join(v2, "id2")
       .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
-      .distinct()
   }
 
   /**
@@ -122,21 +123,21 @@ object Similarity {
     val data = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .cache()
 
-    // ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 with the codegen'd dot; the
-    // ||v||^2 term is constant per row and irrelevant to the argmin but
-    // kept so probe distances stay true distances.
-    def dist2(vec: Column, c: Array[Double]): Column = {
-      val c2 = c.map(x => x * x).sum
-      graft.functions.VectorFunctions.squaredNorm(vec) - lit(2.0) * dot(vec, lit(c)) + lit(c2)
-    }
+    // All centroid distances from ONE fused kernel per row
+    // ([[graft.functions.CentroidDistances]]); the per-centroid struct
+    // array it replaces compiled an nlist-wide codegen unit and —
+    // because the centroid values were baked in as literals — recompiled
+    // it on every Lloyd iteration. The kernel carries centroids as a
+    // referenced object: identical codegen source across iterations.
+    def distsExpr(vec: Column, cents: Array[Array[Double]]): Column =
+      graft.functions.HashFunctions.centroidDistances(vec, cents)
 
-    // argmin via array_min over (dist, idx) structs — struct ordering is
-    // lexicographic so ties break on the lower index. A when/otherwise
-    // reduce would duplicate subtrees exponentially (2^nlist plan blowup).
-    def assignExpr(vec: Column, cents: Array[Array[Double]]): Column =
-      array_min(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(dist2(vec, c).as("d"), lit(i).as("i"))
-      }: _*)).getField("i")
+    // argmin with ties broken on the lower index: array_position returns
+    // the FIRST index (1-based) of the minimum.
+    def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
+      val d = distsExpr(vec, cents)
+      (array_position(d, array_min(d)) - lit(1L)).cast("int")
+    }
 
     // deterministic init: the nlist lowest-id vectors. A corpus smaller
     // than nlist yields fewer centroids — every loop below runs over
@@ -147,17 +148,15 @@ object Similarity {
 
     for (_ <- 1 to iters) {
       val assigned = data.withColumn("c", assignExpr(col("v"), centroids))
+      // one aggregation job per iteration; the (c, pos, mean) result is at
+      // most nlist*dim rows — assembled driver-side, no second shuffle
       val means = assigned
         .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("c").agg(map_from_arrays(
-          collect_list(col("pos")), collect_list(col("m"))).as("mm"))
         .collect()
-      val updated = centroids.clone()
+      val updated = centroids.map(_.clone())
       means.foreach { row =>
-        val c = row.getInt(0)
-        val mm = row.getMap[Int, Double](1)
-        updated(c) = Array.tabulate(dim)(i => mm.getOrElse(i, 0.0))
+        updated(row.getInt(0))(row.getInt(1)) = row.getDouble(2)
       }
       centroids = updated
     }
@@ -171,12 +170,12 @@ object Similarity {
     val indexed = data.withColumn("c", assignExpr(col("v"), centroids))
     // nprobe nearest cells per query (by centroid distance)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val probed = q.withColumn("c", explode(array(
-      centroids.indices.map(i => struct(dist2(col("qv"), centroids(i)).as("d"), lit(i).as("i"))): _*)))
+    val probed = q.select(col("query_id"), col("qv"),
+        posexplode(distsExpr(col("qv"), centroids)).as(Seq("ci", "d")))
       .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("c.d").asc, col("c.i").asc)))
+        Window.partitionBy("query_id").orderBy(col("d").asc, col("ci").asc)))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"), col("c.i").as("c"))
+      .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"), col("ci").as("c"))
     // norms once per side before the probe join replicates rows
     val indexedN = indexed.withColumn("vn", l2Norm(col("v")))
     probed.join(indexedN, "c")

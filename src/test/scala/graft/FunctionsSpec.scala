@@ -100,4 +100,87 @@ class FunctionsSpec extends AnyFunSuite {
     val resized = Multimodal.resizePlan(Multimodal.decode(media), 256).collect().head
     assert(resized.getAs[Int]("target_w") == math.min(256, d.width))
   }
+
+  test("MinHashSignature kernel is bit-identical to the min(xxhash64(lit(i), s)) tree") {
+    import spark.implicits._
+    val numPerm = 8
+    val df = Seq(
+      (1L, Array(42L, -7L, 0L, Long.MaxValue)),
+      (2L, Array(3L))).toDF("id", "sh")
+    // reference: the expression tree the kernel replaces
+    val ref = df.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id").agg(
+        array((0 until numPerm).map(i => min(xxhash64(lit(i), col("s")))): _*).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = df.select(col("id"),
+        graft.functions.HashFunctions.minhashSignature(col("sh"), numPerm).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == ref)
+    // empty set -> null signature
+    val empty = Seq((9L, Array.empty[Long])).toDF("id", "sh")
+    assert(empty.select(graft.functions.HashFunctions.minhashSignature(col("sh"), numPerm))
+      .head().isNullAt(0))
+  }
+
+  test("SimHash64 kernel is bit-identical to the per-bit vote aggregate tree") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array("alpha", "beta", "gamma")),
+      (2L, Array("x"))).toDF("id", "toks")
+    val ref = df.select(col("id"), explode(col("toks")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+      .groupBy("id").agg(
+        (0 until 64).map(k =>
+          sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === lit(1L), 1L).otherwise(-1L))
+            .as(s"b$k")).head,
+        (1 until 64).map(k =>
+          sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === lit(1L), 1L).otherwise(-1L))
+            .as(s"b$k")): _*)
+      .select(col("id"),
+        (0 until 64).map(k =>
+          when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.select(col("id"), graft.functions.HashFunctions.simhash64(col("toks")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    val empty = Seq((9L, Array.empty[String])).toDF("id", "toks")
+    assert(empty.select(graft.functions.HashFunctions.simhash64(col("toks"))).head().isNullAt(0))
+  }
+
+  test("HyperplaneSignatures kernel matches per-bit sign-of-dot computation") {
+    import spark.implicits._
+    val planes = Array(
+      Array(Array(1.0, 0.0), Array(0.0, -1.0)),  // table 0: bit0 = x>=0, bit1 = y<=0
+      Array(Array(-1.0, 1.0), Array(1.0, 1.0)))  // table 1
+    val df = Seq((1L, Array(2.0, 3.0)), (2L, Array(-1.0, -2.0))).toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.HashFunctions.hyperplaneSignatures(col("v"), planes).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // hand computation: sig bit k set iff dot(v, planes(t)(k)) >= 0
+    def sig(v: Array[Double], t: Array[Array[Double]]): Long =
+      t.zipWithIndex.map { case (p, k) =>
+        if (p.zip(v).map { case (a, b) => a * b }.sum >= 0) 1L << k else 0L
+      }.sum
+    assert(got(1L) == Seq(sig(Array(2.0, 3.0), planes(0)), sig(Array(2.0, 3.0), planes(1))))
+    assert(got(2L) == Seq(sig(Array(-1.0, -2.0), planes(0)), sig(Array(-1.0, -2.0), planes(1))))
+  }
+
+  test("CentroidDistances kernel: exact squared L2 to each centroid, argmin ties -> lower index") {
+    import spark.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(3.0, 4.0), Array(0.0, 0.0))
+    val df = Seq((1L, Array(3.0, 4.0)), (2L, Array(0.0, 0.0))).toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.HashFunctions.centroidDistances(col("v"), cents).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == Seq(25.0, 0.0, 25.0))
+    assert(got(2L) == Seq(0.0, 25.0, 0.0))
+    // duplicate centroids: array_position(min) picks the FIRST (lower index)
+    val arg = df.select(col("id"),
+      (array_position(
+        graft.functions.HashFunctions.centroidDistances(col("v"), cents),
+        array_min(graft.functions.HashFunctions.centroidDistances(col("v"), cents))) - lit(1L))
+        .cast("int").as("c")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(arg(2L) == 0)
+    assert(arg(1L) == 1)
+  }
 }

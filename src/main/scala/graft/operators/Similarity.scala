@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{dot, l2Norm}
@@ -34,24 +33,48 @@ object Similarity {
     df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vAs))
       .withColumn(nAs, l2Norm(col(vAs)))
 
+  /** Integral id types the bounded top-k aggregate can carry losslessly
+    * through its long-keyed heap buffer. */
+  private def integralIdType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Rank the scored candidate rows per query with the bounded top-k heap
+    * aggregate ([[TopKAggExpr]]) instead of a
+    * `row_number().over(Window.partitionBy(query))` — the window shape
+    * funnels every candidate row of a query into ONE task for a full sort
+    * (a multi-GB single-task sort per query at 100 TB corpus scale), while
+    * the aggregate keeps size-k heaps map-side and shuffles only k-entry
+    * buffers. Identical output incl. tie-breaks: (score desc, id asc). */
+  private def rankTopK(
+      scored: DataFrame, k: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKFunctions.topKByScore(col("cos"), col("neighbor_id").cast("long"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_t")))
+      .select(col("query_id"), col("_t.id").cast(idType).as("neighbor_id"),
+        (col("_r") + lit(1)).as("rank"), round(col("_t.score"), 4).as("cos"))
+
   /**
    * Exact top-k cosine neighbors for each query vector: broadcast the
-   * (small) query side against the full corpus, rank per query.
-   * Deterministic tie-break on neighbor id.
+   * (small) query side against the full corpus, then bounded top-k heap
+   * aggregation per query (see [[rankTopK]] for why not a window rank).
+   * Deterministic tie-break on neighbor id. Ids must be integral.
    */
   def topK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
+    require(integralIdType(idType),
+      s"topK requires an integral id column, got $idType (pre-map ids to long)")
     val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+    rankTopK(scored, k, idType)
   }
 
   /** Exact all-pairs with cosine >= threshold (brute-force block join —
@@ -117,6 +140,9 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
+    require(integralIdType(idType),
+      s"ivfTopK requires an integral id column, got $idType (pre-map ids to long)")
     // Lloyd iterations re-scan the corpus; cache the projected vectors for
     // the duration of training (the canonical iterative-ML pattern — at
     // cluster scale this is a MEMORY_AND_DISK persist of the same shape).
@@ -168,23 +194,24 @@ object Similarity {
     data.unpersist(blocking = false)
 
     val indexed = data.withColumn("c", assignExpr(col("v"), centroids))
-    // nprobe nearest cells per query (by centroid distance)
+    // nprobe nearest cells per query (by centroid distance): smallest-k
+    // heap aggregate, same bounded shape as the final ranking
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val probed = q.select(col("query_id"), col("qv"),
         posexplode(distsExpr(col("qv"), centroids)).as(Seq("ci", "d")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d").asc, col("ci").asc)))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"), col("ci").as("c"))
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"), // qv is constant per query_id
+        TopKFunctions.topKByScore(col("d"), col("ci").cast("long"), nprobe, largest = false)
+          .as("_cells"))
+      .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"),
+        explode(col("_cells.id")).as("cl"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cl").cast("int").as("c"))
     // norms once per side before the probe join replicates rows
     val indexedN = indexed.withColumn("vn", l2Norm(col("v")))
-    probed.join(indexedN, "c")
+    val scored = probed.join(indexedN, "c")
       .filter(col("query_id") =!= col("id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+      .withColumn("neighbor_id", col("id"))
+    rankTopK(scored, k, idType)
   }
 }

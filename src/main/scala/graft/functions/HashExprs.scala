@@ -29,13 +29,37 @@ import org.apache.spark.sql.types._
 private[graft] trait ArrayKernel { self: UnaryExpression =>
   override def nullable: Boolean = true
 
-  protected def elementType: DataType
+  protected def acceptedElementTypes: Seq[DataType]
   protected def kernelName: String
 
+  /** Whether the input type admits null ELEMENTS. When it does, every
+    * kernel emits a per-element guard that nulls out the whole result —
+    * silently reading a null slot as 0/garbage would corrupt
+    * signatures/distances with no signal. The guard costs nothing when
+    * the schema says containsNull = false. */
+  @transient protected lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  @transient protected lazy val floatInput: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Per-element numeric read widened to double (codegen form). */
+  protected def numGet(arr: String, i: String): String =
+    if (floatInput) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+
+  /** Per-element numeric read widened to double (interpreted form). */
+  protected def numGetEval(arr: ArrayData, i: Int): Double =
+    if (floatInput) arr.getFloat(i).toDouble else arr.getDouble(i)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(et, _) if et == elementType => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(et, _) if acceptedElementTypes.contains(et) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$kernelName requires array<${elementType.simpleString}> input, got $other")
+      s"$kernelName requires array<${acceptedElementTypes.map(_.simpleString).mkString("|")}> " +
+        s"input, got $other")
   }
 }
 
@@ -47,7 +71,7 @@ private[graft] trait ArrayKernel { self: UnaryExpression =>
 case class MinHashSignature(child: Expression, numPerm: Int)
     extends UnaryExpression with ArrayKernel {
 
-  override protected def elementType: DataType = LongType
+  override protected def acceptedElementTypes: Seq[DataType] = Seq(LongType)
   override protected def kernelName: String = prettyName
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -64,6 +88,7 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     val mins = Array.fill(numPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      if (elemNullable && arr.isNullAt(i)) return null
       val s = arr.getLong(i)
       var p = 0
       while (p < numPerm) {
@@ -85,19 +110,25 @@ case class MinHashSignature(child: Expression, numPerm: Int)
       val s = ctx.freshName("s")
       val h = ctx.freshName("h")
       val mins = ctx.freshName("mins")
+      val nullGuard = if (elemNullable) {
+        s"""if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) { ${ev.isNull} = true; } else {
          |  long[] $mins = new long[$numPerm];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    long $s = $a.getLong($i);
          |    for (int $p = 0; $p < $numPerm; $p++) {
          |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($s, $seedsRef[$p]);
          |      if ($h < $mins[$p]) $mins[$p] = $h;
          |    }
          |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+         |  }
          |}
        """.stripMargin
     })
@@ -115,7 +146,7 @@ case class MinHashSignature(child: Expression, numPerm: Int)
 case class SimHash64(child: Expression)
     extends UnaryExpression with ArrayKernel {
 
-  override protected def elementType: DataType = StringType
+  override protected def acceptedElementTypes: Seq[DataType] = Seq(StringType)
   override protected def kernelName: String = prettyName
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
@@ -127,6 +158,7 @@ case class SimHash64(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
+      if (elemNullable && arr.isNullAt(i)) return null
       val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var k = 0
       while (k < 64) {
@@ -149,20 +181,26 @@ case class SimHash64(child: Expression)
       val h = ctx.freshName("h")
       val votes = ctx.freshName("votes")
       val sim = ctx.freshName("sim")
+      val nullGuard = if (elemNullable) {
+        s"""if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) { ${ev.isNull} = true; } else {
          |  int[] $votes = new int[64];
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
          |      $a.getUTF8String($i), 42L);
          |    for (int $k = 0; $k < 64; $k++) {
          |      if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
          |    }
          |  }
-         |  long $sim = 0L;
-         |  for (int $k = 0; $k < 64; $k++) { if ($votes[$k] > 0) $sim |= (1L << $k); }
-         |  ${ev.value} = $sim;
+         |  if (!${ev.isNull}) {
+         |    long $sim = 0L;
+         |    for (int $k = 0; $k < 64; $k++) { if ($votes[$k] > 0) $sim |= (1L << $k); }
+         |    ${ev.value} = $sim;
+         |  }
          |}
        """.stripMargin
     })
@@ -175,7 +213,13 @@ case class SimHash64(child: Expression)
  * All `tables` random-hyperplane sign signatures of a vector in one pass
  * (Charikar, STOC'02): bit k of signature t is `1` iff
  * `dot(v, plane[t][k]) >= 0`. Planes are flattened to one driver-side
- * double[] of length tables*bits*dim.
+ * double[] of length tables*bits*dim. Accepts `array<float|double>`.
+ *
+ * Length contract: a vector whose length differs from `dim` signatures
+ * to NULL (so it drops out of the bucket join) rather than silently
+ * truncating or zero-padding the dot products — a wrong-but-plausible
+ * signature would poison buckets with no signal. Null elements null out
+ * the result for the same reason.
  */
 case class HyperplaneSignatures(
     child: Expression, planesFlat: Array[Double], tables: Int, bits: Int, dim: Int)
@@ -183,14 +227,18 @@ case class HyperplaneSignatures(
 
   require(planesFlat.length == tables * bits * dim, "planes shape mismatch")
 
-  override protected def elementType: DataType = DoubleType
+  override protected def acceptedElementTypes: Seq[DataType] = Seq(DoubleType, FloatType)
   override protected def kernelName: String = prettyName
   override def prettyName: String = "hyperplane_signatures"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), dim)
+    if (arr.numElements() != dim) return null
+    if (elemNullable) {
+      var j = 0
+      while (j < dim) { if (arr.isNullAt(j)) return null; j += 1 }
+    }
     val sigs = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -200,7 +248,7 @@ case class HyperplaneSignatures(
         val base = (t * bits + k) * dim
         var s = 0.0
         var j = 0
-        while (j < n) { s += planesFlat(base + j) * arr.getDouble(j); j += 1 }
+        while (j < dim) { s += planesFlat(base + j) * numGetEval(arr, j); j += 1 }
         if (s >= 0) sig |= (1L << k)
         k += 1
       }
@@ -213,7 +261,6 @@ case class HyperplaneSignatures(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planesFlat, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
       val t = ctx.freshName("t")
       val k = ctx.freshName("k")
       val j = ctx.freshName("j")
@@ -221,20 +268,30 @@ case class HyperplaneSignatures(
       val base = ctx.freshName("base")
       val sig = ctx.freshName("sig")
       val sigs = ctx.freshName("sigs")
+      val nullGuard = if (elemNullable) {
+        s"""if (!${ev.isNull}) {
+           |  for (int $j = 0; $j < $dim; $j++) {
+           |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  }
+           |}""".stripMargin
+      } else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |long[] $sigs = new long[$tables];
-         |for (int $t = 0; $t < $tables; $t++) {
-         |  long $sig = 0L;
-         |  for (int $k = 0; $k < $bits; $k++) {
-         |    int $base = ($t * $bits + $k) * $dim;
-         |    double $s = 0.0;
-         |    for (int $j = 0; $j < $n; $j++) { $s += $planesRef[$base + $j] * $a.getDouble($j); }
-         |    if ($s >= 0) $sig |= (1L << $k);
+         |if ($a.numElements() != $dim) { ${ev.isNull} = true; }
+         |$nullGuard
+         |if (!${ev.isNull}) {
+         |  long[] $sigs = new long[$tables];
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $sig = 0L;
+         |    for (int $k = 0; $k < $bits; $k++) {
+         |      int $base = ($t * $bits + $k) * $dim;
+         |      double $s = 0.0;
+         |      for (int $j = 0; $j < $dim; $j++) { $s += $planesRef[$base + $j] * ${numGet(a, j)}; }
+         |      if ($s >= 0) $sig |= (1L << $k);
+         |    }
+         |    $sigs[$t] = $sig;
          |  }
-         |  $sigs[$t] = $sig;
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
        """.stripMargin
     })
   }
@@ -256,21 +313,28 @@ case class CentroidDistances(child: Expression, centsFlat: Array[Double], ncent:
 
   require(centsFlat.length == ncent * dim, "centroid shape mismatch")
 
-  override protected def elementType: DataType = DoubleType
+  override protected def acceptedElementTypes: Seq[DataType] = Seq(DoubleType, FloatType)
   override protected def kernelName: String = prettyName
   override def prettyName: String = "centroid_distances"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // Length contract: like HyperplaneSignatures, a vector whose length
+  // differs from `dim` gets NULL distances (it drops out of assignment)
+  // instead of a silently-truncated distance. Null elements -> null.
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), dim)
+    if (arr.numElements() != dim) return null
+    if (elemNullable) {
+      var j = 0
+      while (j < dim) { if (arr.isNullAt(j)) return null; j += 1 }
+    }
     val out = new Array[Double](ncent)
     var c = 0
     while (c < ncent) {
       val base = c * dim
       var s = 0.0
       var j = 0
-      while (j < n) { val d = arr.getDouble(j) - centsFlat(base + j); s += d * d; j += 1 }
+      while (j < dim) { val d = numGetEval(arr, j) - centsFlat(base + j); s += d * d; j += 1 }
       out(c) = s
       c += 1
     }
@@ -280,26 +344,35 @@ case class CentroidDistances(child: Expression, centsFlat: Array[Double], ncent:
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("cents", centsFlat, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
       val c = ctx.freshName("c")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       val base = ctx.freshName("base")
       val out = ctx.freshName("out")
+      val nullGuard = if (elemNullable) {
+        s"""if (!${ev.isNull}) {
+           |  for (int $j = 0; $j < $dim; $j++) {
+           |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  }
+           |}""".stripMargin
+      } else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |double[] $out = new double[$ncent];
-         |for (int $c = 0; $c < $ncent; $c++) {
-         |  int $base = $c * $dim;
-         |  double $s = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    double $d = $a.getDouble($j) - $centsRef[$base + $j];
-         |    $s += $d * $d;
+         |if ($a.numElements() != $dim) { ${ev.isNull} = true; }
+         |$nullGuard
+         |if (!${ev.isNull}) {
+         |  double[] $out = new double[$ncent];
+         |  for (int $c = 0; $c < $ncent; $c++) {
+         |    int $base = $c * $dim;
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      double $d = ${numGet(a, j)} - $centsRef[$base + $j];
+         |      $s += $d * $d;
+         |    }
+         |    $out[$c] = $s;
          |  }
-         |  $out[$c] = $s;
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
   }
@@ -319,7 +392,9 @@ object HashFunctions {
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(e(tokens)))
 
-  /** Column API for [[HyperplaneSignatures]] — input array<double>. */
+  /** Column API for [[HyperplaneSignatures]] — input array<float|double>
+    * of length exactly dim (others signature to null; see the kernel's
+    * length contract). */
   def hyperplaneSignatures(vec: Column, planes: Array[Array[Array[Double]]]): Column = {
     val tables = planes.length
     val bits = planes.head.length
@@ -327,7 +402,9 @@ object HashFunctions {
     ColumnShim.column(HyperplaneSignatures(e(vec), planes.flatten.flatten, tables, bits, dim))
   }
 
-  /** Column API for [[CentroidDistances]] — input array<double>. */
+  /** Column API for [[CentroidDistances]] — input array<float|double> of
+    * length exactly dim (others get null distances; see the kernel's
+    * length contract). */
   def centroidDistances(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnShim.column(CentroidDistances(
       e(vec), centroids.flatten, centroids.length, centroids.head.length))

@@ -10,27 +10,39 @@ import graft.functions.VectorFunctions.{dot, l2Norm}
  * exact brute-force cosine top-k / threshold pairs as the baseline, and
  * LSH (random hyperplanes) + IVF (inverted-file, kmeans-bucketed)
  * variants as the 100 TB scale path. The per-pair hot loop is the
- * codegen'd [[graft.functions.DotProduct]] expression over
- * `array<double>` (Spark's higher-order functions evaluate lambdas
+ * codegen'd [[graft.functions.DotProduct]] expression reading the
+ * embedding arrays in their NATIVE width — float stays float on disk,
+ * in cache, and through every shuffle, widened to double per element
+ * inside the kernel (Spark's higher-order functions evaluate lambdas
  * interpreted — ~30x slower here); per-vector norms are computed once
  * per side BEFORE the join, never per pair.
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double.
+  /** Cosine similarity of two vector columns, computed in double.
     * Convenience form; the pairwise operators below precompute the norms
     * per side instead of evaluating them per pair. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Project (id, v: array<double>, n: L2 norm) — norms computed once per
-    * row, before any join replicates the vectors. */
+  /** Vectors stay in their NATIVE element width: the kernels read
+    * array<float> directly (widening each element to double — exactly
+    * what a Cast would produce, at half the memory bandwidth and half
+    * the shuffle width on the float-embedding path). Only non-fp arrays
+    * (e.g. array<int>) are cast. */
+  private def nativeVec(df: DataFrame, vecCol: String): Column =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+        col(vecCol)
+      case _ => col(vecCol).cast("array<double>")
+    }
+
+  /** Project (id, v: native fp array, n: L2 norm) — norms computed once
+    * per row, before any join replicates the vectors. */
   private def prepped(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vAs: String, nAs: String): DataFrame =
-    df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vAs))
+    df.select(col(idCol).as(idAs), nativeVec(df, vecCol).as(vAs))
       .withColumn(nAs, l2Norm(col(vAs)))
 
   /** Integral id types the bounded top-k aggregate can carry losslessly
@@ -115,7 +127,7 @@ object Similarity {
     val hp = hyperplanes(tables, bits, dim, seed)
     val sigs = df.select(col(idCol).as("id"),
         graft.functions.HashFunctions.hyperplaneSignatures(
-          col(vecCol).cast("array<double>"), hp).as("sigs"))
+          nativeVec(df, vecCol), hp).as("sigs"))
       .select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
     val cands = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
       .filter(col("a.id") < col("b.id"))
@@ -146,7 +158,9 @@ object Similarity {
     // Lloyd iterations re-scan the corpus; cache the projected vectors for
     // the duration of training (the canonical iterative-ML pattern — at
     // cluster scale this is a MEMORY_AND_DISK persist of the same shape).
-    val data = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // Vectors stay in their native width (float embeddings cache at half
+    // the size); the kernels widen per element.
+    val data = corpus.select(col(idCol).as("id"), nativeVec(corpus, vecCol).as("v"))
       .cache()
 
     // All centroid distances from ONE fused kernel per row
@@ -167,13 +181,20 @@ object Similarity {
 
     // deterministic init: the nlist lowest-id vectors. A corpus smaller
     // than nlist yields fewer centroids — every loop below runs over
-    // centroids.length, never the requested nlist.
+    // centroids.length, never the requested nlist. getSeq[Number]: the
+    // native column may be float or double.
     var centroids: Array[Array[Double]] = data.orderBy("id").limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     require(centroids.nonEmpty, "ivfTopK: empty corpus")
+    require(centroids.forall(_.length == centroids.head.length),
+      s"ivfTopK: ragged vector lengths in corpus sample " +
+        s"(${centroids.map(_.length).distinct.mkString(",")}); uniform dim required")
 
     for (_ <- 1 to iters) {
+      // wrong-length vectors get NULL distances (kernel length contract)
+      // and thus a null assignment — excluded from the mean update
       val assigned = data.withColumn("c", assignExpr(col("v"), centroids))
+        .filter(col("c").isNotNull)
       // one aggregation job per iteration; the (c, pos, mean) result is at
       // most nlist*dim rows — assembled driver-side, no second shuffle
       val means = assigned
@@ -182,7 +203,11 @@ object Similarity {
         .collect()
       val updated = centroids.map(_.clone())
       means.foreach { row =>
-        updated(row.getInt(0))(row.getInt(1)) = row.getDouble(2)
+        val c = row.getInt(0)
+        val pos = row.getInt(1)
+        // belt-and-braces vs the length contract above: never write past
+        // a centroid's end on unexpected input shapes
+        if (pos < updated(c).length) updated(c)(pos) = row.getDouble(2)
       }
       centroids = updated
     }
@@ -196,7 +221,7 @@ object Similarity {
     val indexed = data.withColumn("c", assignExpr(col("v"), centroids))
     // nprobe nearest cells per query (by centroid distance): smallest-k
     // heap aggregate, same bounded shape as the final ranking
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), nativeVec(queries, vecCol).as("qv"))
     val probed = q.select(col("query_id"), col("qv"),
         posexplode(distsExpr(col("qv"), centroids)).as(Seq("ci", "d")))
       .groupBy("query_id")

@@ -183,4 +183,57 @@ class FunctionsSpec extends AnyFunSuite {
     assert(arg(2L) == 0)
     assert(arg(1L) == 1)
   }
+
+  test("float inputs produce bit-identical results to their cast-to-double form") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f))).toDF("a", "b")
+    val planes = Array(Array(Array(0.3, -0.7, 0.2), Array(-0.1, 0.5, 0.9)))
+    val cents = Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))
+    val native = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.squaredNorm(col("a")).as("n"),
+      graft.functions.HashFunctions.hyperplaneSignatures(col("a"), planes).as("hs"),
+      graft.functions.HashFunctions.centroidDistances(col("a"), cents).as("cd"))
+      .collect().map(_.toSeq)
+    val casted = df.select(
+      VectorFunctions.dot(col("a").cast("array<double>"), col("b").cast("array<double>")).as("d"),
+      VectorFunctions.squaredNorm(col("a").cast("array<double>")).as("n"),
+      graft.functions.HashFunctions.hyperplaneSignatures(
+        col("a").cast("array<double>"), planes).as("hs"),
+      graft.functions.HashFunctions.centroidDistances(
+        col("a").cast("array<double>"), cents).as("cd"))
+      .collect().map(_.toSeq)
+    assert(native.toSeq == casted.toSeq)
+  }
+
+  test("null ELEMENTS null out kernels instead of silently reading 0/garbage") {
+    import spark.implicits._
+    val df = Seq((Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.squaredNorm(col("a")).as("n"),
+      graft.functions.HashFunctions.centroidDistances(
+        col("a"), Array(Array(0.0, 0.0, 0.0))).as("cd"),
+      graft.functions.HashFunctions.hyperplaneSignatures(
+        col("a"), Array(Array(Array(1.0, 1.0, 1.0)))).as("hs")).head()
+    assert((0 until 4).forall(r.isNullAt), s"expected all null, got $r")
+    // the clean side still evaluates
+    assert(!df.select(VectorFunctions.squaredNorm(col("b"))).head().isNullAt(0))
+  }
+
+  test("length-mismatched vectors get null signatures/distances, not truncated math") {
+    import spark.implicits._
+    val planes = Array(Array(Array(1.0, 1.0, 1.0)))
+    val cents = Array(Array(0.0, 0.0, 0.0))
+    val df = Seq(Array(1.0, 2.0), Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0, 4.0)).toDF("v")
+    val rows = df.select(
+      graft.functions.HashFunctions.hyperplaneSignatures(col("v"), planes).as("hs"),
+      graft.functions.HashFunctions.centroidDistances(col("v"), cents).as("cd")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1), "short vector must null out")
+    assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(1), "exact-dim vector must evaluate")
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1), "long vector must null out")
+  }
 }

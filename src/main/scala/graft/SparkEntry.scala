@@ -224,11 +224,14 @@ object SparkEntry {
     "sim_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3)),
     "sim_pairs_lsh" -> ((s, dir) =>
-      // 16 tables x 4 bits: sized for recall at the moderate 0.3 threshold
-      // (bits/tables trade recall against bucket-join width per target
-      // similarity; near-dup thresholds ~0.9 would use wider signatures).
+      // bits auto-sized from the corpus count (log2(n/targetBucketRows)),
+      // so expected bucket occupancy — and join cost per row — stays
+      // constant as n scales. 16 tables compensates recall at the
+      // moderate 0.3 threshold; the relatively large bucket target keeps
+      // per-table recall meaningful there (near-dup thresholds ~0.9
+      // tolerate much narrower buckets).
       Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, dim = 64, tables = 16, bits = 4)),
+        threshold = 0.3, dim = 64, tables = 16, targetBucketRows = 256)),
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",

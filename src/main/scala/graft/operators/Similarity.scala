@@ -90,8 +90,21 @@ object Similarity {
   }
 
   /** Exact all-pairs with cosine >= threshold (brute-force block join —
-    * the small-corpus baseline; use [[lshPairs]] at scale). */
-  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    * the small-corpus baseline; use [[lshPairs]] at scale).
+    *
+    * Misuse tripwire: the docstring contract alone is a silent O(n^2)
+    * hazard, so by default a cheap count refuses corpora above `maxRows`
+    * with a pointer to the scale path. Raise it deliberately, or pass
+    * `maxRows = 0` to disable. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxRows: Long = 200000L): DataFrame = {
+    if (maxRows > 0) {
+      val n = df.count()
+      require(n <= maxRows,
+        s"cosinePairs is the exact O(n^2) baseline; this corpus has $n rows (> $maxRows ≈ " +
+          s"${maxRows * maxRows / 2} pair evaluations). Use lshPairs at this scale, or pass " +
+          "a higher maxRows (0 disables the guard) if the quadratic cost is intended.")
+    }
     val a = prepped(df, idCol, vecCol, "id1", "v1", "n1")
     val b = prepped(df, idCol, vecCol, "id2", "v2", "n2")
     a.crossJoin(b).filter(col("id1") < col("id2"))
@@ -113,6 +126,27 @@ object Similarity {
    * recall (P[bit match] = 1 - angle/pi), exact precision. The bucket
    * join replaces the O(n^2) block join at scale.
    *
+   * '''Signature sizing.''' The bucket self-join costs
+   * ~`tables * n * occupancy` comparisons, with expected
+   * `occupancy = n / 2^bits` — so a FIXED `bits` degrades toward
+   * n^2/2^bits as the corpus grows. By default (`bits = 0`) the width is
+   * derived from a corpus count: `bits = ceil(log2(n / targetBucketRows))`
+   * (floored at 4), keeping expected occupancy — and thus join cost per
+   * row — constant as n scales. Per-table recall shrinks as bits grow
+   * (`p^bits`, p = 1 - angle/pi); compensate with more `tables` when the
+   * target similarity is low. An explicit `bits > 0` overrides.
+   *
+   * '''Occupancy guard.''' Degenerate inputs (constant embeddings,
+   * all-zero vectors) collapse into a few buckets and turn the self-join
+   * quadratic regardless of width; one cheap aggregation over the slim
+   * (table, sig) rows asserts `max bucket <= max(16*targetBucketRows,
+   * maxBucketFrac*n)` and fails loudly before the join can blow up.
+   * Disable with `maxBucketFrac = 0`.
+   *
+   * Eager like the Dedup pair finders: sizing + guard + verification run
+   * at call time, and the returned (tiny) qualifying-pair set stays
+   * persisted — callers that loop should `unpersist()` it when done.
+   *
    * All tables*bits hyperplane dots are computed by ONE fused kernel per
    * row ([[graft.functions.HyperplaneSignatures]]); the per-bit
    * expression tree it replaces compiled a tables*bits-wide codegen unit.
@@ -123,22 +157,51 @@ object Similarity {
    */
   def lshPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val hp = hyperplanes(tables, bits, dim, seed)
+      dim: Int, tables: Int = 8, bits: Int = 0, seed: Long = 42L,
+      targetBucketRows: Int = 64, maxBucketFrac: Double = 0.05): DataFrame = {
+    require(bits >= 0 && bits <= 62, s"bits must be in [0, 62] (0 = auto), got $bits")
+    val needCount = bits == 0 || maxBucketFrac > 0
+    val n: Long = if (needCount) df.count() else -1L // parquet count() is metadata-cheap
+    val resolvedBits =
+      if (bits > 0) bits
+      else math.max(4, math.ceil(math.log(math.max(n, 1).toDouble / targetBucketRows)
+        / math.log(2.0)).toInt)
+    val hp = hyperplanes(tables, resolvedBits, dim, seed)
     val sigs = df.select(col(idCol).as("id"),
         graft.functions.HashFunctions.hyperplaneSignatures(
           nativeVec(df, vecCol), hp).as("sigs"))
       .select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
+      .persist() // feeds the guard plus both self-join branches
+    if (maxBucketFrac > 0) {
+      val maxBucket = sigs.groupBy("table", "sig").count()
+        .agg(max(col("count")).as("m")).head() match {
+          case r if r.isNullAt(0) => 0L // empty input
+          case r => r.getLong(0)
+        }
+      val allowed = math.max(16L * targetBucketRows, (n * maxBucketFrac).toLong)
+      if (maxBucket > allowed) {
+        sigs.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"lshPairs: widest signature bucket holds $maxBucket of $n rows " +
+            s"(allowed $allowed with bits=$resolvedBits) — the bucket self-join would " +
+            "degenerate toward O(n^2). Check for constant/all-zero embedding vectors, " +
+            "raise bits, or disable this guard with maxBucketFrac = 0.")
+      }
+    }
     val cands = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     val v1 = prepped(df, idCol, vecCol, "id1", "v1", "n1")
     val v2 = prepped(df, idCol, vecCol, "id2", "v2", "n2")
-    cands.join(v1, "id1").join(v2, "id2")
+    val out = cands.join(v1, "id1").join(v2, "id2")
       .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+      .persist()
+    out.count() // materialize while sigs is live, then release it
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /**

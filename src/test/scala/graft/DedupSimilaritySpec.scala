@@ -54,6 +54,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH auto-sized bits: verified subset of exact, bounded bucket occupancy") {
+    val exact = Similarity.cosinePairs(embs, "vec_id", "embedding", threshold = 0.3)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    val lsh = Similarity.lshPairs(embs, "vec_id", "embedding", threshold = 0.3,
+      dim = 64, tables = 16, targetBucketRows = 64)
+    assert(lsh.select("id1", "id2").collect().map(_.toSeq).toSet.subsetOf(exact))
+    lsh.unpersist()
+    // the occupancy invariant the auto-sizing maintains: expected bucket
+    // width n/2^bits stays near targetBucketRows, so the widest bucket
+    // must sit far below the quadratic-blowup regime the guard protects
+    val n = embs.count()
+    val bits = math.max(4, math.ceil(math.log(n.toDouble / 64) / math.log(2.0)).toInt)
+    val hp = {
+      val rnd = new scala.util.Random(42L)
+      Array.fill(16, bits, 64)(rnd.nextGaussian())
+    }
+    val maxBucket = embs.select(col("vec_id"),
+        graft.functions.HashFunctions.hyperplaneSignatures(col("embedding"), hp).as("sigs"))
+      .select(posexplode(col("sigs")).as(Seq("table", "sig")))
+      .groupBy("table", "sig").count().agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 16L * 64, s"widest bucket $maxBucket exceeds 16x target occupancy")
+  }
+
+  test("cosinePairs tripwire refuses corpora above maxRows, pointing at lshPairs") {
+    import spark.implicits._
+    val big = (1 to 50).map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(big, "vec_id", "embedding", threshold = 0.5, maxRows = 10)
+    }
+    assert(e.getMessage.contains("lshPairs"), e.getMessage)
+    // maxRows = 0 disables the guard
+    assert(Similarity.cosinePairs(big, "vec_id", "embedding", threshold = 0.999, maxRows = 0)
+      .count() >= 0)
+  }
+
+  test("LSH occupancy guard trips loudly on degenerate (constant) embeddings") {
+    import spark.implicits._
+    val constant = (0 until 300)
+      .map(i => (i.toLong, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshPairs(constant, "vec_id", "embedding", threshold = 0.5,
+        dim = 8, tables = 4, targetBucketRows = 4, maxBucketFrac = 0.01)
+    }
+    assert(e.getMessage.contains("bucket"), e.getMessage)
+  }
+
   test("IVF top-k with nprobe=nlist degenerates to exact brute-force top-k") {
     val queries = embs.filter(col("vec_id") < 10)
     val exact = Similarity.topK(embs, queries, "vec_id", "embedding", k = 5)

@@ -45,7 +45,11 @@ object GraftFunctions {
       s"skyline_agg: ${minDir.length} directions for ${exprs.length - 1} dimension columns")
     // Cast every dimension to double like the DSL path does — without it
     // an int64 column would ClassCastException inside update() at runtime.
-    SkylineAggExpr(exprs.tail.map(Cast(_, DoubleType)), minDir).toAggregateExpression()
+    // The builder runs at analysis time, so the active session's buffer
+    // cap applies (falling back to the default outside a session).
+    val cap = try SkylineAggExpr.configuredCap(SparkSession.active)
+              catch { case _: IllegalStateException => SkylineAggExpr.DefaultMaxBuffer }
+    SkylineAggExpr(exprs.tail.map(Cast(_, DoubleType)), minDir, cap).toAggregateExpression()
   }
 
   private def arity(name: String, n: Int)(

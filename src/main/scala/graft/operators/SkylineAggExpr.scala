@@ -31,6 +31,7 @@ import graft.core.SkylineCore
 case class SkylineAggExpr(
     dims: Seq[Expression],
     minDir: Array[Boolean],
+    maxBuffer: Int = SkylineAggExpr.DefaultMaxBuffer,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[Array[Double]]] {
@@ -41,6 +42,23 @@ case class SkylineAggExpr(
   override def dataType: DataType = ArrayType(ArrayType(DoubleType, false), false)
 
   override def createAggregationBuffer(): ArrayBuffer[Array[Double]] = ArrayBuffer.empty
+
+  /** The one genuine 100 TB risk of this aggregate (SURVEY §7): on high-d
+    * or anti-correlated data the skyline itself — and therefore every
+    * buffer — can approach the input size, and an executor dies with an
+    * opaque OOM mid-shuffle. A bounded buffer turns that into an
+    * immediate, diagnosable failure with remedies attached. */
+  private def checkCap(buf: ArrayBuffer[Array[Double]]): ArrayBuffer[Array[Double]] = {
+    if (buf.length > maxBuffer) {
+      throw new IllegalStateException(
+        s"skyline buffer exceeded $maxBuffer points (spark.graft.skyline.maxBufferPoints): " +
+          "the Pareto frontier of this data is too large to aggregate safely — at high " +
+          "dimensionality or on anti-correlated data the skyline approaches the input size. " +
+          "Raise the cap if the result genuinely fits in executor memory, reduce dimensions, " +
+          "or pre-filter; a result this size is rarely a useful frontier.")
+    }
+    buf
+  }
 
   override def update(
       buf: ArrayBuffer[Array[Double]], input: InternalRow): ArrayBuffer[Array[Double]] = {
@@ -54,13 +72,13 @@ case class SkylineAggExpr(
       i += 1
     }
     SkylineCore.insert(buf, p, minDir)
-    buf
+    checkCap(buf)
   }
 
   override def merge(
       a: ArrayBuffer[Array[Double]],
       b: ArrayBuffer[Array[Double]]): ArrayBuffer[Array[Double]] =
-    SkylineCore.merge(a, b, minDir)
+    checkCap(SkylineCore.merge(a, b, minDir))
 
   override def eval(buf: ArrayBuffer[Array[Double]]): Any = {
     // Double.compare, not <: the IEEE operators are not a strict weak
@@ -110,4 +128,18 @@ case class SkylineAggExpr(
     copy(dims = newChildren)
 
   override def prettyName: String = "skyline"
+}
+
+object SkylineAggExpr {
+  /** Default buffer cap: 2^20 points. At d = 10 that is ~84 MB of doubles
+    * in one buffer — near the ceiling of what a partial-aggregation
+    * buffer should ever hold, and far beyond any frontier a user can
+    * consume. Override per session with
+    * `spark.graft.skyline.maxBufferPoints`. */
+  val DefaultMaxBuffer: Int = 1 << 20
+
+  /** Session-configured cap, read by the DataFrame/SQL entry points. */
+  def configuredCap(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.skyline.maxBufferPoints")
+      .map(_.toInt).getOrElse(DefaultMaxBuffer)
 }

@@ -99,7 +99,8 @@ object SkylineOps {
       val pts = df.filter(nonNull).select(
         keyCols.map(col) ++ fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
       val skyCol = ColumnShim.column(SkylineAggExpr(
-        dims.indices.map(i => ColumnShim.expression(col(s"_d$i"))), minDir)
+        dims.indices.map(i => ColumnShim.expression(col(s"_d$i"))), minDir,
+        SkylineAggExpr.configuredCap(df.sparkSession))
         .toAggregateExpression())
       pts.groupBy(keyCols.map(col): _*)
         .agg(skyCol.as("_sky"))
@@ -123,14 +124,17 @@ object SkylineOps {
      *               at large scale pass them explicitly (the reference
      *               hard-codes `[0, 10^9]`, configurations.py:17-18).
      * @param presort SFS monotone-score sortWithinPartitions before the
-     *               aggregate — opt-in for high dimensionality (see the
-     *               measured tradeoff at the implementation site).
+     *               aggregate. `None` (default) auto-enables it at d >= 5
+     *               — measured ~12% win at d=7 and a 3-4x LOSS at d <= 3,
+     *               so the heuristic follows the dimensionality (see the
+     *               tradeoff note at the implementation site);
+     *               `Some(true)`/`Some(false)` force it either way.
      */
     def skyline(
         dims: Seq[(String, Direction)],
         hint: PartitionHint = NoHint,
         bounds: Option[Seq[(Double, Double)]] = None,
-        presort: Boolean = false): DataFrame = {
+        presort: Option[Boolean] = None): DataFrame = {
       require(dims.nonEmpty, "empty dimension list")
       val schema = df.schema
       val types = dims.map { case (name, _) => schema(name).dataType }
@@ -148,15 +152,16 @@ object SkylineOps {
       // the per-row hot path; SkylineAggExpr consumes them directly.
       val projected = df.filter(nonNull)
         .select(fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
-      // Optional SFS presort (Chomicki et al., ICDE'03): a monotone score
+      // SFS presort (Chomicki et al., ICDE'03): a monotone score
       // — the sum of coordinates oriented so "better" is smaller — sorted
       // ascending WITHIN partitions (no shuffle). If a dominates b then
       // score(a) < score(b), so no point is ever dominated by a later
       // one: the BNL insert never evicts incumbents. Measured: ~12% win
       // at d=7/1M rows, but a 3-4x LOSS at d<=3 (the sort costs more
-      // than the near-free low-d BNL) — hence opt-in, for high-d or
-      // anti-correlated data where local skylines are large.
-      val pts = if (!presort) projected else {
+      // than the near-free low-d BNL) — hence the d >= 5 auto-heuristic,
+      // where local skylines grow large enough for evictions to matter.
+      val usePresort = presort.getOrElse(dims.length >= 5)
+      val pts = if (!usePresort) projected else {
         val sfsScore = dims.indices
           .map(i => if (minDir(i)) col(s"_d$i") else -col(s"_d$i"))
           .reduce(_ + _)
@@ -166,7 +171,8 @@ object SkylineOps {
       /** Skyline aggregate over the given dimension columns (native
         * TypedImperativeAggregate; see [[SkylineAggExpr]]). */
       def sky(cols: Seq[Column]): Column = ColumnShim.column(
-        SkylineAggExpr(cols.map(ColumnShim.expression), minDir).toAggregateExpression())
+        SkylineAggExpr(cols.map(ColumnShim.expression), minDir,
+          SkylineAggExpr.configuredCap(df.sparkSession)).toAggregateExpression())
 
       val dim = (i: Int) => col(s"_d$i")
       val dimCols = dims.indices.map(dim)

@@ -144,16 +144,22 @@ object SkylineStreaming {
     val minDir = dims.map(_._2.isMin).toArray
     val keyType = stream.schema(keyCol).dataType
     // The group key travels as its string form and is cast back at the
-    // end; that round-trip is only lossless for strings and integrals.
-    // Float/double keys can collapse distinct values and timestamp keys
-    // shift with the session time zone — reject them loudly.
+    // end; that round-trip is lossless for strings, integrals, dates
+    // (ISO yyyy-MM-dd), booleans, and decimals (a decimal's canonical
+    // string re-parses exactly at the same precision/scale). Float/double
+    // keys can collapse distinct values (string form rounds) and
+    // timestamp keys shift with the session time zone — reject those
+    // loudly.
     keyType match {
       case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
+           org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.BooleanType => ()
+      case _: org.apache.spark.sql.types.DecimalType => ()
       case other => throw new IllegalArgumentException(
         s"skylineByKeyStream key column '$keyCol' has type $other; " +
-          "only string and integral key types round-trip losslessly through the group key")
+          "only string, integral, date, boolean, and decimal keys round-trip " +
+          "losslessly through the group key (cast the key to string to force others)")
     }
     // drop rows with null dims — the batch-path contract (the reference
     // drops rows with missing coords); a null element would also break

@@ -52,10 +52,40 @@ class SkylineSparkSpec extends AnyFunSuite {
       assert(result(DimHint(8)) == base, s"DimHint seed=$seed")
       assert(result(GridHint(3)) == base, s"GridHint seed=$seed")
       assert(result(AngleHint(5)) == base, s"AngleHint seed=$seed")
-      assert(df.skyline(dims, presort = true).collect().map(_.toSeq).toSet == base,
+      assert(df.skyline(dims, presort = Some(true)).collect().map(_.toSeq).toSet == base,
         s"presort seed=$seed")
       df.unpersist()
     }
+  }
+
+  test("buffer cap trips loudly when the frontier exceeds it, never silently") {
+    import spark.implicits._
+    // a perfect 2-D anti-chain: every point is on the frontier
+    val df = (0 until 500).map(i => (i.toDouble, (500 - i).toDouble)).toDF("x1", "x2")
+    val dims = Seq("x1" -> Min, "x2" -> Min)
+    spark.conf.set("spark.graft.skyline.maxBufferPoints", "50")
+    try {
+      val e = intercept[Exception] { df.skyline(dims).collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("maxBufferPoints"), msgs)
+    } finally spark.conf.unset("spark.graft.skyline.maxBufferPoints")
+    // default cap: same query sails through (it never fires on real frontiers)
+    assert(df.skyline(dims).count() == 500)
+  }
+
+  test("auto-presort at d >= 5 returns the identical skyline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val df = Seq.fill(2000)((rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble(),
+      rnd.nextDouble(), rnd.nextDouble())).toDF("x1", "x2", "x3", "x4", "x5")
+      .repartition(4).cache()
+    val dims = (1 to 5).map(i => s"x$i" -> (Min: graft.core.Direction))
+    val auto = df.skyline(dims).collect().map(_.toSeq).toSet // presort auto-on
+    val off = df.skyline(dims, presort = Some(false)).collect().map(_.toSeq).toSet
+    assert(auto == off)
+    assert(auto.nonEmpty)
+    df.unpersist()
   }
 
   test("under-covering explicit bounds stay correct and don't overflow the key cast") {

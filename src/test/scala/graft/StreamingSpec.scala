@@ -101,6 +101,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(Seq(1, 2), Seq(3, 4)))
   }
 
+  test("two-job relay parity: per-key local skylines -> payload transport -> global merge == direct skyline") {
+    // The reference's full two-job topology (batch_job.py:96-205): job 1
+    // partitions the points, computes per-key LOCAL skylines, and ships
+    // each key's frontier as ONE JSON-array payload over the transport;
+    // job 2 drains the transport, decodes, and merges globally. The
+    // transport here is a directory of payload files standing in for the
+    // Kafka topic — the wire format and both decode/encode codecs are
+    // exactly the ones the Kafka wrappers use, so this exercises the
+    // COMPOSITION end-to-end, not just the codecs.
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+
+    // stage 1: spatial partitioning stand-in (any key works — locality
+    // only affects local-skyline sizes, not correctness), local
+    // frontiers, one array payload per key
+    val keyed = li.select(pmod(col("l_orderkey"), lit(8)).as("k"),
+      col("l_extendedprice"), col("l_discount"))
+    val local = keyed.skylineBy(Seq("k"), dims)
+    val payloads = SkylineStreaming.toJsonSkylineArrayPayload(local, keyCols = Seq("k"))
+    val transport = Files.createTempDirectory("graft-relay-topic").toFile
+    payloads.select("value").write.mode("overwrite").text(transport.getAbsolutePath)
+
+    // stage 2: drain the transport as a stream, decode the relay format,
+    // global skyline merge, once-trigger
+    val raw = spark.readStream.text(transport.getAbsolutePath)
+    val decoded = SkylineStreaming.fromJsonSkylinePayload(
+      raw, "l_extendedprice DOUBLE, l_discount DOUBLE")
+    val got = SkylineStreaming.runOnce(
+      SkylineStreaming.skylineStream(decoded, dims), "relay_parity_test")
+      .collect().map(_.toSeq).toSet
+
+    val want = li.skyline(dims).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("skylineByKeyStream accepts date/boolean/decimal keys (lossless string round-trip)") {
+    val inDir = Files.createTempDirectory("graft-keytype-ok-in").toFile
+    Files.write(new java.io.File(inDir, "b1.csv").toPath,
+      "2026-01-01,true,1.50,5,5\n2026-01-01,true,1.50,3,7\n2026-01-02,false,2.25,1,1\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val pts = SkylineStreaming.fromCsvPayload(raw,
+      "d DATE, b BOOLEAN, m DECIMAL(5,2), x1 INT, x2 INT")
+    for (key <- Seq("d", "b", "m")) {
+      val ckpt = Files.createTempDirectory(s"graft-keytype-ok-$key").toFile
+      val q = SkylineStreaming.skylineByKeyStream(pts, key, Seq("x1" -> Min, "x2" -> Min))
+        .writeStream.format("memory").queryName(s"keytype_ok_$key")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table(s"keytype_ok_$key").collect()
+        assert(rows.nonEmpty, s"key=$key")
+        // the key column must come back in its ORIGINAL type
+        val kt = spark.table(s"keytype_ok_$key").schema(key).dataType
+        assert(kt == pts.schema(key).dataType, s"key=$key type $kt")
+      } finally q.stop()
+    }
+  }
+
   test("mapGroupsWithState per-key skylines refine across micro-batches") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-state-in").toFile

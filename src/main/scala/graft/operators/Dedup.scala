@@ -94,6 +94,12 @@ object Dedup {
    * while staying exact. Candidates are then verified with the true
    * Jaccard. Scales: the only wide operations are the frequency count,
    * the prefix join, and the verify join, all on shuffled keys.
+   *
+   * EAGER: verification runs at call time (a count job materializes the
+   * result while the internal shingle cache is live, then releases it),
+   * and the returned qualifying-pair set stays PERSISTED — it is tiny
+   * relative to the corpus, but callers that loop over many corpora
+   * should `unpersist()` each result when done with it.
    */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -228,6 +234,9 @@ object Dedup {
    * recall (1 - (1 - t^r)^b), precision exact due to verification.
    * The scale path for corpora where even prefix-filtered all-pairs is
    * too wide: cost is O(docs * numPerm) map-side plus a bucket join.
+   *
+   * EAGER like [[jaccardPairs]]: the verified pair set is materialized
+   * at call time and returned PERSISTED — `unpersist()` it when looping.
    */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -274,21 +283,83 @@ object Dedup {
       .select(col("id"), graft.functions.HashFunctions.simhash64(col("_toks")).as("sim"))
       .filter(col("sim").isNotNull)
 
+  /**
+   * @param hotBucketRows skew cutoff: buckets wider than this are
+   *   re-partitioned by Manku-style band EXTENSION instead of joined
+   *   whole. A pair in the same (band, value) bucket with overall
+   *   distance <= maxHamming has <= maxHamming differing bits among the
+   *   REMAINING 64 - bandBits bits; splitting those into maxHamming + 1
+   *   sub-bands guarantees (pigeonhole again) an exact sub-band match —
+   *   so hot buckets join on (band, value, sub-band, sub-value) with
+   *   PERFECT recall preserved, and the join width drops from |bucket|^2
+   *   to the sub-bucket widths. Irreducible residue: documents with
+   *   IDENTICAL full signatures always share every sub-bucket — at that
+   *   point the candidate set IS the answer set and no partitioning can
+   *   shrink it (exact-dedup upstream is the fix).
+   */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, hotBucketRows: Int = 4096): DataFrame =
+    simhashPairsOfSignatures(simhash(df, idCol, textCol), maxHamming, hotBucketRows)
+
+  /** [[simhashPairs]] over PRECOMPUTED signatures — a (id, sim) frame as
+    * produced by [[simhash]]. At scale the signatures are the artifact
+    * worth persisting (64 bits/doc); re-running the banded search with a
+    * different maxHamming then costs no re-hash of the corpus. */
+  def simhashPairsOfSignatures(
+      sim: DataFrame, maxHamming: Int, hotBucketRows: Int = 4096): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val sim = simhash(df, idCol, textCol)
     val bands = sim.select(col("id"), col("sim"), posexplode(
       array((0 until nBands).map(j =>
         shiftright(col("sim"), j * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as(Seq("band", "bh")))
-    bands.as("a").join(bands.as("b"), Seq("band", "bh"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+
+    // Bucket widths, joined back on the SAME key the self-join uses (the
+    // exchange is co-partitioned; output is at most one row per occupied
+    // bucket). Wide and narrow buckets then take different join paths.
+    val counts = bands.groupBy("band", "bh").agg(count(lit(1)).as("_bw"))
+    val tagged = bands.join(counts, Seq("band", "bh"))
+
+    def pairsOf(side: DataFrame, keys: Seq[String]): DataFrame =
+      side.as("a").join(side.as("b"), keys)
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+
+    val cold = tagged.filter(col("_bw") <= hotBucketRows).select("id", "sim", "band", "bh")
+    val coldPairs = pairsOf(cold, Seq("band", "bh"))
+
+    // Hot path: pack the 64 - bandBits bits OUTSIDE the matched band into
+    // one value (low bits | high bits shifted down), then split it into
+    // nBands sub-bands (the last takes any remainder bits). Literal
+    // shifts per band index — Java shifts are mod 64, so the top band's
+    // "high part" (a would-be >>> 64) must be dropped explicitly.
+    val remBits = 64 - bandBits
+    val subBits = remBits / nBands
+    def remOf(i: Int): Column = {
+      val low =
+        if (i == 0) lit(0L)
+        else col("sim").bitwiseAND(lit((1L << (i * bandBits)) - 1))
+      val high =
+        if (i == nBands - 1) lit(0L)
+        else shiftleft(shiftright(col("sim"), (i + 1) * bandBits), i * bandBits)
+      low.bitwiseOR(high)
+    }
+    val rem = (1 until nBands).foldLeft(when(col("band") === lit(0), remOf(0))) {
+      (acc, i) => acc.when(col("band") === lit(i), remOf(i))
+    }
+    val subs = array((0 until nBands).map { j =>
+      if (j == nBands - 1) shiftright(col("_rem"), j * subBits) // remainder bits included
+      else shiftright(col("_rem"), j * subBits).bitwiseAND(lit((1L << subBits) - 1))
+    }: _*)
+    val hot = tagged.filter(col("_bw") > hotBucketRows)
+      .select(col("id"), col("sim"), col("band"), col("bh"), rem.as("_rem"))
+      .select(col("id"), col("sim"), col("band"), col("bh"),
+        posexplode(subs).as(Seq("sub", "sbh")))
+    val hotPairs = pairsOf(hot, Seq("band", "bh", "sub", "sbh"))
+
+    coldPairs.union(hotPairs).distinct()
   }
 }

@@ -47,6 +47,32 @@ object DedupBench {
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[dedupbench] n=$n%8d minhash pairs=$found planted=$planted " +
       f"recall=${recallHits.toDouble / planted}%.3f time=${dt}%.1f s")
+
+    // SimHash skew check: a corpus whose documents share a large common
+    // template (so one 16-bit band collapses to few values — the hot-
+    // bucket regime) must not degenerate into one quadratic straggler
+    // bucket. Compare the whole-bucket join (hotBucketRows = MaxValue)
+    // against the Manku band-extension path (default cutoff).
+    if (args.contains("--skew")) {
+      // The adversarial band-skew regime, stated directly in signature
+      // space: every document shares ONE constant 16-bit band (a webpage
+      // template dominating those bit votes) while the other 48 bits are
+      // random — so band 0 is a single bucket holding the WHOLE corpus,
+      // and almost no pair actually qualifies at hamming <= 3. The
+      // whole-bucket join does |corpus|^2/2 comparisons in one straggler
+      // task; Manku band extension splits the hot bucket by sub-bands of
+      // the remaining 48 bits and must stay near-linear.
+      val nSkew = math.min(n / 4, 120000)
+      val sims = spark.range(nSkew.toLong).select(col("id"),
+        shiftleft(abs(xxhash64(col("id"))), 16).bitwiseOR(lit(0xABCDL)).as("sim"))
+      for ((label, cutoff) <- Seq("band-extension" -> 4096, "whole-bucket" -> Int.MaxValue)) {
+        val s0 = System.nanoTime()
+        val np = Dedup.simhashPairsOfSignatures(sims,
+          maxHamming = 3, hotBucketRows = cutoff).count()
+        println(f"[dedupbench] skew n=$nSkew $label pairs=$np " +
+          f"time=${(System.nanoTime() - s0) / 1e9}%.1f s")
+      }
+    }
     spark.stop()
   }
 }

@@ -39,6 +39,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(col("id1"), col("id2"), col("hamming").cast("long"))
       .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute)
+    // band EXTENSION path (hotBucketRows = 0 forces every bucket through
+    // the sub-band join): same exactness guarantee must hold
+    val hot = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, hotBucketRows = 0)
+      .select(col("id1"), col("id2"), col("hamming").cast("long"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hot == brute, "Manku band extension changed the result set")
+    // and for a maxHamming where 64 % (maxHamming+1) != 0 (remainder bits)
+    for (mh <- Seq(1, 2)) {
+      val sub = (for {
+        (id1, s1) <- sims; (id2, s2) <- sims if id1 < id2
+        h = java.lang.Long.bitCount(s1 ^ s2) if h <= mh
+      } yield Seq(id1, id2, h.toLong)).toSet
+      val gotSub = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = mh, hotBucketRows = 0)
+        .select(col("id1"), col("id2"), col("hamming").cast("long"))
+        .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotSub == sub, s"maxHamming=$mh")
+    }
   }
 
   test("LSH cosine pairs are a verified subset of exact pairs") {

@@ -238,6 +238,29 @@ object SparkEntry {
         k = 10, dim = 64)
     }),
 
+    // ----- pipeline ops: reproducible sampling + sequence packing -------
+    "q_sample_hash" -> ((s, dir) =>
+      // deterministic Bernoulli split: pure function of (doc_id, salt),
+      // identical across runs/engines — NOT df.sample's per-run reroll
+      PipelineOps.hashSample(t(s, dir, "documents"), "doc_id", fraction = 0.2)
+        .select(col("doc_id"), col("source"))),
+    "q_mix_sources" -> ((s, dir) =>
+      // dataset mixing: per-source keep fractions (upsample some sources,
+      // drop the rest), deterministic via the same md5 device
+      PipelineOps.hashSampleBy(t(s, dir, "documents"), "doc_id", "source",
+        fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))),
+    "q_pack_sequences" -> ((s, dir) =>
+      // GPT-style concat-and-chunk packing: per-source token streams
+      // chunked at 512; seq_offset = first-token offset in the stream
+      PipelineOps.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("tok")),
+        streamCol = "source", orderCol = "doc_id", tokenCol = "tok", maxTokens = 512)
+        .select(col("doc_id"), col("source"), col("seq_offset"), col("seq_id"))),
+
     // ----- structured-streaming parity (reference batch_job shape:
     // streaming plan + drain-the-source trigger, complete mode) ----------
     "stream_sky_li_2d" -> ((s, dir) => {
@@ -509,6 +532,27 @@ object SparkEntry {
       "sim_pairs" ->
         s"""$dotPairs
            |SELECT id1, id2, round(c, 4) AS cos FROM cosv WHERE c >= 0.3""".stripMargin,
+
+      // md5-prefix thresholds: floor(f * 16^8) in hex — 0.2 -> 33333333,
+      // 0.5 -> 80000000, 0.25 -> 40000000, 0.1 -> 19999999, 1.0 -> 'g'
+      // (sorts after all hex digits = keep everything)
+      "q_sample_hash" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE substr(md5(doc_id::VARCHAR || ':graft'), 1, 8) < '33333333'""".stripMargin,
+      "q_mix_sources" ->
+        """SELECT source, count(*) AS n_kept FROM documents
+          |WHERE substr(md5(doc_id::VARCHAR || ':graft'), 1, 8) <
+          |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
+          |    WHEN 'src2' THEN '40000000' ELSE '19999999' END
+          |GROUP BY source""".stripMargin,
+      "q_pack_sequences" ->
+        s"""WITH d AS (SELECT doc_id, source, len($toks)::BIGINT AS tok FROM documents)
+           |SELECT doc_id, source,
+           |  COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS seq_offset,
+           |  (COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS seq_id
+           |FROM d""".stripMargin,
 
       "mm_decode" ->
         """SELECT doc_id,

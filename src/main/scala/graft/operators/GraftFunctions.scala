@@ -59,10 +59,33 @@ object GraftFunctions {
       build(exprs)
     }
 
+  /** `topk_agg(score, id, k[, largest])`: bounded exact top-k as an
+    * aggregate — array<struct<id,score>> best-first. k (and largest) must
+    * be literals; score double, id bigint (cast in SQL as needed). */
+  private def buildTopKAgg(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3 || exprs.length == 4,
+      s"topk_agg(score, id, k[, largest]) takes 3-4 arguments, got ${exprs.length}")
+    val k = exprs(2) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_agg's k must be an integer literal, got $other")
+    }
+    val largest = exprs.lift(3) match {
+      case None => true
+      case Some(Literal(b: Boolean, _)) => b
+      case Some(other) => throw new IllegalArgumentException(
+        s"topk_agg's largest flag must be a boolean literal, got $other")
+    }
+    TopKAggExpr(Cast(exprs(0), DoubleType),
+      Cast(exprs(1), org.apache.spark.sql.types.LongType), k, largest)
+      .toAggregateExpression()
+  }
+
   /** Register graft's SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.FunctionRegistration
     reg.registerFunction(spark, "skyline_agg", buildSkylineAgg)
+    reg.registerFunction(spark, "topk_agg", buildTopKAgg)
     reg.registerFunction(spark, "graft_dot",
       arity("graft_dot", 2)(exprs => graft.functions.DotProduct(exprs(0), exprs(1))))
     reg.registerFunction(spark, "graft_squared_norm",

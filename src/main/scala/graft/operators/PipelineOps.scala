@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators beyond dedup/similarity: reproducible
+ * sampling and sequence packing. Everything here is a pure DataFrame
+ * composition — no UDFs, no driver loops — and deterministic: re-running
+ * the pipeline on the same corpus yields byte-identical splits, which is
+ * what makes 100 TB dataset builds auditable and resumable.
+ */
+object PipelineOps {
+
+  /** Hex threshold for an md5-prefix Bernoulli filter: the first 8 hex
+    * chars of md5 are uniform on [0, 16^8), so `prefix < hex(f * 16^8)`
+    * keeps an f-fraction, deterministically per key. */
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    // "g" sorts after every hex digit, so `prefix < "g"` keeps ALL rows —
+    // the exact fraction-1.0 semantic (a capped hex max would drop keys
+    // hashing to ffffffff)
+    if (fraction >= 1.0) "g" else f"${(fraction * 4294967296.0).toLong}%08x"
+  }
+
+  private def hashKey(keyCol: Column, salt: String): Column =
+    substring(md5(concat(keyCol.cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
+
+  /**
+   * Deterministic Bernoulli sample: keep a row iff the md5 of its key
+   * (plus salt) falls under the fraction threshold. Unlike
+   * `df.sample(...)` — whose output depends on partitioning and rerolls
+   * per run — this is a pure function of (key, salt): stable across
+   * runs, cluster sizes, and engines (md5 of the key's string bytes is
+   * engine-portable, so an external system can reproduce the exact
+   * split). Changing `salt` draws an independent sample — the standard
+   * train/validation split device.
+   */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = "graft"): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hashKey(col(keyCol), salt) < lit(hexThreshold(fraction)))
+
+  /**
+   * Deterministic stratified sampling — the dataset-mixing primitive: a
+   * per-stratum keep fraction (e.g. upsample curated sources, downsample
+   * crawl), applied with the same md5 device so mixes are reproducible.
+   * Strata absent from `fractions` get `defaultFraction`. Map-side only:
+   * a filter with a CASE threshold, no shuffle, no sampleBy reroll.
+   */
+  def hashSampleBy(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    val thr = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum), lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(hashKey(col(keyCol), salt) < thr)
+  }
+
+  /**
+   * Concat-and-chunk sequence packing (the GPT-pretraining layout):
+   * documents are laid end-to-end in deterministic (`streamCol`,
+   * `orderCol`) order and chunked into fixed `maxTokens` windows; a
+   * document's sequence id is the window its first token lands in.
+   * Output adds `seq_id` (per stream) and `seq_offset` (the document's
+   * first-token offset within its stream, from which any trainer can
+   * derive intra-sequence position and straddling).
+   *
+   * Packing is inherently sequential, so the parallel unit is the
+   * stream (`streamCol`, e.g. source or shard): each stream packs
+   * independently inside one window partition — the same sharding real
+   * pretraining pipelines use. At 100 TB choose a streamCol with enough
+   * distinct values to spread (e.g. `pmod(hash(id), shards)`), not a
+   * global sort.
+   */
+  def packSequences(df: DataFrame, streamCol: String, orderCol: String,
+      tokenCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val w = Window.partitionBy(streamCol).orderBy(col(orderCol).asc)
+    // start offset = tokens of all PRECEDING docs in the stream
+    val startOffset = coalesce(
+      sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)).cast("long")
+    df.withColumn("seq_offset", startOffset)
+      .withColumn("seq_id", floor(col("seq_offset") / maxTokens).cast("long"))
+  }
+}

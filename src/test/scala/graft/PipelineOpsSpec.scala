@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PipelineOps
+
+/** Reproducible-sampling and sequence-packing invariants. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSample is deterministic, partition-independent, and near the target fraction") {
+    val a = PipelineOps.hashSample(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = PipelineOps.hashSample(docs.repartition(7), "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning or run")
+    val n = docs.count()
+    assert(math.abs(a.size.toDouble / n - 0.3) < 0.1, s"${a.size}/$n far from 0.3")
+    // fraction edges
+    assert(PipelineOps.hashSample(docs, "doc_id", 1.0).count() == n)
+    assert(PipelineOps.hashSample(docs, "doc_id", 0.0).count() == 0)
+  }
+
+  test("different salts draw (near-)independent samples") {
+    val a = PipelineOps.hashSample(docs, "doc_id", 0.5, salt = "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = PipelineOps.hashSample(docs, "doc_id", 0.5, salt = "valid")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = a.intersect(b).size.toDouble / math.max(a.size, 1)
+    assert(math.abs(overlap - 0.5) < 0.15, s"salted samples should overlap ~50%, got $overlap")
+  }
+
+  test("hashSampleBy applies per-stratum fractions (1.0 keeps every row)") {
+    val kept = PipelineOps.hashSampleBy(docs, "doc_id", "source",
+      fractions = Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.5)
+    val bySource = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == total("src0"), "fraction 1.0 must keep all rows")
+    assert(!bySource.contains("src1"), "fraction 0.0 must drop all rows")
+  }
+
+  test("packSequences: offsets are exclusive prefix sums; chunk ids follow offsets") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L), ("a", 4L, 100L),
+      ("b", 1L, 1200L), ("b", 2L, 10L)).toDF("src", "id", "tok")
+    val got = PipelineOps.packSequences(df, "src", "id", "tok", maxTokens = 512)
+      .select("src", "id", "seq_offset", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 1L, 0L, 0L),    // starts at 0 -> chunk 0
+      ("a", 2L, 300L, 0L),  // straddles 512 but STARTS in chunk 0
+      ("a", 3L, 600L, 1L),
+      ("a", 4L, 1100L, 2L),
+      ("b", 1L, 0L, 0L),    // streams pack independently
+      ("b", 2L, 1200L, 2L)))
+  }
+
+  test("SQL surface: topk_agg ranks per group like the Column API") {
+    import spark.implicits._
+    graft.operators.GraftFunctions.register(spark)
+    Seq((0, 1.0, 10L), (0, 3.0, 11L), (0, 2.0, 12L), (1, 5.0, 13L))
+      .toDF("g", "score", "id").createOrReplaceTempView("topk_in")
+    val rows = spark.sql(
+      """SELECT g, t.id, t.score FROM
+        |  (SELECT g, explode(topk_agg(score, id, 2)) AS t FROM topk_in GROUP BY g)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((0, 11L, 3.0), (0, 12L, 2.0), (1, 13L, 5.0)))
+  }
+}

@@ -205,19 +205,68 @@ object Similarity {
   }
 
   /**
+   * A trained IVF index: the centroid set plus the centroid-assigned,
+   * norm-annotated corpus layout. Build once with [[Similarity.buildIvf]],
+   * probe many times with [[topK]] — the training cost (Lloyd iterations
+   * over the corpus) amortizes across query batches, which is how an ANN
+   * index is actually operated. `persist()` pins the assigned layout for
+   * repeated probing (at cluster scale this is the step you'd snapshot to
+   * a bucketed table partitioned by cell id).
+   */
+  final class IvfIndex private[operators] (
+      val centroids: Array[Array[Double]],
+      private[operators] val indexed: DataFrame,
+      private[operators] val idType: org.apache.spark.sql.types.DataType) {
+
+    def persist(): IvfIndex = { indexed.persist(); this }
+    def unpersist(): IvfIndex = { indexed.unpersist(blocking = false); this }
+
+    /** Probe the `nprobe` nearest cells per query and rank exact cosines
+      * within them (bounded top-k heap — see [[rankTopK]]). */
+    def topK(queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, nprobe: Int): DataFrame = {
+      def distsExpr(vec: Column): Column =
+        graft.functions.HashFunctions.centroidDistances(vec, centroids)
+      val q = queries.select(col(idCol).as("query_id"), nativeVec(queries, vecCol).as("qv"))
+      val probed = q.select(col("query_id"), col("qv"),
+          posexplode(distsExpr(col("qv"))).as(Seq("ci", "d")))
+        .groupBy("query_id")
+        .agg(first(col("qv")).as("qv"), // qv is constant per query_id
+          TopKFunctions.topKByScore(col("d"), col("ci").cast("long"), nprobe, largest = false)
+            .as("_cells"))
+        .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"),
+          explode(col("_cells.id")).as("cl"))
+        .select(col("query_id"), col("qv"), col("qn"), col("cl").cast("int").as("c"))
+      val scored = probed.join(indexed, "c")
+        .filter(col("query_id") =!= col("id"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+        .withColumn("neighbor_id", col("id"))
+      rankTopK(scored, k, idType)
+    }
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k: kmeans-lite centroids
    * (deterministic seeded init on the lowest-id vectors, a few Lloyd
    * iterations as DataFrame jobs), then each query probes only the
    * `nprobe` nearest centroid cells. The standard
    * billion-scale ANN layout: the corpus is partitioned by centroid id,
-   * so a query touches nprobe/nlist of the data.
+   * so a query touches nprobe/nlist of the data. One-shot convenience
+   * over [[buildIvf]] + [[IvfIndex.topK]].
    */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
+    buildIvf(corpus, idCol, vecCol, dim, nlist, iters).topK(queries, idCol, vecCol, k, nprobe)
+
+  /** Train an [[IvfIndex]] on the corpus (see [[ivfTopK]] for the
+    * algorithm and scale notes). */
+  def buildIvf(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int = 16, iters: Int = 3): IvfIndex = {
     val idType = corpus.schema(idCol).dataType
     require(integralIdType(idType),
-      s"ivfTopK requires an integral id column, got $idType (pre-map ids to long)")
+      s"buildIvf requires an integral id column, got $idType (pre-map ids to long)")
     // Lloyd iterations re-scan the corpus; cache the projected vectors for
     // the duration of training (the canonical iterative-ML pattern — at
     // cluster scale this is a MEMORY_AND_DISK persist of the same shape).
@@ -277,29 +326,15 @@ object Similarity {
 
     // Training is over (the collect loops above materialized the cache);
     // release it so repeated calls in a long-lived session don't pin
-    // blocks. The final probe job below recomputes `data` from source —
-    // one extra scan, no leak.
+    // blocks. Probes recompute the assignment from source unless the
+    // caller pins the index with IvfIndex.persist() — one extra scan per
+    // probe batch, no leak either way.
     data.unpersist(blocking = false)
 
+    // the index layout: centroid-assigned corpus with norms computed once
+    // per row, BEFORE any probe join replicates rows
     val indexed = data.withColumn("c", assignExpr(col("v"), centroids))
-    // nprobe nearest cells per query (by centroid distance): smallest-k
-    // heap aggregate, same bounded shape as the final ranking
-    val q = queries.select(col(idCol).as("query_id"), nativeVec(queries, vecCol).as("qv"))
-    val probed = q.select(col("query_id"), col("qv"),
-        posexplode(distsExpr(col("qv"), centroids)).as(Seq("ci", "d")))
-      .groupBy("query_id")
-      .agg(first(col("qv")).as("qv"), // qv is constant per query_id
-        TopKFunctions.topKByScore(col("d"), col("ci").cast("long"), nprobe, largest = false)
-          .as("_cells"))
-      .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"),
-        explode(col("_cells.id")).as("cl"))
-      .select(col("query_id"), col("qv"), col("qn"), col("cl").cast("int").as("c"))
-    // norms once per side before the probe join replicates rows
-    val indexedN = indexed.withColumn("vn", l2Norm(col("v")))
-    val scored = probed.join(indexedN, "c")
-      .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
-      .withColumn("neighbor_id", col("id"))
-    rankTopK(scored, k, idType)
+      .withColumn("vn", l2Norm(col("v")))
+    new IvfIndex(centroids, indexed, idType)
   }
 }

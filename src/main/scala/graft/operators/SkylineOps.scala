@@ -84,7 +84,8 @@ object SkylineOps {
      * computes per-task per-group local skylines, the shuffle carries
      * only (key, skyline-buffer) pairs.
      */
-    def skylineBy(keyCols: Seq[String], dims: Seq[(String, Direction)]): DataFrame = {
+    def skylineBy(keyCols: Seq[String], dims: Seq[(String, Direction)],
+        presort: Option[Boolean] = None): DataFrame = {
       require(dims.nonEmpty, "empty dimension list")
       require(keyCols.nonEmpty, "skylineBy needs at least one key column (use skyline otherwise)")
       val overlap = keyCols.toSet.intersect(dims.map(_._1).toSet)
@@ -96,8 +97,19 @@ object SkylineOps {
       val minDir = dims.map(_._2.isMin).toArray
       val fwd = dims.zip(types).map { case ((name, _), dt) => toDouble(col(name), dt) }
       val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
-      val pts = df.filter(nonNull).select(
+      val projected = df.filter(nonNull).select(
         keyCols.map(col) ++ fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+      // SFS presort applies per group too: hash aggregation feeds each
+      // group's buffer in partition order, and a subsequence of a
+      // score-sorted partition is still score-sorted — so one partition-
+      // local sort serves every group at once. Same d >= 5 heuristic as
+      // the global path.
+      val pts = if (!presort.getOrElse(dims.length >= 5)) projected else {
+        val sfsScore = dims.indices
+          .map(i => if (minDir(i)) col(s"_d$i") else -col(s"_d$i"))
+          .reduce(_ + _)
+        projected.sortWithinPartitions(sfsScore.asc)
+      }
       val skyCol = ColumnShim.column(SkylineAggExpr(
         dims.indices.map(i => ColumnShim.expression(col(s"_d$i"))), minDir,
         SkylineAggExpr.configuredCap(df.sparkSession))

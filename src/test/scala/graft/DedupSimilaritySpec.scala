@@ -149,6 +149,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == exact)
   }
 
+  test("IvfIndex: build once, probe many — identical to the one-shot path") {
+    val idx = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64, nlist = 8, iters = 2)
+      .persist()
+    try {
+      for ((qmax, k, np) <- Seq((10, 5, 8), (20, 3, 4))) {
+        val queries = embs.filter(col("vec_id") < qmax)
+        val fromIndex = idx.topK(queries, "vec_id", "embedding", k = k, nprobe = np)
+          .collect().map(_.toSeq).toSet
+        val oneShot = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+          k = k, dim = 64, nlist = 8, nprobe = np, iters = 2)
+          .collect().map(_.toSeq).toSet
+        assert(fromIndex == oneShot, s"qmax=$qmax k=$k nprobe=$np")
+      }
+    } finally idx.unpersist()
+  }
+
   test("near-dup clusters: genuinely transitive chains collapse to one component") {
     import spark.implicits._
     // doc_i = block_i ++ block_{i+1}: ADJACENT docs share one 30-word

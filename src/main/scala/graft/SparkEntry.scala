@@ -251,6 +251,16 @@ object SparkEntry {
         fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultFraction = 0.1)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))),
+    "q_contamination" -> ((s, dir) => {
+      // decontamination: every 50th doc stands in for the benchmark/eval
+      // set; flag remaining docs sharing any word trigram with it
+      val docs = t(s, dir, "documents")
+      PipelineOps.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shared"))
+    }),
     "q_pack_sequences" -> ((s, dir) =>
       // GPT-style concat-and-chunk packing: per-source token streams
       // chunked at 512; seq_offset = first-token offset in the stream
@@ -545,6 +555,13 @@ object SparkEntry {
           |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
           |    WHEN 'src2' THEN '40000000' ELSE '19999999' END
           |GROUP BY source""".stripMargin,
+      "q_contamination" ->
+        s"""WITH t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
+           |c AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 != 0),
+           |b AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 50 = 0)
+           |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+           |FROM c JOIN b ON c.s = b.s
+           |GROUP BY c.doc_id""".stripMargin,
       "q_pack_sequences" ->
         s"""WITH d AS (SELECT doc_id, source, len($toks)::BIGINT AS tok FROM documents)
            |SELECT doc_id, source,

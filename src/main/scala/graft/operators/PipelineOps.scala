@@ -86,4 +86,35 @@ object PipelineOps {
     df.withColumn("seq_offset", startOffset)
       .withColumn("seq_id", floor(col("seq_offset") / maxTokens).cast("long"))
   }
+
+  /**
+   * Benchmark decontamination: corpus documents sharing at least one word
+   * `n`-gram with the benchmark set, with the count of distinct shared
+   * n-grams as the contamination strength. The training-data hygiene step
+   * run before every serious pretraining job — eval questions leaking
+   * into the corpus inflate benchmark scores.
+   *
+   * Shape at 100 TB: the CORPUS side explodes to (id, shingle-hash) rows
+   * (map-side, 64-bit hashes — string shingles never shuffle); the
+   * BENCHMARK side — eval suites are tiny next to a corpus — collapses to
+   * a distinct hash set and broadcasts, so the probe is a broadcast hash
+   * join with no corpus shuffle; only the per-doc count aggregates.
+   * Output: (id, n_shared), one row per contaminated document.
+   */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def shingleHashes(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = df.select(
+        (if (withId) Seq(col(idCol).as("id")) else Nil) :+
+          graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"): _*)
+      base.select(
+        (if (withId) Seq(col("id")) else Nil) :+
+          explode(graft.functions.TextFunctions.shingleSetFromTokens(col("_toks"), n)).as("_sh"): _*)
+        .withColumn("s", xxhash64(col("_sh"))).drop("_sh")
+    }
+    val c = shingleHashes(corpus, withId = true)
+    val b = shingleHashes(bench, withId = false).select("s").distinct()
+    c.join(broadcast(b), "s")
+      .groupBy("id").agg(count_distinct(col("s")).as("n_shared"))
+  }
 }

@@ -62,6 +62,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", 2L, 1200L, 2L)))
   }
 
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),          // shares "quick brown fox"
+      (2L, "completely unrelated text here now"), // clean
+      (3L, "quick brown fox quick brown fox"))    // same shared trigram, appears once distinct
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox ran")).toDF("doc_id", "text")
+    // bench trigrams: {"a quick brown", "quick brown fox", "brown fox ran"};
+    // docs 1 and 3 each share exactly {"quick brown fox"}; doc 2 is clean
+    val got = PipelineOps.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   test("SQL surface: topk_agg ranks per group like the Column API") {
     import spark.implicits._
     graft.operators.GraftFunctions.register(spark)

@@ -42,18 +42,15 @@ private[graft] trait ArrayKernel { self: UnaryExpression =>
     case _ => false
   }
 
-  @transient protected lazy val floatInput: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
+  @transient private lazy val numElemType: DataType = VecGen.elemType(child.dataType)
 
-  /** Per-element numeric read widened to double (codegen form). */
-  protected def numGet(arr: String, i: String): String =
-    if (floatInput) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+  /** Per-element numeric read widened to double (codegen form; shared
+    * with the dot/norm kernels via [[VecGen]]). */
+  protected def numGet(arr: String, i: String): String = VecGen.get(arr, i, numElemType)
 
   /** Per-element numeric read widened to double (interpreted form). */
   protected def numGetEval(arr: ArrayData, i: Int): Double =
-    if (floatInput) arr.getFloat(i).toDouble else arr.getDouble(i)
+    VecGen.getEval(arr, i, numElemType)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(et, _) if acceptedElementTypes.contains(et) => TypeCheckResult.TypeCheckSuccess

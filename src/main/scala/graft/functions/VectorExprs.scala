@@ -17,27 +17,45 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * implemented as codegen'd expressions: a tight primitive loop over
  * `ArrayData`, no boxing, fully inside whole-stage codegen.
  *
- * Both accept `array<float>` AND `array<double>` natively (accumulation
- * is always double, so a float input produces bit-identical results to
- * casting it to array<double> first — float widens exactly — at half
- * the memory bandwidth on the 100 TB-relevant embedding path). Null
+ * Both accept ANY numeric array natively — float/double/integral —
+ * widening each element to double in the loop (bit-identical to casting
+ * the array first, at half the memory bandwidth on the 100 TB-relevant
+ * float-embedding path; integral reads are exact below 2^53). Null
  * arrays propagate null; an array containing a null ELEMENT makes the
- * result null too (a silent 0.0 would corrupt scores — see the
- * element-null guard, emitted only when the input type admits nulls).
+ * result null too (a silent 0.0 would corrupt scores — the guard is
+ * emitted only when the input type admits nulls), and a dot of vectors
+ * with DIFFERENT lengths is null (a truncated dot over full norms would
+ * be a wrong-but-plausible cosine).
  */
-private[functions] object VecGen {
-  /** Per-element read widened to double, by declared element type. */
+private[graft] object VecGen {
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+  /** Per-element read widened to double, by declared element type
+    * (codegen form). Integral reads are exact below 2^53. */
   def get(arr: String, i: String, et: DataType): String = et match {
+    case DoubleType => s"$arr.getDouble($i)"
     case FloatType => s"((double) $arr.getFloat($i))"
-    case _ => s"$arr.getDouble($i)"
+    case LongType => s"((double) $arr.getLong($i))"
+    case IntegerType => s"((double) $arr.getInt($i))"
+    case ShortType => s"((double) $arr.getShort($i))"
+    case ByteType => s"((double) $arr.getByte($i))"
+    case other => throw new IllegalStateException(s"unsupported vector element type $other")
   }
 
-  def getEval(arr: ArrayData, i: Int, float: Boolean): Double =
-    if (float) arr.getFloat(i).toDouble else arr.getDouble(i)
+  /** Interpreted counterpart of [[get]]. */
+  def getEval(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType => arr.getFloat(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported vector element type $other")
+  }
 
-  def floatElems(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  def elemType(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => et
+    case _ => DoubleType
   }
 
   def elemsNullable(dt: DataType): Boolean = dt match {
@@ -45,8 +63,10 @@ private[functions] object VecGen {
     case _ => false
   }
 
+  /** Any numeric array the dot/norm kernels can read directly. */
   def vecType(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType, _) =>
+      true
     case _ => false
   }
 }
@@ -62,24 +82,28 @@ case class DotProduct(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckSuccess
     } else {
       TypeCheckResult.TypeCheckFailure(
-        s"dot_product requires two array<float|double> inputs, " +
+        s"dot_product requires two numeric-array inputs, " +
           s"got ${left.dataType} and ${right.dataType}")
     }
 
-  @transient private lazy val lFloat = VecGen.floatElems(left.dataType)
-  @transient private lazy val rFloat = VecGen.floatElems(right.dataType)
+  @transient private lazy val lType = VecGen.elemType(left.dataType)
+  @transient private lazy val rType = VecGen.elemType(right.dataType)
   @transient private lazy val anyElemNullable =
     VecGen.elemsNullable(left.dataType) || VecGen.elemsNullable(right.dataType)
 
+  // Length contract (same rationale as the signature kernels): vectors of
+  // DIFFERENT lengths dot to null — a truncated dot over full norms is a
+  // wrong-but-plausible cosine with no signal.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (anyElemNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
-      s += VecGen.getEval(x, i, lFloat) * VecGen.getEval(y, i, rFloat)
+      s += VecGen.getEval(x, i, lType) * VecGen.getEval(y, i, rType)
       i += 1
     }
     s
@@ -94,12 +118,14 @@ case class DotProduct(left: Expression, right: Expression)
         s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
       } else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  $s += ${VecGen.get(a, i, left.dataType match { case ArrayType(et, _) => et; case _ => DoubleType })}
-         |      * ${VecGen.get(b, i, right.dataType match { case ArrayType(et, _) => et; case _ => DoubleType })};
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += ${VecGen.get(a, i, lType)} * ${VecGen.get(b, i, rType)};
+         |  }
          |}
          |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
@@ -110,7 +136,7 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Sum of squared elements (squared L2 norm) of an array<float|double>. */
+/** Sum of squared elements (squared L2 norm) of a numeric array. */
 case class SquaredNorm(child: Expression)
     extends UnaryExpression {
 
@@ -120,9 +146,9 @@ case class SquaredNorm(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (VecGen.vecType(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"squared_norm requires an array<float|double> input, got ${child.dataType}")
+      s"squared_norm requires a numeric-array input, got ${child.dataType}")
 
-  @transient private lazy val isFloat = VecGen.floatElems(child.dataType)
+  @transient private lazy val eType = VecGen.elemType(child.dataType)
   @transient private lazy val elemNullable = VecGen.elemsNullable(child.dataType)
 
   override def nullSafeEval(a: Any): Any = {
@@ -132,7 +158,7 @@ case class SquaredNorm(child: Expression)
     val n = x.numElements()
     while (i < n) {
       if (elemNullable && x.isNullAt(i)) return null
-      val v = VecGen.getEval(x, i, isFloat)
+      val v = VecGen.getEval(x, i, eType)
       s += v * v
       i += 1
     }
@@ -145,7 +171,6 @@ case class SquaredNorm(child: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
-      val et = child.dataType match { case ArrayType(t, _) => t; case _ => DoubleType }
       val nullCheck = if (elemNullable) {
         s"""if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"""
       } else ""
@@ -154,7 +179,7 @@ case class SquaredNorm(child: Expression)
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullCheck
-         |  double $v = ${VecGen.get(a, i, et)};
+         |  double $v = ${VecGen.get(a, i, eType)};
          |  $s += $v * $v;
          |}
          |if (!${ev.isNull}) { ${ev.value} = $s; }
@@ -168,7 +193,7 @@ case class SquaredNorm(child: Expression)
 object VectorFunctions {
   private def e(c: Column): Expression = ColumnShim.expression(c)
 
-  /** Column API for [[DotProduct]] — inputs array<float|double>. */
+  /** Column API for [[DotProduct]] — any numeric arrays, equal length. */
   def dot(a: Column, b: Column): Column = ColumnShim.column(DotProduct(e(a), e(b)))
 
   /** Column API for [[SquaredNorm]]. */

@@ -305,11 +305,19 @@ object Dedup {
   /** [[simhashPairs]] over PRECOMPUTED signatures — a (id, sim) frame as
     * produced by [[simhash]]. At scale the signatures are the artifact
     * worth persisting (64 bits/doc); re-running the banded search with a
-    * different maxHamming then costs no re-hash of the corpus. */
+    * different maxHamming then costs no re-hash of the corpus.
+    *
+    * EAGER like the other pair finders: the slim (id, sim) input is
+    * persisted for the duration of the call (it feeds the bucket-width
+    * count plus the cold and hot join branches — without the cache the
+    * upstream tokenize+hash would run once per branch), the verified
+    * pair set is materialized, and the input cache released. The
+    * returned result stays persisted — `unpersist()` it when looping. */
   def simhashPairsOfSignatures(
-      sim: DataFrame, maxHamming: Int, hotBucketRows: Int = 4096): DataFrame = {
+      sim0: DataFrame, maxHamming: Int, hotBucketRows: Int = 4096): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
+    val sim = sim0.persist()
     val bands = sim.select(col("id"), col("sim"), posexplode(
       array((0 until nBands).map(j =>
         shiftright(col("sim"), j * bandBits)
@@ -360,6 +368,7 @@ object Dedup {
         posexplode(subs).as(Seq("sub", "sbh")))
     val hotPairs = pairsOf(hot, Seq("band", "bh", "sub", "sbh"))
 
-    coldPairs.union(hotPairs).distinct()
+    try materializeThenRelease(coldPairs.union(hotPairs).distinct())
+    finally sim.unpersist(blocking = false)
   }
 }

@@ -74,6 +74,11 @@ object PipelineOps {
    * pretraining pipelines use. At 100 TB choose a streamCol with enough
    * distinct values to spread (e.g. `pmod(hash(id), shards)`), not a
    * global sort.
+   *
+   * Determinism contract: `orderCol` must be UNIQUE within each stream
+   * (a doc id qualifies; a timestamp may not) — the layout is the order,
+   * so ties would make offsets depend on arbitrary intra-tie order and
+   * break the byte-identical-rerun guarantee this module promises.
    */
   def packSequences(df: DataFrame, streamCol: String, orderCol: String,
       tokenCol: String, maxTokens: Int): DataFrame = {

@@ -59,7 +59,11 @@ object Similarity {
     * funnels every candidate row of a query into ONE task for a full sort
     * (a multi-GB single-task sort per query at 100 TB corpus scale), while
     * the aggregate keeps size-k heaps map-side and shuffles only k-entry
-    * buffers. Identical output incl. tie-breaks: (score desc, id asc). */
+    * buffers. Ordering and tie-breaks match the window form exactly
+    * (score desc, id asc, NaN greatest); the one deliberate difference is
+    * null scores — the window ranked them LAST (padding short result
+    * lists with null-cos rows), the aggregate drops them (a null cosine
+    * is a malformed vector, not a meaningful rank). */
   private def rankTopK(
       scored: DataFrame, k: Int,
       idType: org.apache.spark.sql.types.DataType): DataFrame =
@@ -172,36 +176,37 @@ object Similarity {
           nativeVec(df, vecCol), hp).as("sigs"))
       .select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
       .persist() // feeds the guard plus both self-join branches
-    if (maxBucketFrac > 0) {
-      val maxBucket = sigs.groupBy("table", "sig").count()
-        .agg(max(col("count")).as("m")).head() match {
-          case r if r.isNullAt(0) => 0L // empty input
-          case r => r.getLong(0)
+    try {
+      if (maxBucketFrac > 0) {
+        val maxBucket = sigs.groupBy("table", "sig").count()
+          .agg(max(col("count")).as("m")).head() match {
+            case r if r.isNullAt(0) => 0L // empty input
+            case r => r.getLong(0)
+          }
+        val allowed = math.max(16L * targetBucketRows, (n * maxBucketFrac).toLong)
+        if (maxBucket > allowed) {
+          throw new IllegalArgumentException(
+            s"lshPairs: widest signature bucket holds $maxBucket of $n rows " +
+              s"(allowed $allowed with bits=$resolvedBits) — the bucket self-join would " +
+              "degenerate toward O(n^2). Check for constant/all-zero embedding vectors, " +
+              "raise bits, or disable this guard with maxBucketFrac = 0.")
         }
-      val allowed = math.max(16L * targetBucketRows, (n * maxBucketFrac).toLong)
-      if (maxBucket > allowed) {
-        sigs.unpersist(blocking = false)
-        throw new IllegalArgumentException(
-          s"lshPairs: widest signature bucket holds $maxBucket of $n rows " +
-            s"(allowed $allowed with bits=$resolvedBits) — the bucket self-join would " +
-            "degenerate toward O(n^2). Check for constant/all-zero embedding vectors, " +
-            "raise bits, or disable this guard with maxBucketFrac = 0.")
       }
-    }
-    val cands = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    val v1 = prepped(df, idCol, vecCol, "id1", "v1", "n1")
-    val v2 = prepped(df, idCol, vecCol, "id2", "v2", "n2")
-    val out = cands.join(v1, "id1").join(v2, "id2")
-      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .filter(col("cos") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
-      .persist()
-    out.count() // materialize while sigs is live, then release it
-    sigs.unpersist(blocking = false)
-    out
+      val cands = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+      val v1 = prepped(df, idCol, vecCol, "id1", "v1", "n1")
+      val v2 = prepped(df, idCol, vecCol, "id2", "v2", "n2")
+      val out = cands.join(v1, "id1").join(v2, "id2")
+        .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        .filter(col("cos") >= threshold)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+        .persist()
+      try out.count() // materialize while sigs is live
+      catch { case t: Throwable => out.unpersist(blocking = false); throw t }
+      out
+    } finally sigs.unpersist(blocking = false) // released on guard trips and job failures too
   }
 
   /**
@@ -291,16 +296,19 @@ object Similarity {
       (array_position(d, array_min(d)) - lit(1L)).cast("int")
     }
 
-    // deterministic init: the nlist lowest-id vectors. A corpus smaller
-    // than nlist yields fewer centroids — every loop below runs over
+    // deterministic init: the nlist lowest-id WELL-FORMED vectors (right
+    // length, no null elements — malformed rows would NPE the driver
+    // collect here, while everywhere else they are cleanly excluded by
+    // the kernels' length/null contracts). A corpus smaller than nlist
+    // yields fewer centroids — every loop below runs over
     // centroids.length, never the requested nlist. getSeq[Number]: the
     // native column may be float or double.
-    var centroids: Array[Array[Double]] = data.orderBy("id").limit(nlist)
+    var centroids: Array[Array[Double]] = data
+      .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
+      .orderBy("id").limit(nlist)
       .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
-    require(centroids.nonEmpty, "ivfTopK: empty corpus")
-    require(centroids.forall(_.length == centroids.head.length),
-      s"ivfTopK: ragged vector lengths in corpus sample " +
-        s"(${centroids.map(_.length).distinct.mkString(",")}); uniform dim required")
+    require(centroids.nonEmpty, "buildIvf: no well-formed vectors in corpus " +
+      s"(need non-null arrays of length $dim)")
 
     for (_ <- 1 to iters) {
       // wrong-length vectors get NULL distances (kernel length contract)

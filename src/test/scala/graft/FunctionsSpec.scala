@@ -224,6 +224,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!df.select(VectorFunctions.squaredNorm(col("b"))).head().isNullAt(0))
   }
 
+  test("dot: integral arrays read natively; length mismatch is null, not truncated") {
+    import spark.implicits._
+    val ints = Seq((Array(1, 2, 3), Array(4L, 5L, 6L))).toDF("a", "b")
+    assert(ints.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0) == 32.0)
+    assert(ints.select(VectorFunctions.squaredNorm(col("a"))).head().getDouble(0) == 14.0)
+    val ragged = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(ragged.select(VectorFunctions.dot(col("a"), col("b"))).head().isNullAt(0),
+      "ragged dot must be null, not a truncated sum")
+  }
+
   test("length-mismatched vectors get null signatures/distances, not truncated math") {
     import spark.implicits._
     val planes = Array(Array(Array(1.0, 1.0, 1.0)))

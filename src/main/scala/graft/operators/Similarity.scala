@@ -159,10 +159,19 @@ object Similarity {
    * (id1, id2) rows — cheaper than verifying each duplicate against two
    * attached vectors.
    */
+  /** @param multiProbe also probe the `bits` buckets at Hamming distance
+    *   1 from each signature (Lv et al., VLDB'07): pairs may then differ
+    *   in one signature bit per table, raising per-table collision
+    *   probability from p^bits to p^bits + bits*p^(bits-1)*(1-p) — the
+    *   recall of ~(bits+1)x as many tables at one table's signature cost.
+    *   The probe side of the bucket join grows (bits+1)x; the right
+    *   trade when auto-sized bits squeeze per-table recall at moderate
+    *   thresholds. */
   def lshPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, tables: Int = 8, bits: Int = 0, seed: Long = 42L,
-      targetBucketRows: Int = 64, maxBucketFrac: Double = 0.05): DataFrame = {
+      targetBucketRows: Int = 64, maxBucketFrac: Double = 0.05,
+      multiProbe: Boolean = false): DataFrame = {
     require(bits >= 0 && bits <= 62, s"bits must be in [0, 62] (0 = auto), got $bits")
     val needCount = bits == 0 || maxBucketFrac > 0
     val n: Long = if (needCount) df.count() else -1L // parquet count() is metadata-cheap
@@ -192,7 +201,17 @@ object Similarity {
               "raise bits, or disable this guard with maxBucketFrac = 0.")
         }
       }
-      val cands = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
+      // Multi-probe: expand ONE side with every 1-bit flip of its
+      // signature. A pair differing at exactly one bit of table t's
+      // signature collides through the lower-id row's flipped probe (the
+      // a.id < b.id filter fixes which row plays the expanded role), so
+      // coverage is complete without expanding both sides.
+      val probeSide =
+        if (!multiProbe) sigs
+        else sigs.select(col("id"), col("table"),
+          explode(array(col("sig") +: (0 until resolvedBits).map(b =>
+            col("sig").bitwiseXOR(lit(1L << b))): _*)).as("sig"))
+      val cands = probeSide.as("a").join(sigs.as("b"), Seq("table", "sig"))
         .filter(col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
         .distinct()

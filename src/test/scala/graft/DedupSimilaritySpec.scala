@@ -94,6 +94,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(maxBucket <= 16L * 64, s"widest bucket $maxBucket exceeds 16x target occupancy")
   }
 
+  test("multi-probe LSH: recall dominates single-probe at identical signature cost") {
+    val exact = Similarity.cosinePairs(embs, "vec_id", "embedding", threshold = 0.3)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    def lsh(mp: Boolean) = {
+      val r = Similarity.lshPairs(embs, "vec_id", "embedding", threshold = 0.3,
+        dim = 64, tables = 8, bits = 6, multiProbe = mp)
+      val pairs = r.select("id1", "id2").collect().map(_.toSeq).toSet
+      r.unpersist()
+      pairs
+    }
+    val single = lsh(false)
+    val multi = lsh(true)
+    assert(multi.subsetOf(exact), "verification keeps precision exact")
+    assert(single.subsetOf(multi), "1-bit probes only ADD candidate coverage")
+    if (exact.nonEmpty) {
+      val rs = single.size.toDouble / exact.size
+      val rm = multi.size.toDouble / exact.size
+      assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+      assert(rm >= 0.8, s"multi-probe recall unexpectedly low: $rm")
+    }
+  }
+
   test("cosinePairs tripwire refuses corpora above maxRows, pointing at lshPairs") {
     import spark.implicits._
     val big = (1 to 50).map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")

@@ -221,6 +221,14 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.topK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
     }),
+    "ann_topk_q8" -> ((s, dir) => {
+      // int8-quantized top-k: scales cancel in the cosine, so the whole
+      // scoring loop runs on tinyint arrays (4x less vector bandwidth);
+      // approximate (quantization noise), gated on recall vs ann_topk in
+      // DedupSimilaritySpec — rows-only driver check here.
+      val e = t(s, dir, "embeddings")
+      Similarity.topKInt8(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+    }),
     "sim_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3)),
     "sim_pairs_lsh" -> ((s, dir) =>

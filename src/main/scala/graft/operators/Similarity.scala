@@ -93,6 +93,35 @@ object Similarity {
     rankTopK(scored, k, idType)
   }
 
+  /**
+   * Top-k over int8-QUANTIZED vectors: both sides quantize map-side
+   * (`max|x|/127` symmetric scheme, [[graft.functions.QuantizeInt8]]),
+   * and the scoring loop runs entirely on tinyint arrays — the
+   * per-vector scales cancel in the cosine, so no reconstruction ever
+   * happens. 4x less broadcast/cache/shuffle bandwidth than float32 on
+   * the 100 TB path, at a small recall cost (quantization noise only
+   * reorders neighbors whose cosines differ by ~1e-2; gated >= 0.9
+   * recall@k vs the exact path).
+   */
+  def topKInt8(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
+    require(integralIdType(idType),
+      s"topKInt8 requires an integral id column, got $idType (pre-map ids to long)")
+    def quantized(df: DataFrame, idAs: String, qAs: String, nAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          graft.functions.QuantFunctions.quantizeInt8(nativeVec(df, vecCol))
+            .getField("q").as(qAs))
+        .withColumn(nAs, l2Norm(col(qAs))) // SquaredNorm reads byte arrays natively
+    val c = quantized(corpus, "neighbor_id", "cq", "cn")
+    val q = quantized(queries, "query_id", "qq", "qn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qq"), col("cq")) / (col("qn") * col("cn")))
+    rankTopK(scored, k, idType)
+  }
+
   /** Exact all-pairs with cosine >= threshold (brute-force block join —
     * the small-corpus baseline; use [[lshPairs]] at scale).
     *

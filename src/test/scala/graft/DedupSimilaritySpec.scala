@@ -171,6 +171,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == exact)
   }
 
+  test("int8-quantized top-k keeps high recall against the exact float path") {
+    val queries = embs.filter(col("vec_id") < 30)
+    val exact = Similarity.topK(embs, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val q8 = Similarity.topKInt8(embs, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val recall = q8.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall@10 unexpectedly low: $recall")
+  }
+
+  test("int8 quantization round-trip error is bounded by scale/2 per element") {
+    import graft.functions.QuantFunctions._
+    val r = embs.limit(100).select(col("embedding"),
+        quantizeInt8(col("embedding")).as("qz"))
+      .select(col("embedding"), col("qz.scale").as("scale"),
+        dequantizeInt8(col("qz")).as("back"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val orig = row.getSeq[Float](0)
+      val scale = row.getDouble(1)
+      val back = row.getSeq[Double](2)
+      assert(orig.length == back.length)
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-12,
+          s"|$o - $b| > scale/2 = ${scale / 2}")
+      }
+    }
+  }
+
   test("IvfIndex: build once, probe many — identical to the one-shot path") {
     val idx = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64, nlist = 8, iters = 2)
       .persist()

@@ -211,6 +211,15 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+    "dedup_best" -> ((s, dir) => {
+      // quality-based survivor policy: per duplicate group keep the row
+      // maximizing an (upstream) quality score, ties to the lower id.
+      // The mock score is a deterministic per-row hash — in production
+      // this is a model score or crawl-source rank.
+      val d = t(s, dir, "documents")
+        .withColumn("q", expr("(doc_id * 2654435761) % 1000"))
+      Dedup.exactBest(d, "doc_id", "text", "q")
+    }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
@@ -520,6 +529,13 @@ object SparkEntry {
 
       "dedup_exact" ->
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+      "dedup_best" ->
+        """WITH d AS (SELECT doc_id, text, (doc_id * 2654435761) % 1000 AS q FROM documents),
+          |r AS (SELECT doc_id, q,
+          |    row_number() OVER (PARTITION BY text ORDER BY q DESC, doc_id ASC) AS rn,
+          |    count(*) OVER (PARTITION BY text) AS n_copies
+          |  FROM d)
+          |SELECT doc_id AS keep_id, q AS best_quality, n_copies FROM r WHERE rn = 1""".stripMargin,
       "dedup_jaccard" ->
         s"""WITH $jaccardCtes
            |SELECT id1, id2, jaccard FROM good""".stripMargin,

@@ -30,6 +30,30 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /**
+   * Exact dedup with a QUALITY-based survivor policy: per duplicate
+   * group, keep the row maximizing `qualityCol` (ties to the lower id —
+   * deterministic). The production retention rule: when a crawl yields
+   * the same text from many sources, keep the best-scored copy, not the
+   * accidentally-lowest id. One row per group with the survivor's id,
+   * its quality, and the group size.
+   *
+   * A per-group window over `textCol` — group widths are duplicate
+   * counts (small), so the window partitions are tiny however large the
+   * corpus; the shuffle key is the text (or pre-hash it upstream).
+   */
+  def exactBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(textCol)
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.select(col(idCol), col(textCol), col(qualityCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col(textCol))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol).as("keep_id"), col(qualityCol).as("best_quality"),
+        col("n_copies"))
+  }
+
   /** id -> distinct shingle set. Tokenizes into its own projection first —
     * see [[TextFunctions.wordShinglesFromTokens]] for why inlining the
     * tokenizer would be quadratic. Deliberately NO size(sh)>0 filter:

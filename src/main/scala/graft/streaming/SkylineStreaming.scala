@@ -133,10 +133,27 @@ object SkylineStreaming {
    * key is the skyline itself, the same bound as the batch aggregate.
    * Numeric dimensions only (state is a plain Seq of points).
    */
+  /**
+   * @param idleTimeout optional processing-time TTL (e.g. "30 minutes"):
+   *   a key receiving no points for this long has its state EVICTED
+   *   (emitting its final skyline once more) — without it, state grows
+   *   with the number of distinct keys ever seen, which is unbounded on
+   *   a 100 TB keyspace. A re-appearing key restarts from empty, exactly
+   *   like a new key (the reference keeps unbounded state; the TTL is
+   *   this engine's production affordance).
+   *
+   *   CAVEAT: with a timeout configured, Spark treats every batch as
+   *   "requiring another batch" (future timeouts may come due), so
+   *   `StreamingQuery.processAllAvailable()` never returns and the
+   *   default as-fast-as-possible trigger busy-spins empty batches —
+   *   drive such queries with `Trigger.ProcessingTime(...)` and
+   *   progress/sink polling.
+   */
   def skylineByKeyStream(
       stream: DataFrame,
       keyCol: String,
-      dims: Seq[(String, Direction)]): DataFrame = {
+      dims: Seq[(String, Direction)],
+      idleTimeout: Option[String] = None): DataFrame = {
     require(stream.isStreaming, "skylineByKeyStream expects a streaming DataFrame")
     val spark = stream.sparkSession
     import spark.implicits._
@@ -170,16 +187,27 @@ object SkylineStreaming {
       .select(col(keyCol).cast("string").as("_k"),
         array(dims.map { case (n, _) => col(n).cast("double") }: _*).as("_p"))
       .as[(String, Seq[Double])]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     proj
       .groupByKey(_._1)
       .mapGroupsWithState[Seq[Seq[Double]], (String, Seq[Seq[Double]])](
-        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
-        val buf = scala.collection.mutable.ArrayBuffer.from(
-          state.getOption.getOrElse(Seq.empty).map(_.toArray))
-        rows.foreach { case (_, p) => graft.core.SkylineCore.insert(buf, p.toArray, minDir) }
-        val out = buf.map(_.toSeq).toSeq
-        state.update(out)
-        (key, out)
+        timeoutConf) { (key, rows, state) =>
+        if (state.hasTimedOut) {
+          // idle key: emit its final skyline once and evict the state
+          val last = state.getOption.getOrElse(Seq.empty)
+          state.remove()
+          (key, last)
+        } else {
+          val buf = scala.collection.mutable.ArrayBuffer.from(
+            state.getOption.getOrElse(Seq.empty).map(_.toArray))
+          rows.foreach { case (_, p) => graft.core.SkylineCore.insert(buf, p.toArray, minDir) }
+          val out = buf.map(_.toSeq).toSeq
+          state.update(out)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          (key, out)
+        }
       }
       .toDF(keyCol, "skyline")
       // the group key travels as string; restore the input column type

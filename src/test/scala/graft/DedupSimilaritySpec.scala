@@ -253,6 +253,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("exactBest keeps the highest-quality duplicate, ties to the lower id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text", 5.0), (2L, "same text", 9.0), (3L, "same text", 9.0),
+      (4L, "unique", 1.0))
+      .toDF("doc_id", "text", "q")
+    val got = Dedup.exactBest(df, "doc_id", "text", "q")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // id 2 wins the triplicate (q=9.0 tie broken to lower id); singleton kept
+    assert(got == Set((2L, 9.0, 3L), (4L, 1.0, 1L)))
+  }
+
   test("canonical fingerprint dedup collapses word-order permutations") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta"))

@@ -196,6 +196,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("skylineByKeyStream idle-timeout evicts state: a re-appearing key restarts empty") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-ttl-in").toFile
+    val ckpt = Files.createTempDirectory("graft-ttl-ckpt").toFile
+    Files.write(new java.io.File(inDir, "b1.csv").toPath, "a,1,1\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val pts = SkylineStreaming.fromCsvPayload(raw, "k STRING, x1 INT, x2 INT")
+    val byKey = SkylineStreaming.skylineByKeyStream(pts, "k",
+      Seq("x1" -> Min, "x2" -> Min), idleTimeout = Some("1 millisecond"))
+    // With ProcessingTimeTimeout every executed batch "requires another
+    // batch" (future timeouts may come due), so noNewData is NEVER set
+    // and processAllAvailable would hang forever — and the default
+    // trigger would busy-spin no-data batches. A paced trigger plus
+    // deadline-polling of the sink is the only correct harness here.
+    val q = byKey.writeStream.format("memory").queryName("ttl_sky_test")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    def awaitEmitted(want: Set[Seq[Double]]): Boolean = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var seen = false
+      while (!seen && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        seen = spark.table("ttl_sky_test").collect()
+          .filter(_.getString(0) == "a")
+          .exists(_.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq).toSet == want)
+      }
+      seen
+    }
+    try {
+      assert(awaitEmitted(Set(Seq(1.0, 1.0))), "initial skyline must be emitted")
+      Thread.sleep(300) // let the 1 ms TTL lapse and a timeout batch evict 'a'
+      // 'a' re-appears with a point its evicted skyline {(1,1)} DOMINATES
+      // — with live state (5,5) would never be emitted, so seeing it
+      // proves the state restarted empty
+      Files.write(new java.io.File(inDir, "b2.csv").toPath, "a,5,5\n".getBytes)
+      assert(awaitEmitted(Set(Seq(5.0, 5.0))),
+        "dominated point must be re-emitted after state eviction")
+    } finally q.stop()
+  }
+
   test("skylineByKeyStream rejects key types that don't round-trip through string") {
     val inDir = Files.createTempDirectory("graft-keytype-in").toFile
     val raw = spark.readStream.text(inDir.getAbsolutePath)

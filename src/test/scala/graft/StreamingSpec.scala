@@ -228,7 +228,17 @@ class StreamingSpec extends AnyFunSuite {
     }
     try {
       assert(awaitEmitted(Set(Seq(1.0, 1.0))), "initial skyline must be emitted")
-      Thread.sleep(300) // let the 1 ms TTL lapse and a timeout batch evict 'a'
+      // OBSERVE the eviction rather than sleeping for it: the timeout
+      // branch re-emits (a, [[1,1]]) once, so the sink shows a SECOND
+      // 'a' row when the timeout batch has actually run — only then is
+      // writing b2 race-free on a loaded machine
+      val evDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var evicted = false
+      while (!evicted && System.nanoTime() < evDeadline) {
+        Thread.sleep(100)
+        evicted = spark.table("ttl_sky_test").collect().count(_.getString(0) == "a") >= 2
+      }
+      assert(evicted, "timeout batch must re-emit the evicted key's final skyline")
       // 'a' re-appears with a point its evicted skyline {(1,1)} DOMINATES
       // — with live state (5,5) would never be emitted, so seeing it
       // proves the state restarted empty

@@ -268,6 +268,12 @@ object SparkEntry {
         fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultFraction = 0.1)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))),
+    "q_chunks" -> ((s, dir) =>
+      // retrieval-prep chunking: 64-token windows, 16-token overlap
+      PipelineOps.chunkDocuments(t(s, dir, "documents"), "text",
+        chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_chunk_tokens"))),
     "q_contamination" -> ((s, dir) => {
       // decontamination: every 50th doc stands in for the benchmark/eval
       // set; flag remaining docs sharing any word trigram with it
@@ -579,6 +585,15 @@ object SparkEntry {
           |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
           |    WHEN 'src2' THEN '40000000' ELSE '19999999' END
           |GROUP BY source""".stripMargin,
+      "q_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, toks,
+           |        unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS st
+           |      FROM t WHERE len(toks) > 0)
+           |SELECT doc_id, (st // 48)::INT AS chunk_id,
+           |  array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text,
+           |  least(64, len(toks) - st)::INT AS n_chunk_tokens
+           |FROM s""".stripMargin,
       "q_contamination" ->
         s"""WITH t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
            |c AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 != 0),

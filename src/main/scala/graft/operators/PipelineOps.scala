@@ -93,6 +93,39 @@ object PipelineOps {
   }
 
   /**
+   * Overlapping token-window chunking — the retrieval/embedding prep
+   * step: each document becomes ceil(tokens/step) chunks of up to
+   * `chunkTokens` whitespace tokens, starting every `chunkTokens -
+   * overlapTokens` tokens. Output adds `chunk_id` (0-based within the
+   * document), `chunk_text`, and `n_chunk_tokens`; token-less documents
+   * produce no chunks.
+   *
+   * Map-side only (tokenize → explode start offsets → slice); each
+   * chunk slices the token array once (O(tokens) total work per doc,
+   * never per-element re-evaluation). Deterministic: chunk boundaries
+   * are a pure function of the text.
+   */
+  def chunkDocuments(df: DataFrame, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val step = chunkTokens - overlapTokens
+    val withToks = df.withColumn("_toks",
+      graft.functions.TextFunctions.tokens(col(textCol)))
+    withToks
+      .withColumn("_start", explode(when(size(col("_toks")) > 0,
+        sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)), lit(step)))
+        .otherwise(array().cast("array<int>"))))
+      .withColumn("chunk_id", (col("_start") / step).cast("int"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(chunkTokens))))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens), size(col("_toks")) - col("_start")))
+      .drop("_toks", "_start")
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least one word
    * `n`-gram with the benchmark set, with the count of distinct shared
    * n-grams as the contamination strength. The training-data hygiene step

@@ -62,6 +62,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", 2L, 1200L, 2L)))
   }
 
+  test("chunkDocuments: overlapping windows tile the token stream exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, "   "))                                    // token-less -> no chunks
+      .toDF("doc_id", "text")
+    val got = PipelineOps.chunkDocuments(df, "text", chunkTokens = 4, overlapTokens = 1)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    // step 3: starts 0,3,6,9 for 10 tokens
+    assert(got == Set(
+      (1L, 0, "w1 w2 w3 w4", 4),
+      (1L, 1, "w4 w5 w6 w7", 4),
+      (1L, 2, "w7 w8 w9 w10", 4),
+      (1L, 3, "w10", 1),
+      (2L, 0, "a b", 2)))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val corpus = Seq(

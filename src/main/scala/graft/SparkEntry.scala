@@ -588,7 +588,7 @@ object SparkEntry {
       "q_chunks" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |s AS (SELECT doc_id, toks,
-           |        unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS st
+           |        unnest(generate_series(0, greatest(len(toks) - 17, 0), 48)) AS st
            |      FROM t WHERE len(toks) > 0)
            |SELECT doc_id, (st // 48)::INT AS chunk_id,
            |  array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text,

@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
  * One pass, codegen'd: quantizing a 100 TB corpus is itself a full
  * corpus map, so the two-sweep (max, then round) runs fused per row —
  * no interpreted higher-order functions.
+ *
+ * Contract: vectors containing NaN or +-Infinity quantize to NULL (like
+ * null elements and length mismatches in the other kernels) — NaN never
+ * updates the amax pass and rounds to byte 0, so without the check a
+ * malformed vector would quantize to a PLAUSIBLE value and keep scoring,
+ * while the exact float path propagates NaN and drops the row.
  */
 case class QuantizeInt8(child: Expression)
     extends UnaryExpression with ArrayKernel {
@@ -48,7 +54,13 @@ case class QuantizeInt8(child: Expression)
     var amax = 0.0
     var i = 0
     while (i < n) {
-      val v = math.abs(numGetEval(arr, i))
+      val x = numGetEval(arr, i)
+      // NaN/Infinity would otherwise quantize to a PLAUSIBLE byte (NaN
+      // never updates amax and rounds to 0) and keep scoring silently,
+      // while the exact float path propagates NaN and drops the row —
+      // null out here, consistent with the null-element/length contracts
+      if (x.isNaN || x.isInfinite) return null
+      val v = math.abs(x)
       if (v > amax) amax = v
       i += 1
     }
@@ -77,12 +89,16 @@ case class QuantizeInt8(child: Expression)
       s"""
          |int $n = $a.numElements();
          |$nullGuard
+         |double $amax = 0.0;
          |if (!${ev.isNull}) {
-         |  double $amax = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $v = java.lang.Math.abs(${numGet(a, i)});
+         |    // NaN/Infinity must null out, not quantize to a plausible byte
+         |    if (Double.isNaN($v) || Double.isInfinite($v)) { ${ev.isNull} = true; break; }
          |    if ($v > $amax) $amax = $v;
          |  }
+         |}
+         |if (!${ev.isNull}) {
          |  double $scale = ($amax == 0.0) ? 1.0 : $amax / 127.0;
          |  byte[] $q = new byte[$n];
          |  for (int $i = 0; $i < $n; $i++) {

@@ -94,11 +94,14 @@ object PipelineOps {
 
   /**
    * Overlapping token-window chunking — the retrieval/embedding prep
-   * step: each document becomes ceil(tokens/step) chunks of up to
-   * `chunkTokens` whitespace tokens, starting every `chunkTokens -
-   * overlapTokens` tokens. Output adds `chunk_id` (0-based within the
-   * document), `chunk_text`, and `n_chunk_tokens`; token-less documents
-   * produce no chunks.
+   * step: chunks of up to `chunkTokens` whitespace tokens, starting
+   * every `chunkTokens - overlapTokens` tokens. A chunk only starts
+   * while it still ADDS unseen tokens (start <= tokens - overlap - 1):
+   * without that cap, a short tail (e.g. 10 tokens, chunk 4, overlap 1)
+   * would emit a final chunk already fully contained in the previous
+   * one — pure redundancy in a retrieval index. Output adds `chunk_id`
+   * (0-based within the document), `chunk_text`, and `n_chunk_tokens`;
+   * token-less documents produce no chunks.
    *
    * Map-side only (tokenize → explode start offsets → slice); each
    * chunk slices the token array once (O(tokens) total work per doc,
@@ -115,7 +118,8 @@ object PipelineOps {
       graft.functions.TextFunctions.tokens(col(textCol)))
     withToks
       .withColumn("_start", explode(when(size(col("_toks")) > 0,
-        sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)), lit(step)))
+        sequence(lit(0),
+          greatest(size(col("_toks")) - overlapTokens - 1, lit(0)), lit(step)))
         .otherwise(array().cast("array<int>"))))
       .withColumn("chunk_id", (col("_start") / step).cast("int"))
       .withColumn("chunk_text",

@@ -201,6 +201,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization nulls out NaN/Infinity vectors on both exec paths") {
+    import graft.functions.QuantFunctions._
+    import spark.implicits._
+    val df = Seq(
+      Array(1.0f, Float.NaN, 3.0f),
+      Array(1.0f, Float.PositiveInfinity),
+      Array(1.0f, 2.0f)).toDF("v")
+    def nullsOf(df0: org.apache.spark.sql.DataFrame): Seq[Boolean] =
+      df0.select(quantizeInt8(col("v")).as("qz")).collect().map(_.isNullAt(0)).toSeq
+    // codegen (default) path
+    assert(nullsOf(df) == Seq(true, true, false))
+    // interpreted path: disable codegen so nullSafeEval runs
+    val conf = spark.conf
+    val oldWs = conf.get("spark.sql.codegen.wholeStage")
+    val oldFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(nullsOf(df) == Seq(true, true, false))
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWs)
+      conf.set("spark.sql.codegen.factoryMode", oldFm)
+    }
+  }
+
   test("IvfIndex: build once, probe many — identical to the one-shot path") {
     val idx = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64, nlist = 8, iters = 2)
       .persist()

@@ -72,12 +72,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = PipelineOps.chunkDocuments(df, "text", chunkTokens = 4, overlapTokens = 1)
       .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
-    // step 3: starts 0,3,6,9 for 10 tokens
+    // step 3: starts 0,3,6 for 10 tokens — a start at 9 would yield
+    // "w10", fully contained in the chunk at 6 (the start cap ends the
+    // sequence at tokens - overlap - 1 = 8)
     assert(got == Set(
       (1L, 0, "w1 w2 w3 w4", 4),
       (1L, 1, "w4 w5 w6 w7", 4),
       (1L, 2, "w7 w8 w9 w10", 4),
-      (1L, 3, "w10", 1),
       (2L, 0, "a b", 2)))
   }
 

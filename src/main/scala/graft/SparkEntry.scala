@@ -203,6 +203,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
           sum(TextFunctions.subwordCountEstimate(col("text"))).as("total_subwords"))),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition quality filters: most-repeated-token
+      // fraction (TopElementCount kernel — one O(n) map-side pass) and
+      // duplicate-trigram fraction; thresholds sized to the corpus
+      // (p90 of top_token_frac ~ 0.14). Tokens/trigrams materialized in
+      // their own projections (optimizer substitution discipline).
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), col("_toks"),
+          TextFunctions.wordShinglesFromTokens(col("_toks"), 3).as("_tri"))
+        .select(
+          col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          when(size(col("_toks")) > 0,
+            graft.functions.ArrayFunctions.topElementCount(col("_toks")).cast("double")
+              / size(col("_toks")).cast("double"))
+            .otherwise(lit(0.0)).as("top_token_frac"),
+          when(size(col("_tri")) > 0,
+            lit(1.0) - size(array_distinct(col("_tri"))).cast("double")
+              / size(col("_tri")).cast("double"))
+            .otherwise(lit(0.0)).as("dup_trigram_frac"))
+        .withColumn("is_repetitive",
+          col("top_token_frac") >= lit(0.15) || col("dup_trigram_frac") >= lit(0.05))),
 
     // ----- deduplication (documents) ------------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -224,6 +247,13 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: embedding near-dup pairs verified within IVF kmeans
+      // cells (~n^2/nlist work). Probabilistic recall (kmeans cells) ->
+      // no SQL oracle; gated in DedupSimilaritySpec as subset-of-exact,
+      // nlist=1 == exact, and 100% planted-dup recall.
+      Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3, nlist = 16)),
 
     // ----- similarity search (embeddings) --------------------------------
     "ann_topk" -> ((s, dir) => {
@@ -303,6 +333,25 @@ object SparkEntry {
       val sky = graft.streaming.SkylineStreaming.skylineStream(stream, SkylineQueryDims.li2d)
       graft.streaming.SkylineStreaming.runOnce(sky, "stream_sky_li_2d_mem")
     }),
+    "stream_window_hourly" -> ((s, dir) => {
+      // watermarked event-time windowed aggregation over the events
+      // stream; a complete-mode drain emits every window, so the result
+      // equals the batch hourly rollup and the DuckDB oracle gates it.
+      // ts is epoch-nanos long -> integer div to micros for a real
+      // TimestampType event-time column (double division would quantize).
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.EventStreams.windowedAgg(
+        stream, "ts_utc", watermarkDelay = "1 hour", windowDuration = "1 hour",
+        keyCols = Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("sum_value")))
+      graft.streaming.SkylineStreaming.runOnce(agg, "stream_window_hourly_mem")
+        .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
 
     // ----- multimodal plumbing (stubbed codec, real dataflow) ------------
     "mm_decode" -> ((s, dir) => {
@@ -315,9 +364,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the probabilistic-candidate
-    * operators (dedup_minhash, dedup_simhash, sim_pairs_lsh, ann_ivf):
-    * their hash-derived candidates are not SQL-expressible; they are
-    * gated in ScalaTest against their exact counterparts instead. */
+    * operators (dedup_minhash, dedup_simhash, dedup_semantic,
+    * sim_pairs_lsh, ann_ivf, ann_topk_q8): their hash/kmeans-derived
+    * candidates are not SQL-expressible; they are gated in ScalaTest
+    * against their exact counterparts instead. */
   def oracleSql: Map[String, String] = {
 
     /** O(n log n) exact 2-D skyline oracle: sort by dim1 (best first); a
@@ -501,6 +551,14 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+      // the streaming windowed agg drains in complete mode, so its result
+      // is exactly the batch hourly rollup (hour-aligned tumbling windows;
+      // epoch-ns -> micros truncation never moves an event across an hour)
+      "stream_window_hourly" ->
+        """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+          |  count(*) AS n_events,
+          |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       "text_stats" ->
         s"""SELECT doc_id, n_chars,
@@ -532,6 +590,25 @@ object SparkEntry {
            |  sum(list_aggregate(list_transform(t.toks, x -> 1 + (len(x) - 1) // 4), 'sum'))::BIGINT
            |    AS total_subwords
            |FROM (SELECT source, $toks AS toks FROM documents) t GROUP BY source""".stripMargin,
+      "text_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |tri AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+           |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg FROM t),
+           |top AS (SELECT doc_id, max(c) AS topc FROM (
+           |          SELECT doc_id, tk, count(*) AS c
+           |          FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY 1, 2)
+           |        GROUP BY doc_id),
+           |f AS (SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+           |        CASE WHEN len(t.toks) > 0
+           |          THEN top.topc::DOUBLE / len(t.toks) ELSE 0.0 END AS top_token_frac,
+           |        CASE WHEN len(tri.tg) > 0
+           |          THEN 1.0 - len(list_distinct(tri.tg))::DOUBLE / len(tri.tg)
+           |          ELSE 0.0 END AS dup_trigram_frac
+           |      FROM t JOIN tri ON t.doc_id = tri.doc_id
+           |             LEFT JOIN top ON t.doc_id = top.doc_id)
+           |SELECT doc_id, n_tokens, top_token_frac, dup_trigram_frac,
+           |  (top_token_frac >= 0.15 OR dup_trigram_frac >= 0.05) AS is_repetitive
+           |FROM f""".stripMargin,
 
       "dedup_exact" ->
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",

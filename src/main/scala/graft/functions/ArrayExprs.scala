@@ -76,9 +76,86 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/**
+ * Multiplicity of the most frequent element of an `array<string>` column
+ * in one pass — the repetition-filter hot loop (Gopher-style quality
+ * heuristics score documents by their most repeated token/n-gram). The
+ * built-in alternative (`transform(array_distinct(x), d -> size(filter(
+ * x, t -> t = d)))` + array_max) is O(distinct * n) AND interpreted (HOF
+ * lambdas); this is one O(n) hash-counting loop per row, map-side, no
+ * shuffle. Empty arrays count to null (no "most frequent" exists —
+ * callers guard with a size() check, like the other kernels' empty
+ * contract); null elements null out the result.
+ */
+case class TopElementCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ArrayKernel {
+
+  override protected def acceptedElementTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override protected def kernelName: String = prettyName
+  override def prettyName: String = "top_element_count"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (elemNullable && arr.isNullAt(i)) return null
+      // getUTF8String returns a view into the row buffer — stable for the
+      // duration of this eval, which is the map's whole lifetime
+      val t = arr.getUTF8String(i)
+      val c = counts.merge(t, 1, (x, y) => x + y)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val best = ctx.freshName("best")
+      val counts = ctx.freshName("counts")
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val nullGuard = if (elemNullable) {
+        s"""if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  java.util.HashMap<$utf8, Integer> $counts = new java.util.HashMap<$utf8, Integer>($n * 2);
+         |  int $best = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $utf8 $t = $a.getUTF8String($i);
+         |    Integer $c = $counts.get($t);
+         |    $c = ($c == null) ? 1 : $c + 1;
+         |    $counts.put($t, $c);
+         |    if ($c > $best) $best = $c;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = (long) $best; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopElementCount =
+    copy(child = newChild)
+}
+
 object ArrayFunctions {
   /** Column API for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnShim.column(SortedIntersectCount(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for [[TopElementCount]] — input array<string>. */
+  def topElementCount(a: Column): Column =
+    ColumnShim.column(TopElementCount(ColumnShim.expression(a)))
 }

@@ -169,19 +169,40 @@ object Dedup {
       n: Int, threshold: Double, maxRounds: Int = 20,
       driverMaxEdges: Int = 1000000): DataFrame = {
     // jaccardPairs returns the verified pair set already materialized and
-    // persisted; the long cast on top of that cache is a cheap projection,
-    // so no second cache layer. ids normalized to long up front (the
-    // union-find reads longs; the distributed path would otherwise rely
-    // on join-side coercions).
+    // persisted; labelComponents reads it (driver collect or iteration
+    // jobs) before this call returns, so the unpersist below is safe.
     val rawPairs = jaccardPairs(df, idCol, textCol, n, threshold)
-    val pairs = rawPairs
+    val out = labelComponents(df, idCol, rawPairs, maxRounds, driverMaxEdges)
+    rawPairs.unpersist(blocking = false)
+    out
+  }
+
+  /**
+   * Connected-component labels over an arbitrary verified pair graph:
+   * every member of `df` gets the smallest id reachable from it through
+   * `pairs` (id1, id2) as its `cluster_id`; members in no pair form
+   * singleton clusters. The labeling engine behind [[clusters]] and
+   * [[semanticClusters]], public so any pair finder's output
+   * ([[minhashPairs]], [[simhashPairs]], [[Similarity.lshPairs]]) can be
+   * collapsed to survivor groups the same way.
+   *
+   * Hybrid strategy, like broadcast-join thresholding: the verified pair
+   * graph is typically orders of magnitude smaller than the corpus, so
+   * when it fits comfortably on the driver, a union-find there replaces
+   * several distributed iteration jobs; past `driverMaxEdges`, iterative
+   * min-label propagation as DataFrame jobs (each round every node
+   * adopts the minimum label in its neighborhood — rounds needed = graph
+   * diameter, and near-dup clusters are shallow), with a driver-checked
+   * fixpoint and a loud failure at the round cap.
+   */
+  def labelComponents(
+      df: DataFrame, idCol: String, pairsRaw: DataFrame,
+      maxRounds: Int = 20, driverMaxEdges: Int = 1000000): DataFrame = {
+    // ids normalized to long up front (the union-find reads longs; the
+    // distributed path would otherwise rely on join-side coercions)
+    val pairs = pairsRaw
       .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
 
-    // Hybrid strategy, like broadcast-join thresholding: the verified
-    // pair graph is typically orders of magnitude smaller than the
-    // corpus, so when it fits comfortably on the driver, a union-find
-    // there replaces several distributed iteration jobs; past the
-    // threshold, fall back to min-label propagation.
     val sample = pairs.limit(driverMaxEdges + 1).collect()
     if (sample.length <= driverMaxEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -200,7 +221,6 @@ object Dedup {
       val spark = df.sparkSession
       import spark.implicits._
       val labelDf = labelMap.toDF("id", "label")
-      rawPairs.unpersist()
       return df.select(col(idCol).cast("long").as("id"))
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
@@ -244,10 +264,61 @@ object Dedup {
       s"connected components did not converge within $maxRounds rounds " +
         "(component diameter exceeds the cap); raise maxRounds")
     edges.unpersist()
-    rawPairs.unpersist()
     df.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
+  /**
+   * SEMANTIC near-duplicate pairs over an embedding column — SemDeDup
+   * (Abbas et al., arXiv:2303.09540): documents whose embeddings are
+   * nearly parallel say the same thing in different words, which no
+   * lexical dedup (shingles, minhash, simhash) can see. Cluster the
+   * corpus with the IVF kmeans layout ([[Similarity.buildIvf]] — the
+   * same artifact the ANN path probes), then verify exact cosine only
+   * WITHIN each cluster cell: cost is sum of squared cell sizes,
+   * ~n^2/nlist at balance, instead of n^2 — the bucketed shape every
+   * scale pair finder here uses, with kmeans cells as the buckets.
+   * Recall is approximate (a pair straddling a cell boundary is missed —
+   * near-dup pairs rarely do, since near-identical vectors share a
+   * nearest centroid); precision exact. `nlist = 1` degenerates to the
+   * exact all-pairs scan (gated equal in the spec).
+   *
+   * EAGER like the other pair finders: the centroid-assigned layout is
+   * persisted for the duration of the call (it feeds both self-join
+   * sides), the verified pair set is materialized, and the layout cache
+   * released. The returned result stays persisted — `unpersist()` it
+   * when looping.
+   */
+  def semanticPairs(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nlist: Int = 64, iters: Int = 3): DataFrame = {
+    val idx = Similarity.buildIvf(df, idCol, vecCol, dim, nlist, iters)
+    val ind = idx.indexed.persist()
+    val a = ind.select(col("c"), col("id").as("id1"), col("v").as("v1"), col("vn").as("n1"))
+    val b = ind.select(col("c"), col("id").as("id2"), col("v").as("v2"), col("vn").as("n2"))
+    val out = a.join(b, "c")
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+    materializeThenRelease(out, ind)
+  }
+
+  /** Semantic near-dup CLUSTERS: [[semanticPairs]] collapsed to
+    * survivor groups by [[labelComponents]] — (id, cluster_id) with the
+    * smallest reachable id as the canonical survivor, singletons for
+    * documents with no semantic dup. Keeping `cluster_id = id` rows and
+    * dropping the rest is the SemDeDup retention step. */
+  def semanticClusters(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nlist: Int = 64, iters: Int = 3,
+      maxRounds: Int = 20, driverMaxEdges: Int = 1000000): DataFrame = {
+    val pairs = semanticPairs(df, idCol, vecCol, dim, threshold, nlist, iters)
+    val out = labelComponents(df, idCol, pairs, maxRounds, driverMaxEdges)
+    pairs.unpersist(blocking = false)
+    out
   }
 
   /**

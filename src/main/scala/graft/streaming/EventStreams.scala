@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Watermarked event-time windowed aggregation — the canonical Structured
+ * Streaming analytics shape (`readStream → withWatermark → groupBy(
+ * window(...)) → agg`). Spark keeps one state row per open (window, key)
+ * group; the watermark bounds that state by evicting windows older than
+ * `max(event time) - delay`, which is what makes the operator runnable
+ * forever on an unbounded stream — without it, state grows with every
+ * window ever seen.
+ *
+ * Output-mode semantics (caller's choice at the sink):
+ *  - `append`: a window emits ONCE, when the watermark passes its end —
+ *    exactly-once per window, but windows still open when a bounded run
+ *    drains are never emitted;
+ *  - `update`/`complete`: windows re-emit as they refine; `complete`
+ *    with a bounded drain reproduces the batch groupBy exactly (how the
+ *    oracle-gated query below runs).
+ */
+object EventStreams {
+
+  /**
+   * @param tsCol event-time column — must already be TimestampType
+   *   (convert epoch-nanos longs with `timestamp_micros(ts div 1000)`
+   *   upstream; dividing by 1e9 in double would quantize near window
+   *   boundaries for post-2001 epochs, ~1.8e18 ns > 2^53)
+   * @param watermarkDelay how long to admit late events, e.g. "1 hour" —
+   *   also the state-retention bound per open window
+   * @param slideDuration None = tumbling; Some(s) = sliding (each event
+   *   lands in windowDuration/s windows)
+   * @param keyCols extra grouping keys beside the time window
+   * @param aggs at least one aggregate column, pre-aliased
+   */
+  def windowedAgg(
+      stream: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDuration: String, slideDuration: Option[String] = None,
+      keyCols: Seq[String] = Nil, aggs: Seq[Column]): DataFrame = {
+    require(stream.isStreaming, "windowedAgg expects a streaming DataFrame")
+    require(aggs.nonEmpty, "windowedAgg needs at least one aggregate")
+    val win = slideDuration match {
+      case Some(s) => window(col(tsCol), windowDuration, s)
+      case None => window(col(tsCol), windowDuration)
+    }
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(win.as("window") +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

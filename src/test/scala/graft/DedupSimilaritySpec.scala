@@ -201,6 +201,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticPairs: nlist=1 degenerates to the exact all-pairs scan") {
+    val exact = Similarity.cosinePairs(embs, "vec_id", "embedding", threshold = 0.3)
+      .collect().map(_.toSeq).toSet
+    val got = Dedup.semanticPairs(embs, "vec_id", "embedding", dim = 64,
+      threshold = 0.3, nlist = 1)
+      .collect().map(_.toSeq).toSet
+    assert(got == exact && exact.nonEmpty)
+  }
+
+  test("semanticPairs: subset-of-exact with full recall on planted semantic dups") {
+    import spark.implicits._
+    // corpus: 40 random unit-ish vectors (pairwise cos well below 0.9)
+    // plus 10 planted near-parallel perturbations of the first 10
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    val dups = (0 until 10).map { i =>
+      val b = base(i)._2
+      (100L + i, b.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val df = (base ++ dups).toDF("id", "v")
+    val exact = Similarity.cosinePairs(df, "id", "v", threshold = 0.9)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    val planted: Set[Seq[Any]] = (0 until 10).map(i => Seq[Any](i.toLong, 100L + i)).toSet
+    assert(planted.subsetOf(exact), "fixture: planted dups must verify exactly")
+    val got = Dedup.semanticPairs(df, "id", "v", dim = 16,
+      threshold = 0.9, nlist = 4)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    assert(got.subsetOf(exact), "cell verification must make precision exact")
+    // a near-parallel pair shares its nearest centroid: recall 1.0 here
+    assert(planted.subsetOf(got), s"missed planted dups: ${planted -- got}")
+  }
+
+  test("semanticClusters labels transitive chains and leaves singletons alone") {
+    import spark.implicits._
+    // chain: 1 ~ 2 ~ 3 (1 and 3 NOT directly similar), singleton 9 —
+    // unit vectors at 0/20/40 degrees in a 2-plane: cos(20°) ≈ 0.94
+    // links the neighbors, cos(40°) ≈ 0.77 keeps the ends apart
+    def rot(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat) ++ Array.fill(14)(0.0f)
+    }
+    val lone = Array.fill(16)(0.0f); lone(15) = 1.0f
+    val df = Seq((1L, rot(0)), (2L, rot(20)), (3L, rot(40)), (9L, lone))
+      .toDF("id", "v")
+    // verify the chain premise on the exact pair set at this threshold
+    val exact = Similarity.cosinePairs(df, "id", "v", threshold = 0.93)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)) && exact.contains((2L, 3L)) && !exact.contains((1L, 3L)),
+      s"fixture premise broken: $exact")
+    val got = Dedup.semanticClusters(df, "id", "v", dim = 16,
+      threshold = 0.93, nlist = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L), s"got $got")
+  }
+
   test("int8 quantization nulls out NaN/Infinity vectors on both exec paths") {
     import graft.functions.QuantFunctions._
     import spark.implicits._

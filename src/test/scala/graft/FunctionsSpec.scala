@@ -38,6 +38,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(2L, 0L, 0L))
   }
 
+  test("TopElementCount: max multiplicity, empty -> null, null element -> null") {
+    import spark.implicits._
+    import graft.functions.ArrayFunctions.topElementCount
+    val df = Seq(
+      Seq("a", "b", "a", "c", "a", "b"), // a x3
+      Seq("x"),                          // single -> 1
+      Seq.empty[String])                 // empty -> null
+      .toDF("t")
+    val got = df.select(topElementCount(col("t"))).collect()
+    assert(got(0).getLong(0) == 3L && got(1).getLong(0) == 1L && got(2).isNullAt(0))
+    val withNull = Seq(Seq[String]("a", null, "a")).toDF("t")
+    assert(withNull.select(topElementCount(col("t"))).head().isNullAt(0))
+    // interpreted path agrees
+    val conf = spark.conf
+    val oldWs = conf.get("spark.sql.codegen.wholeStage")
+    val oldFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val i = df.select(topElementCount(col("t"))).collect()
+      assert(i(0).getLong(0) == 3L && i(1).getLong(0) == 1L && i(2).isNullAt(0))
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWs)
+      conf.set("spark.sql.codegen.factoryMode", oldFm)
+    }
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))

@@ -267,10 +267,9 @@ class StreamingSpec extends AnyFunSuite {
     val raw = spark.readStream.text(inDir.getAbsolutePath)
     val events = SkylineStreaming.fromCsvPayload(raw, "ts STRING, k STRING")
       .select(col("ts").cast("timestamp").as("ts"), col("k"))
-    val agg = events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes"), col("k"))
-      .agg(count(lit(1)).as("n"))
+    val agg = graft.streaming.EventStreams.windowedAgg(
+        events, "ts", watermarkDelay = "10 minutes", windowDuration = "5 minutes",
+        keyCols = Seq("k"), aggs = Seq(count(lit(1)).as("n")))
       .select(col("window.start").cast("string").as("ws"), col("k"), col("n"))
     val ckpt = Files.createTempDirectory("graft-wm-ckpt").toFile
     val q = agg.writeStream.format("memory").queryName("wm_test")
@@ -296,6 +295,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains(("2026-01-01 10:00:00", "a", 2L)), s"got $rows")
       assert(rows.contains(("2026-01-01 10:55:00", "b", 2L)), s"got $rows")
     } finally q.stop()
+  }
+
+  test("windowedAgg complete-mode drain equals the batch window rollup") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val stream = spark.readStream.schema(
+        spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.EventStreams.windowedAgg(
+      stream, "ts_utc", watermarkDelay = "1 hour", windowDuration = "1 hour",
+      keyCols = Seq("event_type"), aggs = Seq(count(lit(1)).as("n")))
+    val got = SkylineStreaming.runOnce(agg, "stream_window_parity")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val want = batch
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("windowedAgg sliding windows place each event in window/slide buckets") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-slide-in").toFile
+    Files.write(new java.io.File(inDir, "b1.csv").toPath,
+      "2026-01-01 10:07:00,a\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val events = SkylineStreaming.fromCsvPayload(raw, "ts STRING, k STRING")
+      .select(col("ts").cast("timestamp").as("ts"), col("k"))
+    val agg = graft.streaming.EventStreams.windowedAgg(
+        events, "ts", watermarkDelay = "10 minutes", windowDuration = "10 minutes",
+        slideDuration = Some("5 minutes"), keyCols = Seq("k"),
+        aggs = Seq(count(lit(1)).as("n")))
+      .select(col("window.start").cast("string").as("ws"), col("k"), col("n"))
+    val got = SkylineStreaming.runOnce(agg, "stream_slide_test")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // a 10:07 event lands in the two sliding windows covering it
+    assert(got == Set(
+      ("2026-01-01 10:00:00", "a", 1L),
+      ("2026-01-01 10:05:00", "a", 1L)))
   }
 
 }

@@ -203,6 +203,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
           sum(TextFunctions.subwordCountEstimate(col("text"))).as("total_subwords"))),
+    "q_vocab" -> ((s, dir) =>
+      // vocabulary building (tokenizer-training prep): corpus token
+      // frequencies with deterministic ranks. The global rank window runs
+      // on the POST-AGGREGATION vocabulary (|distinct tokens| rows, not
+      // corpus rows) — the single-task sort is over a set that fits by
+      // construction; the wide work is the map-side-combined count.
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("token").asc)).cast("long"))
+        .filter(col("rank") <= 1000)),
     "text_repetition" -> ((s, dir) =>
       // Gopher-style repetition quality filters: most-repeated-token
       // fraction (TopElementCount kernel — one O(n) map-side pass) and
@@ -590,6 +602,14 @@ object SparkEntry {
            |  sum(list_aggregate(list_transform(t.toks, x -> 1 + (len(x) - 1) // 4), 'sum'))::BIGINT
            |    AS total_subwords
            |FROM (SELECT source, $toks AS toks FROM documents) t GROUP BY source""".stripMargin,
+      "q_vocab" ->
+        s"""WITH c AS (SELECT token, count(*) AS n_occurrences
+           |  FROM (SELECT unnest($toks) AS token FROM documents) GROUP BY 1)
+           |SELECT token, n_occurrences, rank FROM (
+           |  SELECT token, n_occurrences,
+           |    row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+           |  FROM c)
+           |WHERE rank <= 1000""".stripMargin,
       "text_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |tri AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),

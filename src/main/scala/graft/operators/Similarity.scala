@@ -274,6 +274,22 @@ object Similarity {
     def persist(): IvfIndex = { indexed.persist(); this }
     def unpersist(): IvfIndex = { indexed.unpersist(blocking = false); this }
 
+    /** Snapshot the index to storage: the centroid-assigned layout as a
+      * parquet table PARTITIONED BY cell id (so a probe of `nprobe`
+      * cells is a partition-pruned scan touching nprobe/nlist of the
+      * files — the on-disk shape a billion-scale IVF actually uses),
+      * plus the centroids as a tiny side table. [[Similarity.loadIvf]]
+      * is the inverse; training cost is paid once per corpus snapshot,
+      * not per session. */
+    def save(path: String): Unit = {
+      indexed.write.mode("overwrite").partitionBy("c").parquet(s"$path/layout")
+      val spark = indexed.sparkSession
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+        .toDF("c", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
+
     /** Probe the `nprobe` nearest cells per query and rank exact cosines
       * within them (bounded top-k heap — see [[rankTopK]]). */
     def topK(queries: DataFrame, idCol: String, vecCol: String,
@@ -311,6 +327,19 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
     buildIvf(corpus, idCol, vecCol, dim, nlist, iters).topK(queries, idCol, vecCol, k, nprobe)
+
+  /** Reload an [[IvfIndex]] snapshot written by [[IvfIndex.save]]: the
+    * layout scan stays partitioned by cell id (probe joins prune to the
+    * probed cells' files), and no retraining happens — the centroids are
+    * the tiny side table. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("c").collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(centroids.nonEmpty, s"loadIvf: no centroids found under $path/centroids")
+    val indexed = spark.read.parquet(s"$path/layout")
+    new IvfIndex(centroids, indexed, indexed.schema("id").dataType)
+  }
 
   /** Train an [[IvfIndex]] on the corpus (see [[ivfTopK]] for the
     * algorithm and scale notes). */

@@ -257,6 +257,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L), s"got $got")
   }
 
+  test("IvfIndex save/load round-trips: probes on the reloaded snapshot match") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath
+    val built = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64, nlist = 8, iters = 2)
+    built.save(tmp)
+    val loaded = Similarity.loadIvf(spark, tmp)
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    val queries = embs.filter(col("vec_id") < 15)
+    val want = built.topK(queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val got = loaded.topK(queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("int8 quantization nulls out NaN/Infinity vectors on both exec paths") {
     import graft.functions.QuantFunctions._
     import spark.implicits._

@@ -82,8 +82,10 @@ object Dedup {
     * callers that loop should `unpersist()` it when done. */
   private def materializeThenRelease(out: DataFrame, handles: DataFrame*): DataFrame = {
     val cached = out.persist()
-    cached.count()
-    handles.foreach(_.unpersist(blocking = false))
+    // a failed materialization must not leave either layer pinned
+    try cached.count()
+    catch { case t: Throwable => cached.unpersist(blocking = false); throw t }
+    finally handles.foreach(_.unpersist(blocking = false))
     cached
   }
 
@@ -172,9 +174,8 @@ object Dedup {
     // persisted; labelComponents reads it (driver collect or iteration
     // jobs) before this call returns, so the unpersist below is safe.
     val rawPairs = jaccardPairs(df, idCol, textCol, n, threshold)
-    val out = labelComponents(df, idCol, rawPairs, maxRounds, driverMaxEdges)
-    rawPairs.unpersist(blocking = false)
-    out
+    try labelComponents(df, idCol, rawPairs, maxRounds, driverMaxEdges)
+    finally rawPairs.unpersist(blocking = false)
   }
 
   /**
@@ -198,6 +199,21 @@ object Dedup {
   def labelComponents(
       df: DataFrame, idCol: String, pairsRaw: DataFrame,
       maxRounds: Int = 20, driverMaxEdges: Int = 1000000): DataFrame = {
+    // Fail fast on non-integral ids (the buildIvf/topK convention): a
+    // string id would cast("long") to null below — silently-null
+    // cluster_ids in the distributed path, an opaque NPE in the driver
+    // path — instead of this actionable error.
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    (Seq(idCol -> df.schema(idCol).dataType) ++
+      Seq("id1", "id2").map(c => c -> pairsRaw.schema(c).dataType)).foreach {
+      case (name, dt) => require(integral(dt),
+        s"labelComponents requires integral id columns, got $name: $dt " +
+          "(pre-map ids to long)")
+    }
     // ids normalized to long up front (the union-find reads longs; the
     // distributed path would otherwise rely on join-side coercions)
     val pairs = pairsRaw
@@ -235,35 +251,43 @@ object Dedup {
     // graph, not the corpus. Singletons join back at the end.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val msgs = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-      // one cached join serves both the convergence test and the update
-      val joined = labels.join(msgs, Seq("id"), "left").cache()
-      val changed = joined.filter(col("nbr_min") < col("label")).limit(1).count()
-      if (changed == 0) {
-        joined.unpersist()
-        converged = true
-      } else {
-        val next = joined
-          .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .cache()
-        next.count() // materialize before dropping parents
-        labels.unpersist()
-        joined.unpersist()
-        labels = next
+    // Exception safety (same contract as the eager pair finders): the
+    // non-convergence error — or any failed iteration job — must not
+    // leave edges/labels/joined pinned in a long-lived session. On
+    // success, `labels` stays cached: the returned (lazy) join reads it.
+    try {
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val msgs = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+        // one cached join serves both the convergence test and the update
+        val joined = labels.join(msgs, Seq("id"), "left").cache()
+        try {
+          val changed = joined.filter(col("nbr_min") < col("label")).limit(1).count()
+          if (changed == 0) {
+            converged = true
+          } else {
+            val next = joined
+              .select(col("id"),
+                least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+              .cache()
+            next.count() // materialize before dropping parents
+            labels.unpersist()
+            labels = next
+          }
+        } finally joined.unpersist()
+        round += 1
       }
-      round += 1
-    }
-    // A silent wrong answer is worse than an error: labels are only valid
-    // at the fixpoint (each round propagates the min one hop, so rounds
-    // needed = component diameter).
-    require(converged,
-      s"connected components did not converge within $maxRounds rounds " +
-        "(component diameter exceeds the cap); raise maxRounds")
-    edges.unpersist()
+      // A silent wrong answer is worse than an error: labels are only valid
+      // at the fixpoint (each round propagates the min one hop, so rounds
+      // needed = component diameter).
+      require(converged,
+        s"connected components did not converge within $maxRounds rounds " +
+          "(component diameter exceeds the cap); raise maxRounds")
+    } catch {
+      case t: Throwable => labels.unpersist(blocking = false); throw t
+    } finally edges.unpersist(blocking = false)
     df.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
@@ -316,9 +340,8 @@ object Dedup {
       threshold: Double, nlist: Int = 64, iters: Int = 3,
       maxRounds: Int = 20, driverMaxEdges: Int = 1000000): DataFrame = {
     val pairs = semanticPairs(df, idCol, vecCol, dim, threshold, nlist, iters)
-    val out = labelComponents(df, idCol, pairs, maxRounds, driverMaxEdges)
-    pairs.unpersist(blocking = false)
-    out
+    try labelComponents(df, idCol, pairs, maxRounds, driverMaxEdges)
+    finally pairs.unpersist(blocking = false)
   }
 
   /**

@@ -234,6 +234,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(planted.subsetOf(got), s"missed planted dups: ${planted -- got}")
   }
 
+  test("labelComponents rejects non-integral id columns loudly") {
+    import spark.implicits._
+    val members = Seq("doc-1", "doc-2").toDF("id")
+    val pairs = Seq(("doc-1", "doc-2")).toDF("id1", "id2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.labelComponents(members, "id", pairs)
+    }
+    assert(e.getMessage.contains("integral id columns"))
+  }
+
   test("semanticClusters labels transitive chains and leaves singletons alone") {
     import spark.implicits._
     // chain: 1 ~ 2 ~ 3 (1 and 3 NOT directly similar), singleton 9 —

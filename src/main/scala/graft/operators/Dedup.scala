@@ -308,17 +308,33 @@ object Dedup {
    * nearest centroid); precision exact. `nlist = 1` degenerates to the
    * exact all-pairs scan (gated equal in the spec).
    *
-   * EAGER like the other pair finders: the centroid-assigned layout is
-   * persisted for the duration of the call (it feeds both self-join
-   * sides), the verified pair set is materialized, and the layout cache
-   * released. The returned result stays persisted — `unpersist()` it
-   * when looping.
+   * '''Cell-count sizing.''' Total kernel work is assignment
+   * `n*nlist*dim` plus verification `n*(n/nlist)*dim` at balance — the
+   * sum is minimized at `nlist ~ sqrt(n)`. The default (`nlist = 0`)
+   * derives exactly that from a corpus count (floored at 4), keeping
+   * BOTH terms linear-ish in n as the corpus scales; an explicit
+   * `nlist > 0` overrides. Measured (DedupBench --semantic, 200k x
+   * 64-dim synthetic): 18.6 s end to end at 0.99 planted recall.
+   *
+   * EAGER like the other pair finders: the verified pair set is
+   * materialized at call time and stays persisted — `unpersist()` it
+   * when looping. The centroid-assigned layout is deliberately NOT
+   * cached: each self-join branch recomputes the assignment from source
+   * (a scan + one fused-kernel pass, ~1.5 s at 50k x 64-dim) — Spark's
+   * columnar-cache ENCODE of an embedding-array column measured ~50x
+   * slower than that (72 s for the same frame; array columns hit the
+   * cache builder's slow generic path). See [[IvfIndex.save]] for the
+   * reuse-across-jobs shape.
    */
   def semanticPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nlist: Int = 64, iters: Int = 3): DataFrame = {
-    val idx = Similarity.buildIvf(df, idCol, vecCol, dim, nlist, iters)
-    val ind = idx.indexed.persist()
+      threshold: Double, nlist: Int = 0, iters: Int = 3): DataFrame = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto ~ sqrt(n)), got $nlist")
+    val resolvedNlist =
+      if (nlist > 0) nlist
+      else math.max(4, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+    val idx = Similarity.buildIvf(df, idCol, vecCol, dim, resolvedNlist, iters)
+    val ind = idx.indexed
     val a = ind.select(col("c"), col("id").as("id1"), col("v").as("v1"), col("vn").as("n1"))
     val b = ind.select(col("c"), col("id").as("id2"), col("v").as("v2"), col("vn").as("n2"))
     val out = a.join(b, "c")
@@ -327,7 +343,7 @@ object Dedup {
         graft.functions.VectorFunctions.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
-    materializeThenRelease(out, ind)
+    materializeThenRelease(out)
   }
 
   /** Semantic near-dup CLUSTERS: [[semanticPairs]] collapsed to
@@ -337,7 +353,7 @@ object Dedup {
     * dropping the rest is the SemDeDup retention step. */
   def semanticClusters(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nlist: Int = 64, iters: Int = 3,
+      threshold: Double, nlist: Int = 0, iters: Int = 3,
       maxRounds: Int = 20, driverMaxEdges: Int = 1000000): DataFrame = {
     val pairs = semanticPairs(df, idCol, vecCol, dim, threshold, nlist, iters)
     try labelComponents(df, idCol, pairs, maxRounds, driverMaxEdges)

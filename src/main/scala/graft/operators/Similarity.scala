@@ -271,8 +271,20 @@ object Similarity {
       private[operators] val indexed: DataFrame,
       private[operators] val idType: org.apache.spark.sql.types.DataType) {
 
+    /** Pin the layout for repeated probing. CAVEAT: Spark's columnar
+      * cache ENCODES array columns on its slow generic path — building
+      * this cache measured ~50x the cost of one full assignment pass
+      * (72 s vs 1.5 s at 50k x 64-dim). Worth it only when the index is
+      * probed many times in-session; for cross-job reuse prefer
+      * [[save]] (parquet encodes arrays natively). */
     def persist(): IvfIndex = { indexed.persist(); this }
     def unpersist(): IvfIndex = { indexed.unpersist(blocking = false); this }
+
+    /** The `k` widest cell occupancies, descending — the skew diagnostic
+      * (cell self-join cost is the sum of squared widths). */
+    def topWidths(k: Int): Seq[Long] =
+      indexed.groupBy("c").count().orderBy(col("count").desc).limit(k)
+        .collect().map(_.getLong(1)).toSeq
 
     /** Snapshot the index to storage: the centroid-assigned layout as a
       * parquet table PARTITIONED BY cell id (so a probe of `nprobe`

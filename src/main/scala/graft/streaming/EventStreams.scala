@@ -48,4 +48,25 @@ object EventStreams {
       .groupBy(win.as("window") +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Streaming exact dedup with BOUNDED state
+   * (`dropDuplicatesWithinWatermark`): the first event per key passes,
+   * re-arrivals within `watermarkDelay` of it are dropped, and the key's
+   * state is evicted once the watermark passes — so state holds only the
+   * keys seen inside the watermark horizon, not every key ever
+   * (a plain streaming `dropDuplicates` grows forever on a 100 TB
+   * keyspace; that unbounded form exists for reference parity in
+   * [[SkylineStreaming.skylineStream]]'s dedup flag). A key re-appearing
+   * AFTER eviction passes again — the dedup guarantee is exactly-once
+   * per key per watermark horizon, the standard at-scale trade.
+   */
+  def dedupStream(
+      stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame = {
+    require(stream.isStreaming, "dedupStream expects a streaming DataFrame")
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 }

@@ -73,6 +73,63 @@ object DedupBench {
           f"time=${(System.nanoTime() - s0) / 1e9}%.1f s")
       }
     }
+    // Semantic-dedup scale check: n synthetic 64-dim embeddings (seeded
+    // hash noise), every 100th a 1%-perturbed copy of its predecessor
+    // (cos ~ 0.9999); run SemDeDup cell-verified pairs with nlist scaled
+    // to hold ~2k vectors per cell and measure planted recall + time.
+    // The shape under test at 5-40x the driver corpus: kmeans assignment
+    // (fused CentroidDistances kernel) -> per-cell self-join -> exact
+    // cosine verify.
+    if (args.contains("--semantic")) {
+      val dim = 64
+      def elem(idCol: org.apache.spark.sql.Column, j: Int, seedBase: Int, scale: Double) =
+        ((pmod(xxhash64(idCol, lit(seedBase + j)), lit(2000001L)).cast("double")
+          / lit(1000000.5)) - lit(1.0)) * lit(scale)
+      val baseId = col("id") - (col("id") % 100 === 99).cast("long")
+      val vecs = spark.range(n.toLong).select(col("id"),
+        array((0 until dim).map(j =>
+          (elem(baseId, j, 0, 1.0) +
+            when(col("id") % 100 === 99, elem(col("id"), j, 7000, 0.01))
+              .otherwise(lit(0.0))).cast("float")): _*).as("v"))
+      val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt) // the auto default
+      if (args.contains("--cells")) {
+        val idx = graft.operators.Similarity.buildIvf(vecs, "id", "v",
+          dim = dim, nlist = nlist, iters = 2)
+        val widths = idx.persist().topWidths(5)
+        println(s"[dedupbench] cells n=$n nlist=$nlist top5=${widths.mkString(",")}")
+        idx.unpersist()
+        spark.stop(); return
+      }
+      if (args.contains("--phases")) {
+        var t = System.nanoTime()
+        val idx = graft.operators.Similarity.buildIvf(vecs, "id", "v",
+          dim = dim, nlist = nlist, iters = 2)
+        println(f"[dedupbench] phase build=${(System.nanoTime() - t) / 1e9}%.1f s")
+        t = System.nanoTime()
+        val nRaw = idx.topWidths(1) // assignment WITHOUT cache build (not persisted yet)
+        println(f"[dedupbench] phase assign-nocache=${(System.nanoTime() - t) / 1e9}%.1f s ($nRaw)")
+        t = System.nanoTime()
+        idx.persist()
+        val nIdx = idx.topWidths(1) // forces materialization of the layout
+        println(f"[dedupbench] phase assign=${(System.nanoTime() - t) / 1e9}%.1f s (top=$nIdx)")
+        t = System.nanoTime()
+        val k = idx.topK(vecs.limit(50), "id", "v", k = 5, nprobe = 4).count()
+        println(f"[dedupbench] phase probe=${(System.nanoTime() - t) / 1e9}%.1f s ($k rows)")
+        idx.unpersist()
+        spark.stop(); return
+      }
+      val s0 = System.nanoTime()
+      val pairs = Dedup.semanticPairs(vecs, "id", "v", dim = dim,
+        threshold = 0.9, nlist = nlist, iters = 2)
+      val found = pairs.count()
+      val hits = pairs
+        .filter(col("id2") === col("id1") + 1 && col("id2") % 100 === 99)
+        .count()
+      val planted = n / 100
+      println(f"[dedupbench] semantic n=$n%8d nlist=$nlist pairs=$found planted=$planted " +
+        f"recall=${hits.toDouble / planted}%.3f time=${(System.nanoTime() - s0) / 1e9}%.1f s")
+      pairs.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }

@@ -319,6 +319,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("dedupStream: bounded-state dedup drops re-arrivals within the watermark, readmits after eviction") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-dds-in").toFile
+    val ckpt = Files.createTempDirectory("graft-dds-ckpt").toFile
+    Files.write(new java.io.File(inDir, "b1.csv").toPath,
+      "2026-01-01 10:00:00,k1\n2026-01-01 10:00:30,k1\n2026-01-01 10:01:00,k2\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val events = SkylineStreaming.fromCsvPayload(raw, "ts STRING, k STRING")
+      .select(col("ts").cast("timestamp").as("ts"), col("k"))
+    val dd = graft.streaming.EventStreams.dedupStream(
+      events, keyCols = Seq("k"), tsCol = "ts", watermarkDelay = "1 minute")
+    val q = dd.select(col("k")).writeStream.format("memory")
+      .queryName("dds_test").outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      def counts() = spark.table("dds_test").groupBy("k").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // in-batch duplicate collapsed
+      assert(counts() == Map("k1" -> 1L, "k2" -> 1L))
+      // k1 re-arrives while its state is alive -> dropped; k3 advances
+      // the watermark far past k1's horizon, evicting its state
+      Files.write(new java.io.File(inDir, "b2.csv").toPath,
+        "2026-01-01 10:01:30,k1\n2026-01-01 10:30:00,k3\n".getBytes)
+      q.processAllAvailable()
+      assert(counts() == Map("k1" -> 1L, "k2" -> 1L, "k3" -> 1L))
+      // after eviction the key is readmitted — exactly-once per key per
+      // watermark horizon, not per stream lifetime
+      Files.write(new java.io.File(inDir, "b3.csv").toPath,
+        "2026-01-01 10:31:00,k1\n".getBytes)
+      q.processAllAvailable()
+      assert(counts() == Map("k1" -> 2L, "k2" -> 1L, "k3" -> 1L))
+    } finally q.stop()
+  }
+
   test("windowedAgg sliding windows place each event in window/slide buckets") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-slide-in").toFile

@@ -279,6 +279,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val got = loaded.topK(queries, "vec_id", "embedding", k = 5, nprobe = 4)
       .collect().map(_.toSeq).toSet
     assert(got == want && got.nonEmpty)
+    // the probed-cells isin predicate must reach the snapshot scan as a
+    // STATIC partition filter (read nprobe-ish cells' files, not all)
+    val plan = loaded.topK(queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c#") || plan.contains("PartitionFilters: [(c#"),
+      s"expected a partition filter on c in:\n$plan")
   }
 
   test("int8 quantization nulls out NaN/Infinity vectors on both exec paths") {

@@ -259,6 +259,16 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+    "dedup_cross" -> ((s, dir) => {
+      // cross-corpus dedup: odd doc_ids play the incoming crawl, even
+      // ones the authoritative reference set; emit verified near-dup
+      // pairs across them. Probabilistic candidates -> rows-only check
+      // here; exactness gates live in DedupSimilaritySpec.
+      val d = t(s, dir, "documents")
+      Dedup.minhashPairsAgainst(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    }),
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: embedding near-dup pairs verified within IVF kmeans
       // cells (~n^2/nlist work). Probabilistic recall (kmeans cells) ->

@@ -372,29 +372,75 @@ object Dedup {
    * EAGER like [[jaccardPairs]]: the verified pair set is materialized
    * at call time and returned PERSISTED — `unpersist()` it when looping.
    */
+  /** (id, band, bh) LSH bucket rows of a shingled frame: all `numPerm`
+    * min-hashes from one fused kernel per row (bit-identical to
+    * `min(xxhash64(lit(i), s))` per permutation — the explode +
+    * numPerm-wide groupBy shuffle this replaces was the operator's
+    * dominant cost), then one bucket hash per band. Shingle-less docs
+    * (null signature) have no bands, matching the explode semantics. */
+  private def bandedBuckets(docs: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    val r = numPerm / bands
+    docs
+      .select(col("id"),
+        graft.functions.HashFunctions.minhashSignature(col("sh"), numPerm).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("id"), posexplode(
+        array((0 until bands).map(j =>
+          xxhash64(lit(j) +: (0 until r).map(k => element_at(col("mh"), j * r + k + 1)): _*)): _*)
+      ).as(Seq("band", "bh")))
+  }
+
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val r = numPerm / bands
     val docs = shingledHashed(df, idCol, textCol, n).cache()
-    // One fused kernel computes all numPerm min-hashes per row map-side
-    // (bit-identical to min(xxhash64(lit(i), s)) per permutation) — the
-    // explode + numPerm-wide groupBy shuffle this replaces was the
-    // operator's dominant cost. Shingle-less docs (null signature) have
-    // no bands, matching the explode semantics it replaces.
-    val mh = docs
-      .select(col("id"),
-        graft.functions.HashFunctions.minhashSignature(col("sh"), numPerm).as("mh"))
-      .filter(col("mh").isNotNull)
-    val buckets = mh.select(col("id"), posexplode(
-      array((0 until bands).map(j =>
-        xxhash64(lit(j) +: (0 until r).map(k => element_at(col("mh"), j * r + k + 1)): _*)): _*)
-    ).as(Seq("band", "bh")))
+    val buckets = bandedBuckets(docs, numPerm, bands)
     val cands = buckets.as("a").join(buckets.as("b"), Seq("band", "bh"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     materializeThenRelease(verifyJaccard(cands, docs, threshold), docs)
+  }
+
+  /**
+   * CROSS-corpus near-duplicate pairs — dedup a candidate corpus (a new
+   * crawl) AGAINST a reference corpus (the existing training set):
+   * (id1 from `left`, id2 from `right`, jaccard) for every cross pair
+   * with verified Jaccard >= `threshold`. The retention step drops the
+   * left ids that match — keeping the reference set authoritative —
+   * which no self-join dedup expresses (and [[PipelineOps.contamination]]
+   * only approximates: ANY shared n-gram, not a similarity threshold).
+   *
+   * Same MinHash+banded-LSH shape as [[minhashPairs]], with the bucket
+   * join ACROSS the two frames (no id ordering constraint — the id
+   * namespaces are unrelated; a doc present in both corpora pairs with
+   * itself at J = 1). Probabilistic recall, exact precision.
+   *
+   * EAGER like the other pair finders: result persisted, internal
+   * shingle caches released — `unpersist()` it when looping.
+   */
+  def minhashPairsAgainst(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val ldocs = shingledHashed(left, idCol, textCol, n).cache()
+    val rdocs = shingledHashed(right, idCol, textCol, n).cache()
+    val cands = bandedBuckets(ldocs, numPerm, bands).as("a")
+      .join(bandedBuckets(rdocs, numPerm, bands).as("b"), Seq("band", "bh"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val d1 = ldocs.select(col("id").as("id1"), col("sh").as("sh1"))
+    val d2 = rdocs.select(col("id").as("id2"), col("sh").as("sh2"))
+    val out = cands
+      .join(d1, "id1").join(d2, "id2")
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("sh1"), col("sh2"))
+          .cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .distinct()
+    materializeThenRelease(out, ldocs, rdocs)
   }
 
   /**

@@ -234,6 +234,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(planted.subsetOf(got), s"missed planted dups: ${planted -- got}")
   }
 
+  test("minhashPairsAgainst: cross-corpus pairs are subset-of-exact with full planted recall") {
+    import graft.functions.TextFunctions
+    // exact cross jaccard by brute force over the shingle sets (50 docs)
+    val sh = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), TextFunctions.shingleSetFromTokens(col("_t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val exact = (for {
+      (id1, s1) <- sh.toSeq if id1 % 2 == 1; (id2, s2) <- sh.toSeq if id2 % 2 == 0
+      if s1.nonEmpty || s2.nonEmpty
+      j = sh(id1).intersect(s2).size.toDouble / (s1 ++ s2).size if j >= 0.5
+    } yield (id1, id2)).toSet
+    val got = Dedup.minhashPairsAgainst(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    // planted near-dups sit at J >= 0.9 where banded recall is ~1
+    assert(got == exact, s"missed cross pairs: ${exact -- got}")
+    assert(exact.nonEmpty, "fixture should contain cross-parity planted dups")
+  }
+
   test("labelComponents rejects non-integral id columns loudly") {
     import spark.implicits._
     val members = Seq("doc-1", "doc-2").toDF("id")

@@ -259,6 +259,41 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+    "q_dedup_retain" -> ((s, dir) =>
+      // the retention step dedup exists FOR: one survivor per near-dup
+      // cluster (the smallest reachable id) with its member count
+      Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+        .groupBy(col("cluster_id").as("keep_id"))
+        .agg(count(lit(1)).as("n_members"))),
+    "q_pipeline_funnel" -> ((s, dir) => {
+      // the whole preprocessing funnel as ONE map-side pass + one agg:
+      // quality gate -> repetition gate -> language gate -> deterministic
+      // 50% sample; each stage count in a single row. At 100 TB this is
+      // a single corpus scan with no shuffle beyond the final reduce.
+      val toks = TextFunctions.tokens(col("text"))
+      val d0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), toks.as("_toks"))
+        .select(col("doc_id"), col("text"), col("_toks"),
+          TextFunctions.wordShinglesFromTokens(col("_toks"), 3).as("_tri"))
+      val nToks = size(col("_toks"))
+      val quality = nToks >= lit(20) &&
+        (size(array_distinct(col("_toks"))).cast("double") / nToks.cast("double")) >= lit(0.2)
+      val nonRep =
+        (graft.functions.ArrayFunctions.topElementCount(col("_toks")).cast("double")
+          / nToks.cast("double")) < lit(0.15) &&
+        (when(size(col("_tri")) > 0,
+          lit(1.0) - size(array_distinct(col("_tri"))).cast("double")
+            / size(col("_tri")).cast("double")).otherwise(lit(0.0))) < lit(0.05)
+      val isEn = TextFunctions.langId(col("text")) === lit("en")
+      val sampled = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":graft")).cast("binary")), 1, 8) < lit("80000000")
+      d0.agg(
+        count(lit(1)).as("n_total"),
+        sum(quality.cast("long")).as("n_quality"),
+        sum((quality && nonRep).cast("long")).as("n_clean"),
+        sum((quality && nonRep && isEn).cast("long")).as("n_en"),
+        sum((quality && nonRep && isEn && sampled).cast("long")).as("n_sampled"))
+    }),
     "dedup_cross" -> ((s, dir) => {
       // cross-corpus dedup: odd doc_ids play the incoming crawl, even
       // ones the authoritative reference set; emit verified near-dup
@@ -666,6 +701,52 @@ object SparkEntry {
            |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
            |GROUP BY d.doc_id""".stripMargin,
 
+      "q_dedup_retain" ->
+        // the cluster CTE rolled up to survivors: cluster id = min
+        // reachable doc id, so grouping the labeling by cluster_id IS the
+        // retention list
+        s"""WITH RECURSIVE $jaccardCtes,
+           |edges AS (SELECT id1 AS a, id2 AS b FROM good
+           |          UNION ALL SELECT id2, id1 FROM good),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |labels AS (SELECT d.doc_id AS id,
+           |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |  GROUP BY d.doc_id)
+           |SELECT cluster_id AS keep_id, count(*) AS n_members
+           |FROM labels GROUP BY 1""".stripMargin,
+      "q_pipeline_funnel" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |tri AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+           |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg FROM t),
+           |top AS (SELECT doc_id, max(c) AS topc FROM (
+           |          SELECT doc_id, tk, count(*) AS c
+           |          FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY 1, 2)
+           |        GROUP BY doc_id),
+           |lang AS (SELECT doc_id, $langCase AS lang_pred FROM
+           |  (SELECT doc_id, $bestExpr AS best, t.toks FROM
+           |    (SELECT doc_id, $toks AS toks FROM documents) t) t),
+           |f AS (SELECT t.doc_id,
+           |        (len(t.toks) >= 20 AND
+           |         len(list_distinct(t.toks))::DOUBLE / len(t.toks) >= 0.2) AS quality,
+           |        (top.topc::DOUBLE / len(t.toks) < 0.15 AND
+           |         (CASE WHEN len(tri.tg) > 0
+           |            THEN 1.0 - len(list_distinct(tri.tg))::DOUBLE / len(tri.tg)
+           |            ELSE 0.0 END) < 0.05) AS nonrep,
+           |        (lang.lang_pred = 'en') AS is_en,
+           |        (substring(md5(t.doc_id::VARCHAR || ':graft'), 1, 8) < '80000000') AS sampled
+           |      FROM t JOIN tri ON t.doc_id = tri.doc_id
+           |             LEFT JOIN top ON t.doc_id = top.doc_id
+           |             JOIN lang ON t.doc_id = lang.doc_id)
+           |SELECT count(*) AS n_total,
+           |  sum(CASE WHEN quality THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+           |  sum(CASE WHEN quality AND nonrep THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+           |  sum(CASE WHEN quality AND nonrep AND is_en THEN 1 ELSE 0 END)::BIGINT AS n_en,
+           |  sum(CASE WHEN quality AND nonrep AND is_en AND sampled THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_sampled
+           |FROM f""".stripMargin,
       "ann_topk" ->
         s"""$dotPairs,
            |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv

@@ -65,6 +65,19 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopElementCount agrees with brute-force multiplicity on random arrays") {
+    import spark.implicits._
+    import graft.functions.ArrayFunctions.topElementCount
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 200).map { _ =>
+      Seq.fill(rnd.nextInt(40) + 1)(s"t${rnd.nextInt(8)}")
+    }
+    val got = cases.toDF("t")
+      .select(topElementCount(col("t"))).collect().map(_.getLong(0))
+    val want = cases.map(c => c.groupBy(identity).values.map(_.size).max.toLong)
+    assert(got.toSeq == want)
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))

@@ -381,6 +381,46 @@ object SparkEntry {
         streamCol = "source", orderCol = "doc_id", tokenCol = "tok", maxTokens = 512)
         .select(col("doc_id"), col("source"), col("seq_offset"), col("seq_id"))),
 
+    // ----- temporal joins (as-of + bucketed range join) -----------------
+    "q_asof" -> ((s, dir) => {
+      // point-in-time attribution: each purchase joined to the same
+      // user's most recent at-or-before view/click. One shuffle on
+      // user_id + a per-key time sort — never a nested-loop join.
+      val ev = t(s, dir, "events")
+      // output in micros (`div 1000`): DuckDB loads TIMESTAMP(NANOS)
+      // parquet at micro precision, and no two same-user events share a
+      // microsecond (verified both SFs), so the join order is identical
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("ts div 1000").as("purchase_us"))
+      val views = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), expr("ts div 1000").as("view_us"),
+          col("event_id").as("prior_view_id"))
+      TemporalJoins.asofJoin(purchases, views, "purchase_us", "view_us",
+        byCols = Seq("user_id"), rightValueCols = Seq("prior_view_id", "view_us"))
+    }),
+    "q_range" -> ((s, dir) => {
+      // keyless interval join: the 20 busiest error minutes become
+      // +/-5-minute incident windows; purchases landing in each window
+      // aggregate per window. Buckets (10-min `div`) turn the pure
+      // range predicate into an equi-join — no BroadcastNestedLoop.
+      val ev = t(s, dir, "events")
+      val windows = ev.filter(col("event_type") === "error")
+        .groupBy(expr("ts div 60000000000").as("m"))
+        .agg(count(lit(1)).as("n_err"))
+        .orderBy(col("n_err").desc, col("m").asc).limit(20)
+        .select(col("m").as("window_id"),
+          (col("m") * 60000000000L - 300000000000L).as("w_lo"),
+          (col("m") * 60000000000L + 300000000000L).as("w_hi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TemporalJoins.rangeJoinPoints(purchases, windows, "ts", "w_lo", "w_hi",
+          bucketWidth = 600000000000L)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ----- structured-streaming parity (reference batch_job shape:
     // streaming plan + drain-the-source trigger, complete mode) ----------
     "stream_sky_li_2d" -> ((s, dir) => {
@@ -798,6 +838,26 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS seq_id
            |FROM d""".stripMargin,
 
+      "q_asof" ->
+        """WITH l AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+          |           WHERE event_type = 'purchase'),
+          |     r AS (SELECT event_id AS prior_view_id, user_id AS r_user, ts AS rts
+          |           FROM events WHERE event_type IN ('view', 'click'))
+          |SELECT l.purchase_id, l.user_id, epoch_us(l.ts) AS purchase_us,
+          |       r.prior_view_id, epoch_us(r.rts) AS view_us
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.r_user AND l.ts >= r.rts""".stripMargin,
+      "q_range" ->
+        """WITH em AS (SELECT epoch_ns(ts) // 60000000000 AS m, count(*) AS n_err
+          |            FROM events WHERE event_type = 'error' GROUP BY 1
+          |            ORDER BY n_err DESC, m ASC LIMIT 20),
+          |     w AS (SELECT m AS window_id, m * 60000000000 - 300000000000 AS w_lo,
+          |                  m * 60000000000 + 300000000000 AS w_hi FROM em),
+          |     p AS (SELECT event_id, user_id, epoch_ns(ts) AS pns FROM events
+          |           WHERE event_type = 'purchase')
+          |SELECT w.window_id, count(*) AS n_purchases,
+          |       count(DISTINCT p.user_id) AS n_users
+          |FROM p JOIN w ON p.pns BETWEEN w.w_lo AND w.w_hi
+          |GROUP BY w.window_id""".stripMargin,
       "mm_decode" ->
         """SELECT doc_id,
           |  64 + octet_length(encode(text)) % 577 AS width,

@@ -381,6 +381,13 @@ object SparkEntry {
         streamCol = "source", orderCol = "doc_id", tokenCol = "tok", maxTokens = 512)
         .select(col("doc_id"), col("source"), col("seq_offset"), col("seq_id"))),
 
+    "q_boilerplate" -> ((s, dir) =>
+      // CCNet-style corpus boilerplate strip: 10-token segments shared by
+      // >= 2 docs removed everywhere, docs reassembled in order (108
+      // shared segments exist at sf0.01 — near-dup pairs share runs)
+      PipelineOps.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        segmentTokens = 10, minDocFreq = 2)),
+
     // ----- temporal joins (as-of + bucketed range join) -----------------
     "q_asof" -> ((s, dir) => {
       // point-in-time attribution: each purchase joined to the same
@@ -838,6 +845,23 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS seq_id
            |FROM d""".stripMargin,
 
+      "q_boilerplate" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |segs AS (SELECT doc_id, s,
+           |           array_to_string(list_slice(tk, (s-1)*10+1, s*10), ' ') AS seg
+           |         FROM t, unnest(generate_series(1, (len(tk)+9)//10)) AS g(s)),
+           |boiler AS (SELECT seg FROM (
+           |             SELECT seg, count(DISTINCT doc_id) AS d FROM segs GROUP BY 1)
+           |           WHERE d >= 2),
+           |kept AS (SELECT doc_id, s, seg FROM segs
+           |         WHERE seg NOT IN (SELECT seg FROM boiler)),
+           |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY s) AS clean_text,
+           |          count(*) AS n_kept FROM kept GROUP BY doc_id),
+           |tot AS (SELECT doc_id, (len(tk)+9)//10 AS nseg FROM t)
+           |SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+           |  coalesce(agg.n_kept, 0) AS n_kept_segments,
+           |  tot.nseg - coalesce(agg.n_kept, 0) AS n_removed_segments
+           |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
       "q_asof" ->
         """WITH l AS (SELECT event_id AS purchase_id, user_id, ts FROM events
           |           WHERE event_type = 'purchase'),

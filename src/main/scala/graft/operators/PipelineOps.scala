@@ -130,6 +130,57 @@ object PipelineOps {
   }
 
   /**
+   * Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+   * step, on token segments since this corpus has no newlines): a
+   * document's tokens split into fixed `segmentTokens` windows (trailing
+   * remainder kept, so reassembly is lossless); any segment appearing in
+   * at least `minDocFreq` DISTINCT documents is boilerplate and removed
+   * from every document; survivors reassemble in original order. Output:
+   * (`idCol`, `clean_text`, `n_kept_segments`, `n_removed_segments`) —
+   * one row per input document, including fully-stripped and empty ones.
+   *
+   * Scale shape: segments carry a 64-bit `xxhash64` key, so the
+   * document-frequency aggregation and the removal anti-join shuffle
+   * 8-byte hashes, not segment strings (the CCNet trade: a hash
+   * collision can strip a rare segment; at petabyte scale that loss is
+   * accepted and bounded by 2^-64 per pair). Reassembly sorts each
+   * document's own segments (array_sort on a (idx, text) struct), never
+   * a global order. Within-doc repetition does NOT make boilerplate —
+   * frequency counts distinct documents.
+   */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segmentTokens: Int, minDocFreq: Int): DataFrame = {
+    require(segmentTokens > 0, s"segmentTokens must be positive, got $segmentTokens")
+    require(minDocFreq >= 2, s"minDocFreq below 2 would strip every segment, got $minDocFreq")
+    val k = segmentTokens
+    val toks = df.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("_nseg", ((size(col("_toks")) + (k - 1)) / k).cast("int"))
+    val segs = toks
+      .withColumn("_s", explode(when(col("_nseg") > 0,
+        sequence(lit(0), col("_nseg") - 1)).otherwise(array().cast("array<int>"))))
+      .select(col(idCol), col("_s"),
+        concat_ws(" ", slice(col("_toks"), col("_s") * k + 1, lit(k))).as("_seg"))
+      .withColumn("_h", xxhash64(col("_seg")))
+    val boiler = segs.groupBy(col("_h"))
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_h"))
+    val kept = segs.join(boiler, Seq("_h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("_s"), col("_seg")))),
+          x => x.getField("_seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept_segments"))
+    toks.select(col(idCol), col("_nseg"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
+        (col("_nseg").cast("long") - coalesce(col("n_kept_segments"), lit(0L)))
+          .as("n_removed_segments"))
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least one word
    * `n`-gram with the benchmark set, with the count of distinct shared
    * n-grams as the contamination strength. The training-data hygiene step

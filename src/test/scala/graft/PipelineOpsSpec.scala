@@ -97,6 +97,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 3L -> 1L), s"got $got")
   }
 
+  test("stripBoilerplate removes cross-doc frequent segments, keeps order, keeps all docs") {
+    import spark.implicits._
+    // segment size 2: "b1 b2" is shared by docs 1,2,3 (boilerplate at
+    // minDocFreq=2); "u1 u2" repeats WITHIN doc 4 only (not boilerplate);
+    // doc 5 is entirely boilerplate; doc 6 is empty
+    val docs = Seq(
+      (1L, "a1 a2 b1 b2 c1 c2"),
+      (2L, "b1 b2 d1 d2"),
+      (3L, "e1 e2 b1 b2"),
+      (4L, "u1 u2 u1 u2 f1"),
+      (5L, "b1 b2"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = PipelineOps.stripBoilerplate(docs, "doc_id", "text",
+        segmentTokens = 2, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a1 a2 c1 c2", 2L, 1L)), s"got ${out(1L)}")
+    assert(out(2L) == (("d1 d2", 1L, 1L)))
+    assert(out(3L) == (("e1 e2", 1L, 1L)))
+    // within-doc repetition survives; trailing partial segment kept
+    assert(out(4L) == (("u1 u2 u1 u2 f1", 3L, 0L)))
+    assert(out(5L) == (("", 0L, 1L)), "fully-boilerplate doc stays, empty")
+    assert(out(6L) == (("", 0L, 0L)), "empty doc stays")
+    intercept[IllegalArgumentException] {
+      PipelineOps.stripBoilerplate(docs, "doc_id", "text", 2, minDocFreq = 1)
+    }
+  }
+
   test("SQL surface: topk_agg ranks per group like the Column API") {
     import spark.implicits._
     graft.operators.GraftFunctions.register(spark)

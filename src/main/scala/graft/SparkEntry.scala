@@ -312,6 +312,19 @@ object SparkEntry {
       Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3, nlist = 16)),
 
+    "q_centroid" -> ((s, dir) =>
+      // per-class centroid embeddings (mean pooling) via the native
+      // vector_avg aggregate: one (count, double[dim]) buffer per group
+      // per task crosses the wire — not a 64x posexplode row inflation.
+      // Output exploded to (label, i, v) scalars for the hash compare.
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(VectorAggFunctions.vectorAvg(col("embedding")).as("_c"),
+          count(lit(1)).as("n_vectors"))
+        .select(col("label"), col("n_vectors"), posexplode(col("_c")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("i"),
+          round(col("col"), 6).as("v"), col("n_vectors"))),
+
     // ----- similarity search (embeddings) --------------------------------
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -381,6 +394,13 @@ object SparkEntry {
         streamCol = "source", orderCol = "doc_id", tokenCol = "tok", maxTokens = 512)
         .select(col("doc_id"), col("source"), col("seq_offset"), col("seq_id"))),
 
+    "q_tfidf" -> ((s, dir) =>
+      // TF-IDF keywords: top-5 terms per doc; displayed score rounded,
+      // ranking on full precision with a token tie-break
+      PipelineOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          topPerDoc = 5)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("rank"), round(col("score"), 4).as("score"))),
     "q_boilerplate" -> ((s, dir) =>
       // CCNet-style corpus boilerplate strip: 10-token segments shared by
       // >= 2 docs removed everywhere, docs reassembled in order (108
@@ -845,6 +865,28 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS seq_id
            |FROM d""".stripMargin,
 
+      "q_centroid" ->
+        """WITH e AS (SELECT label, unnest(embedding)::DOUBLE AS x,
+          |             generate_subscripts(embedding, 1)::BIGINT AS i FROM embeddings),
+          |n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+          |SELECT a.label, a.i, a.v, n.n_vectors
+          |FROM (SELECT label, i, round(avg(x), 6) AS v FROM e GROUP BY 1, 2) a
+          |JOIN n USING (label)""".stripMargin,
+      "q_tfidf" ->
+        s"""WITH tf AS (SELECT doc_id, tk AS token, count(*) AS tf
+           |            FROM (SELECT doc_id, unnest($toks) AS tk FROM documents)
+           |            GROUP BY 1, 2),
+           |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+           |         tf.tf * (ln((n.n + 1) / (dfq.df + 1.0)) + 1) AS score
+           |       FROM tf JOIN dfq USING (token) CROSS JOIN n),
+           |r AS (SELECT doc_id, token, tf, df, score,
+           |        row_number() OVER (PARTITION BY doc_id
+           |          ORDER BY score DESC, token ASC) AS rank
+           |      FROM sc)
+           |SELECT doc_id, token, tf, df, rank, round(score, 4) AS score
+           |FROM r WHERE rank <= 5""".stripMargin,
       "q_boilerplate" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |segs AS (SELECT doc_id, s,

@@ -181,6 +181,41 @@ object PipelineOps {
   }
 
   /**
+   * TF-IDF keyword extraction: the `topPerDoc` highest-scoring tokens
+   * per document, `score = tf * (ln((N+1)/(df+1)) + 1)` (smoothed idf,
+   * sklearn's form). Output: (`idCol`, token, tf, df, rank, score).
+   *
+   * Scale shape: term frequencies aggregate (doc, token) with map-side
+   * combine; document frequencies derive from THAT result (token-keyed,
+   * one row per distinct (doc, token) — never a second corpus scan); the
+   * corpus size joins in as a broadcast 1-row aggregate, keeping the
+   * plan fully lazy (no driver-side count()). The ranking window
+   * partitions by document — groups bounded by per-doc vocabulary, so
+   * no global sort anywhere. The tf-to-df join keys on token; stopword
+   * keys are hot, which is exactly the skew AQE's skew-join handles
+   * (or pre-filter a stopword list upstream).
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topPerDoc: Int): DataFrame = {
+    require(topPerDoc > 0, s"topPerDoc must be positive, got $topPerDoc")
+    val tf = df.select(col(idCol), explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count_distinct(col(idCol)).as("_n"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (log((col("_n") + 1) / (col("df") + 1)) + 1))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("token").asc)).cast("long"))
+      .filter(col("rank") <= topPerDoc)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"),
+        col("score"))
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least one word
    * `n`-gram with the benchmark set, with the count of distinct shared
    * n-grams as the contamination strength. The training-data hygiene step

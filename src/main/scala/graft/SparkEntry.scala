@@ -477,6 +477,28 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    "stream_sessionize" -> ((s, dir) => {
+      // streaming gap sessionization (session_window + watermark) — the
+      // complete-mode drain equals the batch lag/running-sum
+      // sessionization, so the DuckDB oracle gates it. session_window
+      // merges adjacent [t, t+gap) windows, so a new session opens at
+      // diff STRICTLY > gap — the exact boundary of the batch lag
+      // formulation (asserted in StreamingSpec).
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val sess = graft.streaming.EventStreams.sessionizeStream(
+        stream, "ts_utc", watermarkDelay = "1 hour", gap = "30 minutes",
+        keyCols = Seq("user_id"),
+        aggs = Seq(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event")))
+      graft.streaming.SkylineStreaming.runOnce(sess, "stream_sessionize_mem")
+        .select(col("user_id"),
+          unix_micros(col("session.start")).as("session_start_us"),
+          col("n_events"), col("first_event"))
+    }),
+
     // ----- multimodal plumbing (stubbed codec, real dataflow) ------------
     "mm_decode" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
@@ -684,6 +706,21 @@ object SparkEntry {
           |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
 
+      "stream_sessionize" ->
+        """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          |      ORDER BY ts ASC, event_id ASC) AS prev
+          |  FROM events),
+          |s AS (SELECT user_id, event_id, tu,
+          |    CASE WHEN prev IS NULL OR tu - prev > 1800000000
+          |      THEN 1 ELSE 0 END AS new_sess FROM g),
+          |n AS (SELECT user_id, event_id, tu,
+          |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM s)
+          |SELECT user_id, min(tu) AS session_start_us,
+          |  count(*) AS n_events, min(event_id) AS first_event
+          |FROM n GROUP BY user_id, sid""".stripMargin,
       "text_stats" ->
         s"""SELECT doc_id, n_chars,
            |  len(t.toks)::BIGINT AS n_tokens,

@@ -93,5 +93,8 @@ object GraftFunctions {
     reg.registerFunction(spark, "graft_sorted_intersect_count",
       arity("graft_sorted_intersect_count", 2)(
         exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
+    reg.registerFunction(spark, "vector_avg",
+      arity("vector_avg", 1)(
+        exprs => VectorAvgAggExpr(exprs.head).toAggregateExpression()))
   }
 }

@@ -50,6 +50,35 @@ object EventStreams {
   }
 
   /**
+   * Streaming gap-based sessionization via `session_window`: per key, an
+   * event joins the current session iff it arrives within `gap` of the
+   * session's last event — Spark merges the per-event windows
+   * `[t, t+gap)` on overlap OR adjacency, so a new session opens only at
+   * `t_new - t_last > gap` (strictly; exactly-gap spacing merges, the
+   * same boundary as the batch lag formulation in `q_sessionize`,
+   * asserted in StreamingSpec). The state row per OPEN session is bounded by the
+   * watermark: once it passes `last event + gap`, the session can never
+   * merge again and its state is dropped (append mode emits it exactly
+   * then). `session.start` is exactly the first event's timestamp,
+   * `session.end` the last's + gap.
+   *
+   * This is the streaming form of the batch lag/running-sum
+   * sessionization (`q_sessionize`): a complete-mode drain produces the
+   * same sessions, which is how the oracle gates it.
+   */
+  def sessionizeStream(
+      stream: DataFrame, tsCol: String, watermarkDelay: String,
+      gap: String, keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(stream.isStreaming, "sessionizeStream expects a streaming DataFrame")
+    require(keyCols.nonEmpty, "sessionizeStream needs at least one key column " +
+      "(a keyless global session would funnel every event into one state row)")
+    require(aggs.nonEmpty, "sessionizeStream needs at least one aggregate")
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("session") +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Streaming exact dedup with BOUNDED state
    * (`dropDuplicatesWithinWatermark`): the first event per key passes,
    * re-arrivals within `watermarkDelay` of it are dropped, and the key's

@@ -355,6 +355,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStream merges sessions across micro-batches, splits at the gap") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-sess-in").toFile
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toFile
+    // batch 1: u1 has two events 10 min apart (one session)
+    Files.write(new java.io.File(inDir, "b1.csv").toPath,
+      "2026-01-01 10:00:00,u1\n2026-01-01 10:10:00,u1\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val events = SkylineStreaming.fromCsvPayload(raw, "ts STRING, u STRING")
+      .select(col("ts").cast("timestamp").as("ts"), col("u"))
+    val sess = graft.streaming.EventStreams.sessionizeStream(
+        events, "ts", watermarkDelay = "2 hours", gap = "30 minutes",
+        keyCols = Seq("u"), aggs = Seq(count(lit(1)).as("n")))
+      .select(col("u"), col("session.start").cast("string").as("st"), col("n"))
+    val q = sess.writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      def current() = spark.table("sess_test").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(current() == Set(("u1", "2026-01-01 10:00:00", 2L)))
+      // batch 2: an event 20 min after u1's last EXTENDS the open session
+      // (cross-batch merge through state); one 30+ min later starts a new
+      // session; a second user sessionizes independently
+      Files.write(new java.io.File(inDir, "b2.csv").toPath,
+        "2026-01-01 10:30:00,u1\n2026-01-01 11:30:00,u1\n2026-01-01 10:05:00,u2\n".getBytes)
+      q.processAllAvailable()
+      assert(current() == Set(
+        ("u1", "2026-01-01 10:00:00", 3L),
+        ("u1", "2026-01-01 11:30:00", 1L),
+        ("u2", "2026-01-01 10:05:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream gap boundary: exactly-gap spacing starts a new session") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-sessb-in").toFile
+    Files.write(new java.io.File(inDir, "b1.csv").toPath,
+      "2026-01-01 10:00:00,u1\n2026-01-01 10:30:00,u1\n2026-01-01 10:59:59,u1\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val events = SkylineStreaming.fromCsvPayload(raw, "ts STRING, u STRING")
+      .select(col("ts").cast("timestamp").as("ts"), col("u"))
+    val sess = graft.streaming.EventStreams.sessionizeStream(
+        events, "ts", watermarkDelay = "2 hours", gap = "30 minutes",
+        keyCols = Seq("u"), aggs = Seq(count(lit(1)).as("n")))
+      .select(col("session.start").cast("string").as("st"), col("n"))
+    val got = SkylineStreaming.runOnce(sess, "sess_boundary_test")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // 10:30 is exactly gap after 10:00 and MERGES: Spark joins adjacent
+    // [t, t+gap) windows, so a new session needs diff STRICTLY > gap —
+    // the same boundary as the batch lag formulation (q_sessionize)
+    assert(got == Set(("2026-01-01 10:00:00", 3L)))
+  }
+
   test("windowedAgg sliding windows place each event in window/slide buckets") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-slide-in").toFile

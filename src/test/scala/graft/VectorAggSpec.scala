@@ -54,6 +54,16 @@ class VectorAggSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("SQL surface: vector_avg aggregates like the Column API") {
+    import spark.implicits._
+    graft.operators.GraftFunctions.register(spark)
+    Seq((0, Seq(1.0, 3.0)), (0, Seq(3.0, 5.0)), (1, Seq(7.0, 9.0)))
+      .toDF("g", "v").createOrReplaceTempView("vec_in")
+    val rows = spark.sql("SELECT g, vector_avg(v) AS m FROM vec_in GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(rows == Map(0 -> Seq(2.0, 4.0), 1 -> Seq(7.0, 9.0)))
+  }
+
   test("vectorAvg reads float arrays natively (the embeddings column type)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = e.groupBy("label").agg(vectorAvg(col("embedding")).as("m"))

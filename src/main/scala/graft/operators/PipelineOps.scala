@@ -185,15 +185,18 @@ object PipelineOps {
    * per document, `score = tf * (ln((N+1)/(df+1)) + 1)` (smoothed idf,
    * sklearn's form). Output: (`idCol`, token, tf, df, rank, score).
    *
-   * Scale shape: term frequencies aggregate (doc, token) with map-side
-   * combine; document frequencies derive from THAT result (token-keyed,
-   * one row per distinct (doc, token) — never a second corpus scan); the
-   * corpus size joins in as a broadcast 1-row aggregate, keeping the
-   * plan fully lazy (no driver-side count()). The ranking window
-   * partitions by document — groups bounded by per-doc vocabulary, so
-   * no global sort anywhere. The tf-to-df join keys on token; stopword
-   * keys are hot, which is exactly the skew AQE's skew-join handles
-   * (or pre-filter a stopword list upstream).
+   * Scale shape: the corpus is tokenized ONCE — term frequencies
+   * aggregate (doc, token) with map-side combine, and document
+   * frequencies come from a `count over (partition by token)` window on
+   * that result rather than a self-join (a df-table join would either
+   * recompute the tokenize subtree — Spark does not share unmaterialized
+   * subplans — or broadcast a vocabulary-sized table, which breaks once
+   * the vocab outgrows a broadcast). The corpus size joins in as a
+   * broadcast 1-row aggregate over a doc-id-only column-pruned scan,
+   * keeping the plan fully lazy. The ranking window partitions by
+   * document — groups bounded by per-doc vocabulary, so no global sort
+   * anywhere. Stopword tokens make hot window partitions; pre-filter a
+   * stopword list upstream if that skew bites.
    */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       topPerDoc: Int): DataFrame = {
@@ -201,9 +204,8 @@ object PipelineOps {
     val tf = df.select(col(idCol), explode(
         graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = df.agg(count_distinct(col(idCol)).as("_n"))
-    tf.join(dfreq, "token")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * (log((col("_n") + 1) / (col("df") + 1)) + 1))

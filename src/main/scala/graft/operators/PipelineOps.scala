@@ -139,44 +139,52 @@ object PipelineOps {
    * (`idCol`, `clean_text`, `n_kept_segments`, `n_removed_segments`) —
    * one row per input document, including fully-stripped and empty ones.
    *
-   * Scale shape: segments carry a 64-bit `xxhash64` key, so the
-   * document-frequency aggregation and the removal anti-join shuffle
-   * 8-byte hashes, not segment strings (the CCNet trade: a hash
-   * collision can strip a rare segment; at petabyte scale that loss is
-   * accepted and bounded by 2^-64 per pair). Reassembly sorts each
-   * document's own segments (array_sort on a (idx, text) struct), never
-   * a global order. Within-doc repetition does NOT make boilerplate —
-   * frequency counts distinct documents.
+   * Scale shape: ONE corpus scan, no self-joins. A naive formulation
+   * (frequency table anti-joined back, plus a base-table rejoin for
+   * zero-segment docs) evaluates the tokenize+segment subtree three
+   * times — Spark does not share unmaterialized subplans (three
+   * FileScans in the executed plan). Instead: zero-segment documents
+   * ride along as a sentinel row (`_s = -1`), and the distinct
+   * doc-frequency per segment comes from two windows over ONE explicit
+   * hash-repartition on the 64-bit segment hash — a first-occurrence
+   * flag (row_number by (hash, doc)) summed over the hash partition;
+   * `HashPartitioning(_h)` satisfies both windows' clustering, so the
+   * planner inserts no second exchange. Keep/strip is then a per-row
+   * predicate and the reassembly is one groupBy(doc): segments sort
+   * within their own document (array_sort on an (idx, text) struct),
+   * never a global order. The hash stands in for segment equality (the
+   * CCNet trade: a 2^-64-per-pair collision can strip a rare segment).
+   * Within-doc repetition does NOT make boilerplate — frequency counts
+   * distinct documents.
    */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       segmentTokens: Int, minDocFreq: Int): DataFrame = {
     require(segmentTokens > 0, s"segmentTokens must be positive, got $segmentTokens")
     require(minDocFreq >= 2, s"minDocFreq below 2 would strip every segment, got $minDocFreq")
     val k = segmentTokens
-    val toks = df.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+    val segs = df
+      .select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
       .withColumn("_nseg", ((size(col("_toks")) + (k - 1)) / k).cast("int"))
-    val segs = toks
       .withColumn("_s", explode(when(col("_nseg") > 0,
-        sequence(lit(0), col("_nseg") - 1)).otherwise(array().cast("array<int>"))))
+        sequence(lit(0), col("_nseg") - 1)).otherwise(array(lit(-1)))))
       .select(col(idCol), col("_s"),
-        concat_ws(" ", slice(col("_toks"), col("_s") * k + 1, lit(k))).as("_seg"))
-      .withColumn("_h", xxhash64(col("_seg")))
-    val boiler = segs.groupBy(col("_h"))
-      .agg(count_distinct(col(idCol)).as("_df"))
-      .filter(col("_df") >= minDocFreq)
-      .select(col("_h"))
-    val kept = segs.join(boiler, Seq("_h"), "left_anti")
+        when(col("_s") >= 0,
+          concat_ws(" ", slice(col("_toks"), col("_s") * k + 1, lit(k)))).as("_seg"))
+      .withColumn("_h", when(col("_s") >= 0, xxhash64(col("_seg"))))
+      .repartition(col("_h"))
+    val wFirst = Window.partitionBy(col("_h"), col(idCol)).orderBy(col("_s"))
+    val wHash = Window.partitionBy(col("_h"))
+    val keep = col("_s") >= 0 && col("_df") < minDocFreq
+    segs
+      .withColumn("_first", (row_number().over(wFirst) === 1).cast("long"))
+      .withColumn("_df", sum(col("_first")).over(wHash))
       .groupBy(col(idCol))
       .agg(
-        array_join(transform(array_sort(collect_list(struct(col("_s"), col("_seg")))),
+        array_join(transform(
+          array_sort(collect_list(when(keep, struct(col("_s"), col("_seg"))))),
           x => x.getField("_seg")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept_segments"))
-    toks.select(col(idCol), col("_nseg"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
-        (col("_nseg").cast("long") - coalesce(col("n_kept_segments"), lit(0L)))
+        sum(keep.cast("long")).as("n_kept_segments"),
+        (sum((col("_s") >= 0).cast("long")) - sum(keep.cast("long")))
           .as("n_removed_segments"))
   }
 

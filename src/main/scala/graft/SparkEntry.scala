@@ -394,6 +394,34 @@ object SparkEntry {
         streamCol = "source", orderCol = "doc_id", tokenCol = "tok", maxTokens = 512)
         .select(col("doc_id"), col("source"), col("seq_offset"), col("seq_id"))),
 
+    "q_salted_join" -> ((s, dir) =>
+      // skew-resilient join: identical result to the plain equi-join
+      // (the oracle IS the plain join), but a hot customer key spreads
+      // over 8 salt buckets instead of one reducer
+      PipelineOps.saltedJoin(t(s, dir, "orders"), t(s, dir, "customer"),
+          "o_custkey", "c_custkey", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("revenue"))),
+    "q_domain_cap" -> ((s, dir) =>
+      // per-domain page cap: at most 5 docs survive per source, selected
+      // by deterministic md5 priority via a bounded top-k heap aggregate
+      // (never a per-domain row_number sort)
+      PipelineOps.capPerGroup(t(s, dir, "documents"), "source", "doc_id",
+        maxRows = 5)),
+    "q_json_props" -> ((s, dir) =>
+      // semi-structured extraction: parse the JSON props payload column
+      // (from_json with an explicit schema — map-side, no shuffle before
+      // the final rollup) and aggregate the extracted field per type
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
     "q_tfidf" -> ((s, dir) =>
       // TF-IDF keywords: top-5 terms per doc; displayed score rounded,
       // ranking on full precision with a token tie-break
@@ -497,6 +525,34 @@ object SparkEntry {
         .select(col("user_id"),
           unix_micros(col("session.start")).as("session_start_us"),
           col("n_events"), col("first_event"))
+    }),
+
+    "stream_join_attrib" -> ((s, dir) => {
+      // watermarked stream-stream interval join: each purchase matched to
+      // the same user's views/clicks in the preceding hour. Inner matches
+      // emit as soon as both sides arrive, so the bounded drain equals
+      // the batch join — the DuckDB oracle gates it. Watermarks + the
+      // range condition bound the join state on an unbounded run.
+      val schema = t(s, dir, "events").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_utc").as("p_ts"))
+      val views = src.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts_utc").as("v_ts"))
+      val joined = graft.streaming.EventStreams.intervalJoin(
+        purchases, views, "p_ts", "v_ts",
+        leftDelay = "1 hour", rightDelay = "1 hour",
+        keyPairs = Seq(("user_id", "v_user")),
+        lookBehind = "1 hour", lookAhead = "0 seconds")
+      graft.streaming.SkylineStreaming
+        .runOnce(joined, "stream_join_attrib_mem", outputMode = "append")
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          unix_micros(col("p_ts")).as("purchase_us"),
+          unix_micros(col("v_ts")).as("view_us"))
     }),
 
     // ----- multimodal plumbing (stubbed codec, real dataflow) ------------
@@ -941,6 +997,41 @@ object SparkEntry {
            |  coalesce(agg.n_kept, 0) AS n_kept_segments,
            |  tot.nseg - coalesce(agg.n_kept, 0) AS n_removed_segments
            |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
+      "q_salted_join" ->
+        // the salted join's contract IS the plain equi-join
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin,
+      "q_domain_cap" ->
+        // fixed-width hex prefix: string order == numeric order, so the
+        // ORDER BY here matches the engine's double-valued heap priority
+        """SELECT source, doc_id FROM (
+          |  SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY substring(md5(doc_id::VARCHAR || ':graft'), 1, 13) ASC,
+          |               doc_id ASC) AS rn
+          |  FROM documents)
+          |WHERE rn <= 5""".stripMargin,
+      "q_json_props" ->
+        """SELECT event_type, count(*) AS n_events,
+          |  count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+          |  sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+          |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+          |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+          |FROM events GROUP BY event_type""".stripMargin,
+      "stream_join_attrib" ->
+        // inner interval matches emit eagerly, so the bounded drain of the
+        // stream-stream join equals this batch join (both sides micro
+        // precision: Spark truncates ns->us, DuckDB loads ns parquet at us)
+        """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+          |           FROM events WHERE event_type = 'purchase'),
+          |     v AS (SELECT event_id AS view_id, user_id AS vu, epoch_us(ts) AS vus
+          |           FROM events WHERE event_type IN ('view', 'click'))
+          |SELECT p.purchase_id, p.user_id, v.view_id,
+          |       p.pus AS purchase_us, v.vus AS view_us
+          |FROM p JOIN v ON p.user_id = v.vu
+          |  AND v.vus BETWEEN p.pus - 3600000000 AND p.pus""".stripMargin,
       "q_asof" ->
         """WITH l AS (SELECT event_id AS purchase_id, user_id, ts FROM events
           |           WHERE event_type = 'purchase'),

@@ -81,20 +81,27 @@ object GraftFunctions {
       .toAggregateExpression()
   }
 
+  /** Name -> expression builder for every SQL-surface function. The single
+    * source of truth consumed by both registration paths: per-session
+    * [[register]] and the cluster-wide [[graft.GraftExtensions]] config
+    * entry point. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "skyline_agg" -> (buildSkylineAgg _),
+    "topk_agg" -> (buildTopKAgg _),
+    "graft_dot" ->
+      arity("graft_dot", 2)(exprs => graft.functions.DotProduct(exprs(0), exprs(1))),
+    "graft_squared_norm" ->
+      arity("graft_squared_norm", 1)(exprs => graft.functions.SquaredNorm(exprs.head)),
+    "graft_sorted_intersect_count" ->
+      arity("graft_sorted_intersect_count", 2)(
+        exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1))),
+    "vector_avg" ->
+      arity("vector_avg", 1)(
+        exprs => VectorAvgAggExpr(exprs.head).toAggregateExpression()))
+
   /** Register graft's SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.FunctionRegistration
-    reg.registerFunction(spark, "skyline_agg", buildSkylineAgg)
-    reg.registerFunction(spark, "topk_agg", buildTopKAgg)
-    reg.registerFunction(spark, "graft_dot",
-      arity("graft_dot", 2)(exprs => graft.functions.DotProduct(exprs(0), exprs(1))))
-    reg.registerFunction(spark, "graft_squared_norm",
-      arity("graft_squared_norm", 1)(exprs => graft.functions.SquaredNorm(exprs.head)))
-    reg.registerFunction(spark, "graft_sorted_intersect_count",
-      arity("graft_sorted_intersect_count", 2)(
-        exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
-    reg.registerFunction(spark, "vector_avg",
-      arity("vector_avg", 1)(
-        exprs => VectorAvgAggExpr(exprs.head).toAggregateExpression()))
+    builders.foreach { case (name, b) => reg.registerFunction(spark, name, b) }
   }
 }

@@ -255,4 +255,81 @@ object PipelineOps {
     c.join(broadcast(b), "s")
       .groupBy("id").agg(count_distinct(col("s")).as("n_shared"))
   }
+
+  /**
+   * Skew-resilient equi-join for hot keys: the result is EXACTLY
+   * `big.join(small, bigKey === smallKey, joinType)`, but a hot join key
+   * no longer lands in one reducer. The big side gets a deterministic
+   * salt in `[0, salt)` (a hash of the whole row, so duplicate keys
+   * spread), the small side is replicated `salt` ways, and the join runs
+   * on `(key, salt)` — one hot key's rows split across `salt` tasks at
+   * the cost of `salt`× the small side.
+   *
+   * When to reach for it at 100 TB: a shuffle join whose key histogram
+   * has a few keys holding a double-digit percentage of rows (the
+   * "null-key/default-key" pathology), where AQE's skew-join split
+   * doesn't apply (e.g. the skew is on the BUILD side, or the join is
+   * feeding an aggregation that pins the partitioning). For a small `small`
+   * side prefer `broadcast(small)` — no shuffle at all; salting is for
+   * the middle regime where the small side is broadcast-too-big but
+   * replicate-`salt`-ways fine.
+   *
+   * `left` joins are supported (an unmatched big row carries exactly one
+   * salt value, so it appears exactly once, null-padded). Right/full
+   * outer are NOT: an unmatched small row would appear `salt` times.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin supports inner and left joins, got '$joinType' " +
+        "(right/full outer would duplicate unmatched small-side rows per salt)")
+    val saltedBig = big.withColumn("_salt_b",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt.toLong)).cast("int"))
+    val saltedSmall = small.withColumn("_salt_s",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey)
+          && col("_salt_b") === col("_salt_s"),
+        joinType)
+      .drop("_salt_b", "_salt_s")
+  }
+
+  /**
+   * Deterministic per-group row cap — the per-domain page cap of web
+   * corpus builds: at most `maxRows` ids survive per group, chosen by
+   * md5 priority (a pure function of id+salt, so the SAME ids survive on
+   * every run, engine, and partitioning). Returns (`groupCol`, `idCol`)
+   * survivor pairs; semi-join back to retain full rows.
+   *
+   * Scale shape: the selection is a bounded top-k HEAP aggregate
+   * ([[TopKAggExpr]]), not a `row_number` window — per task each group
+   * keeps a size-`maxRows` heap map-side and only k-entry buffers cross
+   * the exchange, so a group with 10^9 rows (one hot domain) costs O(k)
+   * memory instead of a single-task sort of the whole domain.
+   *
+   * Priority = the numeric value of the first 13 hex digits of
+   * `md5(id:salt)` — 52 bits, exactly representable in double, and
+   * fixed-width hex compares identically as string or number (the DuckDB
+   * oracle sorts the string form). Lower is better; ties (impossible in
+   * practice at 13 hex digits) break to the lower id in both engines.
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      maxRows: Int, salt: String = "graft"): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    val idType = df.schema(idCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),
+      s"capPerGroup requires an integral id column, got $idType (pre-map ids to long)")
+    val pri = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 13),
+      16, 10).cast("double")
+    df.select(col(groupCol), col(idCol).cast("long").as("_id"), pri.as("_pri"))
+      .groupBy(col(groupCol))
+      .agg(TopKFunctions.topKByScore(col("_pri"), col("_id"), maxRows,
+        largest = false).as("_kept"))
+      .select(col(groupCol), explode(col("_kept")).as("_e"))
+      .select(col(groupCol), col("_e.id").cast(idType).as(idCol))
+  }
 }

@@ -98,4 +98,53 @@ object EventStreams {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
+
+  /**
+   * Watermarked stream-stream interval join — the streaming attribution
+   * shape (purchase stream joined to the same user's view stream within a
+   * time window). Both sides are watermarked and the join carries an
+   * event-time range condition; together those let Spark bound the join
+   * STATE: a buffered left row can be dropped once the right watermark
+   * passes `leftTs + lookAhead`, and vice versa — without them an inner
+   * stream-stream join must buffer both streams forever. Inner matches
+   * emit as soon as both rows have arrived (no watermark wait), so a
+   * bounded drain emits exactly the batch join of the same inputs — which
+   * is how the oracle gates this operator. Outer variants additionally
+   * emit their null-padded rows only when the watermark proves no match
+   * can still arrive; rows still inside the horizon when a bounded run
+   * drains are never null-emitted.
+   *
+   * Join condition: for each key-equal pair,
+   * `rightTs ∈ [leftTs - lookBehind, leftTs + lookAhead]`.
+   *
+   * Column names must be disjoint between the two sides (rename upstream
+   * — the streaming state format keys both sides by position, and a
+   * disjoint schema keeps the joined output unambiguous).
+   */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String,
+      leftDelay: String, rightDelay: String,
+      keyPairs: Seq[(String, String)],
+      lookBehind: String, lookAhead: String,
+      joinType: String = "inner"): DataFrame = {
+    require(left.isStreaming && right.isStreaming,
+      "intervalJoin expects two streaming DataFrames (use a plain join for batch)")
+    require(keyPairs.nonEmpty,
+      "intervalJoin needs at least one equi-key pair — a keyless interval join " +
+        "buffers every row of each stream against every row of the other")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin requires disjoint column names, both sides have: ${overlap.mkString(", ")}")
+    val allowed = Set("inner", "left_outer", "leftouter", "right_outer", "rightouter")
+    require(allowed.contains(joinType.toLowerCase),
+      s"intervalJoin supports inner and one-sided outer joins, got '$joinType'")
+    val l = left.withWatermark(leftTs, leftDelay)
+    val r = right.withWatermark(rightTs, rightDelay)
+    val keyCond = keyPairs.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+    val range =
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookBehind") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $lookAhead")
+    l.join(r, keyCond && range, joinType)
+  }
 }

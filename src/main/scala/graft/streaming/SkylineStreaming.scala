@@ -216,13 +216,17 @@ object SkylineStreaming {
 
   /** Drain-the-source one-shot run into an in-memory table (the
     * reference's batch_job shape: streaming plan + once-trigger), and
-    * return the materialized result. */
-  def runOnce(result: DataFrame, queryName: String): DataFrame = {
+    * return the materialized result. Complete mode re-emits the whole
+    * refined result (required by unwatermarked global aggregates); pass
+    * `outputMode = "append"` for append-only plans — stream-stream joins
+    * and watermarked flows that forbid complete. */
+  def runOnce(result: DataFrame, queryName: String,
+      outputMode: String = "complete"): DataFrame = {
     val spark = result.sparkSession
     val q = result.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

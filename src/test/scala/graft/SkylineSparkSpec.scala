@@ -16,6 +16,10 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // the cluster-install path under test in GraftExtensionsSpec: a static
+    // conf, so it must be on the context-creating builder (a later
+    // builder's config() can't reach an existing context's conf)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }
 

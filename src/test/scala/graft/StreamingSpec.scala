@@ -432,4 +432,63 @@ class StreamingSpec extends AnyFunSuite {
       ("2026-01-01 10:05:00", "a", 1L)))
   }
 
+  test("intervalJoin: bounded stream-stream drain equals the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    def shape(ev: org.apache.spark.sql.DataFrame) = (
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_utc").as("p_ts")),
+      ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts_utc").as("v_ts")))
+
+    val (sp, sv) = shape(src)
+    val joined = graft.streaming.EventStreams.intervalJoin(
+      sp, sv, "p_ts", "v_ts", leftDelay = "1 hour", rightDelay = "1 hour",
+      keyPairs = Seq(("user_id", "v_user")),
+      lookBehind = "1 hour", lookAhead = "0 seconds")
+    val got = SkylineStreaming.runOnce(joined, "ssj_parity", outputMode = "append")
+      .select("purchase_id", "view_id").collect().map(_.toSeq).toSet
+
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val (bp, bv) = shape(ev)
+    val want = bp.join(bv, bp("user_id") === bv("v_user")
+        && bv("v_ts") >= bp("p_ts") - expr("INTERVAL 1 hour")
+        && bv("v_ts") <= bp("p_ts"))
+      .select("purchase_id", "view_id").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("intervalJoin rejects keyless, overlapping-name, and unsupported-type joins") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val l = src.select(col("event_id").as("lid"), col("user_id").as("lu"),
+      col("ts_utc").as("lts"))
+    val r = src.select(col("event_id").as("rid"), col("user_id").as("ru"),
+      col("ts_utc").as("rts"))
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.intervalJoin(l, r, "lts", "rts",
+        "1 hour", "1 hour", Nil, "1 hour", "0 seconds")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.intervalJoin(l,
+        src.select(col("event_id").as("lid"), col("user_id").as("ru"),
+          col("ts_utc").as("rts")),
+        "lts", "rts", "1 hour", "1 hour", Seq(("lu", "ru")), "1 hour", "0 seconds")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.intervalJoin(l, r, "lts", "rts",
+        "1 hour", "1 hour", Seq(("lu", "ru")), "1 hour", "0 seconds",
+        joinType = "full_outer")
+    }
+  }
+
 }

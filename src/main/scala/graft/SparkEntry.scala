@@ -527,6 +527,22 @@ object SparkEntry {
           col("n_events"), col("first_event"))
     }),
 
+    "stream_enrich" -> ((s, dir) => {
+      // stream-static join: the streaming fact side enriched against a
+      // static dimension snapshot (broadcast; re-resolvable per
+      // micro-batch, no watermark involved — the static side is not
+      // stateful), then aggregated. Complete-mode drain == batch join.
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = stream.join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("sum_value"))
+      graft.streaming.SkylineStreaming.runOnce(agg, "stream_enrich_mem")
+    }),
     "stream_join_attrib" -> ((s, dir) => {
       // watermarked stream-stream interval join: each purchase matched to
       // the same user's views/clicks in the preceding hour. Inner matches
@@ -1020,6 +1036,11 @@ object SparkEntry {
           |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
           |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
           |FROM events GROUP BY event_type""".stripMargin,
+      "stream_enrich" ->
+        """SELECT c_mktsegment, count(*) AS n_events,
+          |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin,
       "stream_join_attrib" ->
         // inner interval matches emit eagerly, so the bounded drain of the
         // stream-stream join equals this batch join (both sides micro

@@ -20,6 +20,8 @@ object SparkTestSession {
     // conf, so it must be on the context-creating builder (a later
     // builder's config() can't reach an existing context's conf)
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // bucketed-table specs saveAsTable; keep the warehouse out of the repo
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .getOrCreate()
 }
 

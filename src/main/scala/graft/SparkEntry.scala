@@ -564,11 +564,20 @@ object SparkEntry {
         leftDelay = "1 hour", rightDelay = "1 hour",
         keyPairs = Seq(("user_id", "v_user")),
         lookBehind = "1 hour", lookAhead = "0 seconds")
-      graft.streaming.SkylineStreaming
-        .runOnce(joined, "stream_join_attrib_mem", outputMode = "append")
-        .select(col("purchase_id"), col("user_id"), col("view_id"),
-          unix_micros(col("p_ts")).as("purchase_us"),
-          unix_micros(col("v_ts")).as("view_us"))
+      // a stream-stream join commits 4 state stores PER shuffle partition
+      // per micro-batch (left/right x keyToNumValues/keyWithIndex); that
+      // fixed cost dwarfs the data at bench scale, so pin the stateful
+      // shuffle narrow for the drain and restore after (at 100 TB the
+      // same knob goes UP with the key cardinality)
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        graft.streaming.SkylineStreaming
+          .runOnce(joined, "stream_join_attrib_mem", outputMode = "append")
+          .select(col("purchase_id"), col("user_id"), col("view_id"),
+            unix_micros(col("p_ts")).as("purchase_us"),
+            unix_micros(col("v_ts")).as("view_us"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     }),
 
     // ----- multimodal plumbing (stubbed codec, real dataflow) ------------

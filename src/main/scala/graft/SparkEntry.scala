@@ -164,6 +164,18 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"),
           sum(dec("l_extendedprice")).cast("double").as("total_price"))),
+    "q_sketch_distinct" -> ((s, dir) =>
+      // mergeable-sketch aggregation (HyperLogLog++): approximate
+      // distinct counts whose partial sketches merge map-side — at
+      // 100 TB the exact countDistinct re-shuffles raw keys; the sketch
+      // ships a fixed-size register array per group. Approximate ->
+      // rows-only driver check; the rsd-bound gate vs exact lives in
+      // FunctionsSpec.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          count(lit(1)).as("n_rows"))),
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -592,9 +604,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the probabilistic-candidate
     * operators (dedup_minhash, dedup_simhash, dedup_semantic,
-    * sim_pairs_lsh, ann_ivf, ann_topk_q8): their hash/kmeans-derived
-    * candidates are not SQL-expressible; they are gated in ScalaTest
-    * against their exact counterparts instead. */
+    * sim_pairs_lsh, ann_ivf, ann_topk_q8) and the HLL sketch
+    * (q_sketch_distinct — registers are engine-specific): their
+    * hash/kmeans/sketch-derived outputs are not SQL-expressible; each is
+    * gated in ScalaTest against its exact counterpart instead. */
   def oracleSql: Map[String, String] = {
 
     /** O(n log n) exact 2-D skyline oracle: sort by dim1 (best first); a
@@ -781,6 +794,10 @@ object SparkEntry {
       // the streaming windowed agg drains in complete mode, so its result
       // is exactly the batch hourly rollup (hour-aligned tumbling windows;
       // epoch-ns -> micros truncation never moves an event across an hour)
+      // the streaming-parity skyline drains complete-mode, so its result
+      // IS the batch skyline — same oracle as sky_li_2d (the one-shot ==
+      // batch equivalence is additionally spec-gated in StreamingSpec)
+      "stream_sky_li_2d" -> li2dOracle,
       "stream_window_hourly" ->
         """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
           |  count(*) AS n_events,

@@ -97,7 +97,16 @@ object GraftFunctions {
         exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1))),
     "vector_avg" ->
       arity("vector_avg", 1)(
-        exprs => VectorAvgAggExpr(exprs.head).toAggregateExpression()))
+        exprs => VectorAvgAggExpr(exprs.head).toAggregateExpression()),
+    "interleave_bits" ->
+      arity("interleave_bits", 2)(exprs => {
+        val d = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"interleave_bits' dimension count must be an integer literal, got $other")
+        }
+        graft.functions.InterleaveBits(exprs.head, d)
+      }))
 
   /** Register graft's SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {

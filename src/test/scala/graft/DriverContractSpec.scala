@@ -24,4 +24,23 @@ class DriverContractSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("q_sketch_distinct: HLL estimates stay inside the rsd bound of exact") {
+    import org.apache.spark.sql.functions._
+    // the sketch query has no SQL oracle (HLL registers are
+    // engine-specific); this 3-sigma tolerance gate vs the exact
+    // distinct count is its correctness contract (default rsd = 0.05)
+    val rows = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("approx").toDouble
+      val e = r.getAs[Long]("exact").toDouble
+      assert(math.abs(a - e) / e <= 0.15,
+        s"${r.get(0)}: approx $a vs exact $e exceeds 3*rsd")
+    }
+  }
 }

@@ -432,6 +432,41 @@ class StreamingSpec extends AnyFunSuite {
       ("2026-01-01 10:05:00", "a", 1L)))
   }
 
+  test("parquet file sink: append-mode windowed agg lands closed windows as files") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft-fsink-in").toFile
+    val outDir = Files.createTempDirectory("graft-fsink-out").toFile
+    val ckpt = Files.createTempDirectory("graft-fsink-ckpt").toFile
+    Files.write(new java.io.File(inDir, "b1.csv").toPath,
+      "2026-01-01 10:01:00,a\n2026-01-01 10:02:00,a\n2026-01-01 10:12:00,b\n".getBytes)
+    val raw = spark.readStream.text(inDir.getAbsolutePath)
+    val events = SkylineStreaming.fromCsvPayload(raw, "ts STRING, k STRING")
+      .select(col("ts").cast("timestamp").as("ts"), col("k"))
+    val agg = graft.streaming.EventStreams.windowedAgg(
+        events, "ts", watermarkDelay = "5 minutes", windowDuration = "5 minutes",
+        keyCols = Seq("k"), aggs = Seq(count(lit(1)).as("n")))
+      .select(col("window.start").cast("string").as("ws"), col("k"), col("n"))
+    // the real production sink: append-only parquet files + checkpoint
+    // (exactly-once via the sink's commit log), not a memory table
+    val q = agg.writeStream.format("parquet")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past both earlier windows so they emit
+      Files.write(new java.io.File(inDir, "b2.csv").toPath,
+        "2026-01-01 10:30:00,c\n".getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(outDir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2026-01-01 10:00:00", "a", 2L),
+      ("2026-01-01 10:10:00", "b", 1L)), s"got $rows")
+  }
+
   test("intervalJoin: bounded stream-stream drain equals the batch interval join") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

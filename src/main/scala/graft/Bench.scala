@@ -31,10 +31,16 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       if (warmDir.nonEmpty) {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+        // the eager pair finders return persisted frames; drop them (and
+        // anything else the warmup pinned) so accumulated caches don't
+        // pressure the timed runs' execution memory across the suite
+        spark.catalog.clearCache()
       }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // timed pair finders pin caches too
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -89,10 +89,16 @@ object Dedup {
     cached
   }
 
-  /** Exact-Jaccard verification of candidate (id1, id2) pairs. */
-  private def verifyJaccard(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val d1 = docs.select(col("id").as("id1"), col("sh").as("sh1"))
-    val d2 = docs.select(col("id").as("id2"), col("sh").as("sh2"))
+  /** Exact-Jaccard verification of candidate (id1, id2) pairs. Self-join
+    * callers pass the same shingle frame twice; cross-corpus callers the
+    * two sides' frames. */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(cands, docs, docs, threshold)
+
+  private def verifyJaccard(cands: DataFrame, ldocs: DataFrame, rdocs: DataFrame,
+      threshold: Double): DataFrame = {
+    val d1 = ldocs.select(col("id").as("id1"), col("sh").as("sh1"))
+    val d2 = rdocs.select(col("id").as("id2"), col("sh").as("sh2"))
     cands
       .join(d1, "id1").join(d2, "id2")
       // sorted two-pointer merge (codegen'd) — array_intersect would
@@ -194,7 +200,9 @@ object Dedup {
    * min-label propagation as DataFrame jobs (each round every node
    * adopts the minimum label in its neighborhood — rounds needed = graph
    * diameter, and near-dup clusters are shallow), with a driver-checked
-   * fixpoint and a loud failure at the round cap.
+   * fixpoint and a loud failure at the round cap. The distributed path
+   * is EAGER like the pair finders (result persisted, iteration caches
+   * released) — `unpersist()` the result when looping.
    */
   def labelComponents(
       df: DataFrame, idCol: String, pairsRaw: DataFrame,
@@ -203,16 +211,9 @@ object Dedup {
     // string id would cast("long") to null below — silently-null
     // cluster_ids in the distributed path, an opaque NPE in the driver
     // path — instead of this actionable error.
-    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
     (Seq(idCol -> df.schema(idCol).dataType) ++
       Seq("id1", "id2").map(c => c -> pairsRaw.schema(c).dataType)).foreach {
-      case (name, dt) => require(integral(dt),
-        s"labelComponents requires integral id columns, got $name: $dt " +
-          "(pre-map ids to long)")
+      case (name, dt) => Checks.requireIntegralId("labelComponents", name, dt)
     }
     // ids normalized to long up front (the union-find reads longs; the
     // distributed path would otherwise rely on join-side coercions)
@@ -288,9 +289,16 @@ object Dedup {
     } catch {
       case t: Throwable => labels.unpersist(blocking = false); throw t
     } finally edges.unpersist(blocking = false)
-    df.select(col(idCol).cast("long").as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+    // materialize the labeling and release the iteration cache — a lazy
+    // return would pin `labels` forever with no handle for the caller
+    // (the same accumulation materializeThenRelease prevents for the
+    // pair finders). Like them, the RESULT stays persisted: unpersist()
+    // it when looping.
+    materializeThenRelease(
+      df.select(col(idCol).cast("long").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id")),
+      labels)
   }
 
   /**
@@ -428,19 +436,7 @@ object Dedup {
     val cands = bandedBuckets(ldocs, numPerm, bands).as("a")
       .join(bandedBuckets(rdocs, numPerm, bands).as("b"), Seq("band", "bh"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    val d1 = ldocs.select(col("id").as("id1"), col("sh").as("sh1"))
-    val d2 = rdocs.select(col("id").as("id2"), col("sh").as("sh2"))
-    val out = cands
-      .join(d1, "id1").join(d2, "id2")
-      .withColumn("inter",
-        graft.functions.ArrayFunctions.sortedIntersectCount(col("sh1"), col("sh2"))
-          .cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
-      .distinct()
-    materializeThenRelease(out, ldocs, rdocs)
+    materializeThenRelease(verifyJaccard(cands, ldocs, rdocs, threshold), ldocs, rdocs)
   }
 
   /**

@@ -139,23 +139,26 @@ object PipelineOps {
    * (`idCol`, `clean_text`, `n_kept_segments`, `n_removed_segments`) —
    * one row per input document, including fully-stripped and empty ones.
    *
-   * Scale shape: ONE corpus scan, no self-joins. A naive formulation
-   * (frequency table anti-joined back, plus a base-table rejoin for
-   * zero-segment docs) evaluates the tokenize+segment subtree three
-   * times — Spark does not share unmaterialized subplans (three
-   * FileScans in the executed plan). Instead: zero-segment documents
-   * ride along as a sentinel row (`_s = -1`), and the distinct
-   * doc-frequency per segment comes from two windows over ONE explicit
-   * hash-repartition on the 64-bit segment hash — a first-occurrence
-   * flag (row_number by (hash, doc)) summed over the hash partition;
-   * `HashPartitioning(_h)` satisfies both windows' clustering, so the
-   * planner inserts no second exchange. Keep/strip is then a per-row
-   * predicate and the reassembly is one groupBy(doc): segments sort
-   * within their own document (array_sort on an (idx, text) struct),
-   * never a global order. The hash stands in for segment equality (the
-   * CCNet trade: a 2^-64-per-pair collision can strip a rare segment).
-   * Within-doc repetition does NOT make boilerplate — frequency counts
-   * distinct documents.
+   * Scale shape: no skewable single-task operator anywhere. The distinct
+   * doc-frequency per segment is a two-phase distinct aggregate
+   * (`groupBy(_h).agg(count_distinct(doc))` — both hops map-side
+   * combined, so a segment appearing in 30% of the corpus never piles
+   * its raw rows into one partition the way a `Window.partitionBy(_h)`
+   * formulation would); the boilerplate set — by definition the tiny
+   * high-frequency head of the segment distribution — broadcasts back
+   * as an anti-flag, and the reassembly is one groupBy(doc): segments
+   * sort within their own document (array_sort on an (idx, text)
+   * struct), never a global order. Zero-segment documents ride along as
+   * a sentinel row (`_s = -1`), so every input doc yields an output row.
+   * The price is tokenizing the corpus twice (the frequency pass and
+   * the reassembly pass — Spark does not share unmaterialized subplans);
+   * two linear scans beat one scan plus a straggler. The hash stands in
+   * for segment equality (the CCNet trade: a 2^-64-per-pair collision
+   * can strip a rare segment). Within-doc repetition does NOT make
+   * boilerplate — frequency counts distinct documents. If the
+   * boilerplate set ever outgrows a broadcast, drop the hint: the
+   * shuffle join's skew is then AQE-splittable (joins are; windows are
+   * not).
    */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       segmentTokens: Int, minDocFreq: Int): DataFrame = {
@@ -171,13 +174,13 @@ object PipelineOps {
         when(col("_s") >= 0,
           concat_ws(" ", slice(col("_toks"), col("_s") * k + 1, lit(k)))).as("_seg"))
       .withColumn("_h", when(col("_s") >= 0, xxhash64(col("_seg"))))
-      .repartition(col("_h"))
-    val wFirst = Window.partitionBy(col("_h"), col(idCol)).orderBy(col("_s"))
-    val wHash = Window.partitionBy(col("_h"))
-    val keep = col("_s") >= 0 && col("_df") < minDocFreq
+    val boiler = segs.filter(col("_s") >= 0)
+      .groupBy(col("_h")).agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_h"), lit(true).as("_boiler"))
+    val keep = col("_s") >= 0 && col("_boiler").isNull
     segs
-      .withColumn("_first", (row_number().over(wFirst) === 1).cast("long"))
-      .withColumn("_df", sum(col("_first")).over(wHash))
+      .join(broadcast(boiler), Seq("_h"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(
@@ -259,11 +262,15 @@ object PipelineOps {
   /**
    * Skew-resilient equi-join for hot keys: the result is EXACTLY
    * `big.join(small, bigKey === smallKey, joinType)`, but a hot join key
-   * no longer lands in one reducer. The big side gets a deterministic
-   * salt in `[0, salt)` (a hash of the whole row, so duplicate keys
-   * spread), the small side is replicated `salt` ways, and the join runs
-   * on `(key, salt)` — one hot key's rows split across `salt` tasks at
-   * the cost of `salt`× the small side.
+   * no longer lands in one reducer. Each big-side row gets a salt in
+   * `[0, salt)` (round-robin within its input partition — identical
+   * duplicate rows spread too, which a row-hash salt would not do), the
+   * small side is replicated `salt` ways, and the join runs on
+   * `(key, salt)` — one hot key's rows split across `salt` tasks at the
+   * cost of `salt`× the small side. The salt ASSIGNMENT is arbitrary by
+   * construction and the JOIN RESULT is independent of it (every salt
+   * value carries the full small side), so the output stays
+   * deterministic even though the per-row salt is not.
    *
    * When to reach for it at 100 TB: a shuffle join whose key histogram
    * has a few keys holding a double-digit percentage of rows (the
@@ -287,7 +294,7 @@ object PipelineOps {
       s"saltedJoin supports inner and left joins, got '$joinType' " +
         "(right/full outer would duplicate unmatched small-side rows per salt)")
     val saltedBig = big.withColumn("_salt_b",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val saltedSmall = small.withColumn("_salt_s",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(saltedSmall,
@@ -320,8 +327,7 @@ object PipelineOps {
       maxRows: Int, salt: String = "graft"): DataFrame = {
     require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
     val idType = df.schema(idCol).dataType
-    require(Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),
-      s"capPerGroup requires an integral id column, got $idType (pre-map ids to long)")
+    Checks.requireIntegralId("capPerGroup", idCol, idType)
     val pri = conv(substring(
         md5(concat(col(idCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 13),
       16, 10).cast("double")

@@ -318,15 +318,20 @@ object Similarity {
         .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"),
           explode(col("_cells.id")).as("cl"))
         .select(col("query_id"), col("qv"), col("qn"), col("cl").cast("int").as("c"))
+      // Pin the probe set to ONE evaluation (it is small by contract —
+      // queries x nprobe rows): the cell collect below and the join must
+      // see the SAME rows, and a non-deterministic queries frame (sample,
+      // unordered limit) re-evaluated per job could otherwise probe cells
+      // the isin filter excluded — silently dropping neighbors.
+      val pinned = probed.localCheckpoint()
       // Collect the probed cell set (bounded by nlist — tiny) and turn
       // it into a LITERAL isin predicate on the layout before the join:
       // on a saved snapshot (partitioned by c) this is static partition
       // pruning — the scan reads only the probed cells' files — where
       // the bare join would need runtime pruning to kick in; in-memory
-      // it is a cheap pre-filter. The probe side is small by contract
-      // (queries x nprobe rows), so computing it twice is noise.
-      val cells = probed.select("c").distinct().collect().map(_.getInt(0))
-      val scored = probed.join(indexed.filter(col("c").isin(cells.map(Integer.valueOf): _*)), "c")
+      // it is a cheap pre-filter.
+      val cells = pinned.select("c").distinct().collect().map(_.getInt(0))
+      val scored = pinned.join(indexed.filter(col("c").isin(cells.map(Integer.valueOf): _*)), "c")
         .filter(col("query_id") =!= col("id"))
         .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
         .withColumn("neighbor_id", col("id"))

@@ -55,7 +55,9 @@ object Layout {
       s"${cols.length} columns but ${bounds.length} bounds")
     require(cols.length <= 8, s"zorderKey supports 1-8 dimensions, got ${cols.length}")
     val d = cols.length
-    val cells = 1L << (63 / d)
+    // cap at 62 bits: d=1 would otherwise shift into the sign bit
+    // (1L << 63 < 0) and clamp every row to cell 0
+    val cells = 1L << math.min(63 / d, 62)
     val normalized = cols.zip(bounds).map { case (c, (lo, hi)) =>
       require(!lo.isNaN && !hi.isNaN && lo <= hi, s"invalid bounds ($lo, $hi)")
       if (hi == lo) lit(0L)

@@ -9,9 +9,9 @@ object QueryBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // same session shape as graft.Bench (incl. SPARK_GRAFT_CPUS) so
-    // per-query timings here are comparable to suite runs
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same session shape as graft.Bench (incl. SPARK_GRAFT_CPUS and the
+    // same default) so per-query timings here are comparable to suite runs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -27,6 +27,14 @@ class LayoutSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(d3 == 7L) // bits 0,1,2
 
+    // d=1 degenerates to the identity — and the zorderKey binning must
+    // not collapse to one cell (1L << 63 would go negative)
+    val d1 = Seq((0), (5), (9)).toDF("x")
+      .select(Layout.zorderKey(Seq(col("x")), Seq((0.0, 9.0))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(d1.distinct.size == 3 && d1 == d1.sorted,
+      s"d=1 z-keys must be distinct and order-preserving, got $d1")
+
     val bad = Seq(Seq(1L, 2L, 3L)).toDF("a")
       .select(LayoutFunctions.interleaveBits(col("a"), 2).as("z"))
       .collect().head

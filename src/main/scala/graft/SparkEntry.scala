@@ -195,6 +195,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("sum_value"))),
 
+    "q_gapfill" -> ((s, dir) => {
+      // time-series densification (resampling to a regular grid): hourly
+      // counts per type INCLUDING empty hours as zeros — the gap-fill
+      // step before windowed models. The dense grid is generated
+      // distributed (sequence+explode over the 1-row bounds aggregate ×
+      // distinct types) and left-joins the hourly rollup; every side is
+      // post-aggregation small, so the grid join never touches raw rows.
+      val ev = t(s, dir, "events")
+        .select(expr("ts div 3600000000000").as("h"), col("event_type"))
+      // grid sides renamed: types and agg share the ev lineage, and
+      // same-name columns across a self-derived join are ambiguous
+      val agg = ev.groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("h"), col("event_type").as("_at"), col("n"))
+      val hours = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hour_bucket"))
+      val types = ev.select(col("event_type")).distinct()
+      hours.crossJoin(types)
+        .join(agg, col("hour_bucket") === col("h")
+          && col("event_type") === col("_at"), "left")
+        .select(col("hour_bucket"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+    }),
+
     // ----- text analysis (documents) ------------------------------------
     "text_stats" -> ((s, dir) => {
       val feats = TextFunctions.qualityFeatures(col("text"))
@@ -819,6 +843,16 @@ object SparkEntry {
           |SELECT user_id, min(tu) AS session_start_us,
           |  count(*) AS n_events, min(event_id) AS first_event
           |FROM n GROUP BY user_id, sid""".stripMargin,
+      "q_gapfill" ->
+        """WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type FROM events),
+          |a AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+          |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+          |hours AS (SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM b),
+          |t AS (SELECT DISTINCT event_type FROM e)
+          |SELECT hours.hour_bucket, t.event_type,
+          |  coalesce(a.n, 0)::BIGINT AS n_events
+          |FROM hours CROSS JOIN t
+          |LEFT JOIN a ON a.h = hours.hour_bucket AND a.event_type = t.event_type""".stripMargin,
       "text_stats" ->
         s"""SELECT doc_id, n_chars,
            |  len(t.toks)::BIGINT AS n_tokens,

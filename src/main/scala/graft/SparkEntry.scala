@@ -195,6 +195,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("sum_value"))),
 
+    "q_moving_avg" -> ((s, dir) =>
+      // rolling-window smoothing per key (ROWS BETWEEN 4 PRECEDING):
+      // decimal sum / window count, cast at the end — summation-order-
+      // independent, so both engines produce identical doubles
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), dec("value").as("v"))
+        .withColumn("mavg_value",
+          // exact decimal window sum -> double, THEN divide: decimal
+          // division scale/rounding rules differ across engines, double
+          // division is IEEE-identical
+          sum(col("v")).over(Window.partitionBy("user_id")
+              .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-4, 0))
+            .cast("double")
+            / count(lit(1)).over(Window.partitionBy("user_id")
+              .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-4, 0))
+              .cast("double"))
+        .select(col("user_id"), col("event_id"), col("mavg_value"))),
     "q_gapfill" -> ((s, dir) => {
       // time-series densification (resampling to a regular grid): hourly
       // counts per type INCLUDING empty hours as zeros — the gap-fill
@@ -348,6 +366,12 @@ object SparkEntry {
       Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3, nlist = 16)),
 
+    "q_standardize" -> ((s, dir) =>
+      // per-label feature standardization: z-scored embedding dimensions
+      // via the vector_avg buffer + broadcast stats join (see
+      // PipelineOps.standardizeBy for the cross-engine rounding contract)
+      PipelineOps.standardizeBy(t(s, dir, "embeddings"), "label", "vec_id",
+        "embedding")),
     "q_centroid" -> ((s, dir) =>
       // per-class centroid embeddings (mean pooling) via the native
       // vector_avg aggregate: one (count, double[dim]) buffer per group
@@ -843,6 +867,13 @@ object SparkEntry {
           |SELECT user_id, min(tu) AS session_start_us,
           |  count(*) AS n_events, min(event_id) AS first_event
           |FROM n GROUP BY user_id, sid""".stripMargin,
+      "q_moving_avg" ->
+        """SELECT user_id, event_id,
+          |  (sum(CAST(value AS DECIMAL(18,2))) OVER w)::DOUBLE
+          |    / (count(*) OVER w)::DOUBLE AS mavg_value
+          |FROM events WHERE event_type = 'purchase'
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
       "q_gapfill" ->
         """WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type FROM events),
           |a AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),
@@ -1034,6 +1065,15 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS seq_id
            |FROM d""".stripMargin,
 
+      "q_standardize" ->
+        """WITH e AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+          |             generate_subscripts(embedding, 1)::BIGINT AS i FROM embeddings),
+          |st AS (SELECT label, i, round(avg(x), 6) AS m,
+          |         round(sqrt(greatest(avg(x * x) - avg(x) * avg(x), 0)), 6) AS s
+          |       FROM e GROUP BY 1, 2)
+          |SELECT e.vec_id, e.label, e.i,
+          |  CASE WHEN st.s > 0 THEN round((e.x - st.m) / st.s, 4) + 0.0 ELSE 0.0 END AS z
+          |FROM e JOIN st ON e.label = st.label AND e.i = st.i""".stripMargin,
       "q_centroid" ->
         """WITH e AS (SELECT label, unnest(embedding)::DOUBLE AS x,
           |             generate_subscripts(embedding, 1)::BIGINT AS i FROM embeddings),

@@ -260,6 +260,46 @@ object PipelineOps {
   }
 
   /**
+   * Per-group feature standardization (z-scoring) of a vector column —
+   * the embedding-normalization step before clustering/ANN when features
+   * have per-domain scale differences. Per key, elementwise mean and
+   * population std aggregate through the native `vector_avg` buffer (one
+   * `(count, double[dim])` pair per group per task — no posexplode row
+   * inflation); the tiny per-key stats table broadcasts back and each
+   * vector rescales map-side. Output: one row per (row, dimension) with
+   * `z = (x - mean) / std` (0 where std = 0).
+   *
+   * Determinism contract for cross-engine parity: stats are ROUNDED to 6
+   * decimals first, so z is computed from identical doubles on any
+   * engine (IEEE division of equal inputs) and rounds identically to 4
+   * decimals; the raw avg/std agree at 6 decimals across summation
+   * orders (the q_centroid device).
+   */
+  def standardizeBy(df: DataFrame, keyCol: String, idCol: String,
+      vecCol: String): DataFrame = {
+    val stats = df.groupBy(col(keyCol))
+      .agg(
+        VectorAggFunctions.vectorAvg(col(vecCol)).as("_m"),
+        VectorAggFunctions.vectorAvg(transform(col(vecCol),
+          x => x.cast("double") * x.cast("double"))).as("_m2"))
+      .select(col(keyCol),
+        transform(col("_m"), m => round(m, 6)).as("_mean"),
+        zip_with(col("_m2"), col("_m"),
+          (m2, m) => round(sqrt(greatest(m2 - m * m, lit(0.0))), 6)).as("_std"))
+    df.select(col(idCol), col(keyCol), col(vecCol).as("_v"))
+      .join(broadcast(stats), Seq(keyCol))
+      .select(col(idCol), col(keyCol),
+        posexplode(zip_with(
+          zip_with(col("_v"), col("_mean"), (x, m) => x.cast("double") - m),
+          col("_std"),
+          // + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 = +0.0) so
+          // engines that keep round's -0.0 and those that don't agree
+          (d, s) => when(s > 0, round(d / s, 4) + lit(0.0)).otherwise(lit(0.0)))))
+      .select(col(idCol), col(keyCol),
+        (col("pos") + 1).cast("long").as("i"), col("col").as("z"))
+  }
+
+  /**
    * Skew-resilient equi-join for hot keys: the result is EXACTLY
    * `big.join(small, bigKey === smallKey, joinType)`, but a hot join key
    * no longer lands in one reducer. Each big-side row gets a salt in

@@ -499,6 +499,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("intervalJoin left_outer: null-padded rows emit only after the watermark closes the window") {
+    import java.nio.file.Files
+    val lDir = Files.createTempDirectory("graft-ssjl-l").toFile
+    val rDir = Files.createTempDirectory("graft-ssjl-r").toFile
+    val ckpt = Files.createTempDirectory("graft-ssjl-ckpt").toFile
+    def decode(dir: java.io.File, ts: String, k: String, id: String) =
+      SkylineStreaming.fromCsvPayload(
+          spark.readStream.text(dir.getAbsolutePath), "ts STRING, k STRING, id STRING")
+        .select(col("ts").cast("timestamp").as(ts), col("k").as(k), col("id").as(id))
+    // batch 1: L1 has a match (R1 within +-5 min), L2 does not
+    Files.write(new java.io.File(lDir, "b1.csv").toPath,
+      "2026-01-01 10:00:00,a,L1\n2026-01-01 10:05:00,b,L2\n".getBytes)
+    Files.write(new java.io.File(rDir, "b1.csv").toPath,
+      "2026-01-01 10:01:00,a,R1\n".getBytes)
+    val joined = graft.streaming.EventStreams.intervalJoin(
+      decode(lDir, "lts", "lk", "lid"), decode(rDir, "rts", "rk", "rid"),
+      "lts", "rts", leftDelay = "10 minutes", rightDelay = "10 minutes",
+      keyPairs = Seq(("lk", "rk")),
+      lookBehind = "5 minutes", lookAhead = "5 minutes", joinType = "left_outer")
+    val q = joined.select(col("lid"), col("rid"))
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val early = spark.table("ssj_outer").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(early == Set(("L1", Some("R1"))),
+        s"inner match emits eagerly, unmatched L2 must WAIT for the watermark; got $early")
+      // advance BOTH watermarks (the join uses the min) past L2's window
+      Files.write(new java.io.File(lDir, "b2.csv").toPath,
+        "2026-01-01 12:00:00,z,L9\n".getBytes)
+      Files.write(new java.io.File(rDir, "b2.csv").toPath,
+        "2026-01-01 12:00:00,z,R9\n".getBytes)
+      q.processAllAvailable()
+      val late = spark.table("ssj_outer").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(late.contains(("L2", None)),
+        s"watermark passed L2's window — its null-padded row must emit; got $late")
+    } finally q.stop()
+  }
+
   test("intervalJoin rejects keyless, overlapping-name, and unsupported-type joins") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

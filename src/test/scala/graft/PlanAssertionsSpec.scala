@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pin the physical-plan shapes the 100 TB design claims depend on —
+  * a regression here is a silent scale bug even while results stay
+  * correct: a filter that stops reaching the scan re-reads the corpus;
+  * a top-k that stops compiling to TakeOrderedAndProject becomes a
+  * global sort; an aggregate that loses its partial split shuffles raw
+  * rows. */
+class PlanAssertionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("sky_li_3d: the shipdate predicate is pushed to the parquet scan") {
+    val p = plan("sky_li_3d")
+    assert(p.contains("PushedFilters") &&
+      p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")),
+      s"shipdate filter must reach the scan:\n$p")
+  }
+
+  test("text_langid: the scan is column-pruned to the referenced columns") {
+    val p = plan("text_langid")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars") && !read.contains("source"),
+      s"scan must read only doc_id/text:\n$read")
+  }
+
+  test("q_topk_lineitems compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_lineitems")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("q_region_revenue broadcasts the dimension tables") {
+    val p = plan("q_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dimension joins must broadcast:\n$p")
+  }
+
+  test("skyline and top-k aggregates keep the partial/final split (map-side local results)") {
+    val sky = plan("sky_li_2d")
+    assert(sky.contains("partial_skyline"),
+      s"skyline must aggregate map-side first:\n$sky")
+    val topk = plan("ann_topk")
+    assert(topk.contains("partial_topk_agg"),
+      s"top-k heap must aggregate map-side first:\n$topk")
+  }
+}

@@ -195,6 +195,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("sum_value"))),
 
+    "q_union_evolve" -> ((s, dir) => {
+      // schema-evolution union: merging corpus snapshots whose schemas
+      // drifted (columns added/dropped) — unionByName with null fill for
+      // the missing columns, then one rollup over the merged set
+      val oldSnap = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val newSnap = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      oldSnap.unionByName(newSnap, allowMissingColumns = true)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_chars"),
+          count(col("n_tokens")).as("n_with_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"))
+    }),
     "q_moving_avg" -> ((s, dir) =>
       // rolling-window smoothing per key (ROWS BETWEEN 4 PRECEDING):
       // decimal sum / window count, cast at the end — summation-order-
@@ -867,6 +884,17 @@ object SparkEntry {
           |SELECT user_id, min(tu) AS session_start_us,
           |  count(*) AS n_events, min(event_id) AS first_event
           |FROM n GROUP BY user_id, sid""".stripMargin,
+      "q_union_evolve" ->
+        s"""WITH oldsnap AS (SELECT doc_id, source, n_chars, NULL::BIGINT AS n_tokens
+           |               FROM documents WHERE doc_id % 2 = 0),
+           |newsnap AS (SELECT doc_id, source, NULL::BIGINT AS n_chars,
+           |              len($toks)::BIGINT AS n_tokens
+           |            FROM documents WHERE doc_id % 2 = 1),
+           |u AS (SELECT * FROM oldsnap UNION ALL SELECT * FROM newsnap)
+           |SELECT source, count(*) AS n_docs,
+           |  count(n_chars) AS n_with_chars, count(n_tokens) AS n_with_tokens,
+           |  sum(n_chars)::BIGINT AS sum_chars, sum(n_tokens)::BIGINT AS sum_tokens
+           |FROM u GROUP BY source""".stripMargin,
       "q_moving_avg" ->
         """SELECT user_id, event_id,
           |  (sum(CAST(value AS DECIMAL(18,2))) OVER w)::DOUBLE

@@ -45,6 +45,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(withNull.isNullAt(0), "null element must null out")
   }
 
+  test("Morton keys preserve componentwise dominance (z-order is dominance-monotone)") {
+    import spark.implicits._
+    // if a <= b on EVERY dimension then z(a) <= z(b) — the property that
+    // makes z-range pruning sound (a box query's corners bound its keys)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(500) {
+      val a = Array.fill(3)(rnd.nextInt(1 << 20).toLong)
+      val b = a.map(v => v + rnd.nextInt(1 << 10))
+      (a.toSeq, b.toSeq)
+    }
+    val viol = pairs.toDF("a", "b")
+      .select(
+        LayoutFunctions.interleaveBits(col("a"), 3).as("za"),
+        LayoutFunctions.interleaveBits(col("b"), 3).as("zb"))
+      .filter(col("za") > col("zb")).count()
+    assert(viol == 0, s"$viol dominated pairs had a LARGER z-key")
+  }
+
   test("z-order chunks are spatially tighter than row-major chunks") {
     import spark.implicits._
     // 32x32 grid; split the 1024 points into 64 contiguous chunks of 16

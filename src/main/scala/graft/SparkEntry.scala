@@ -286,6 +286,18 @@ object SparkEntry {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n_occurrences").desc, col("token").asc)).cast("long"))
         .filter(col("rank") <= 1000)),
+    "q_bpe_pairs" -> ((s, dir) =>
+      // tokenizer-training prep (one BPE merge-selection step): corpus
+      // frequencies of ADJACENT token pairs, top-200 deterministically.
+      // Same shape as q_vocab: map-side pair explode -> combined count ->
+      // rank window over the post-aggregation pair vocabulary only.
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.wordShinglesFromTokens(
+          TextFunctions.tokens(col("text")), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("pair").asc)).cast("long"))
+        .filter(col("rank") <= 200)),
     "text_repetition" -> ((s, dir) =>
       // Gopher-style repetition quality filters: most-repeated-token
       // fraction (TopElementCount kernel — one O(n) map-side pass) and
@@ -604,6 +616,24 @@ object SparkEntry {
           col("n_events"), col("first_event"))
     }),
 
+    "stream_topk" -> ((s, dir) => {
+      // streaming top-k: the bounded heap aggregate (TypedImperativeAgg,
+      // binary-serializable buffer) runs as streaming state in complete
+      // mode — per micro-batch the running top-k refines; the drain
+      // equals the batch ranking, so the DuckDB oracle gates it.
+      val schema = t(s, dir, "lineitem").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      val agg = stream.agg(TopKFunctions.topKByScore(
+        col("l_extendedprice").cast("double"),
+        // unique ranking id: orderkey * 8 + linenumber (lineitem PK)
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long"),
+        k = 20).as("_top"))
+      graft.streaming.SkylineStreaming.runOnce(agg, "stream_topk_mem")
+        .select(posexplode(col("_top")).as(Seq("_pos", "_e")))
+        .select((col("_pos") + 1).cast("long").as("rank"),
+          col("_e.id").as("rank_id"), col("_e.score").as("price"))
+    }),
     "stream_enrich" -> ((s, dir) => {
       // stream-static join: the streaming fact side enriched against a
       // static dimension snapshot (broadcast; re-resolvable per
@@ -950,6 +980,23 @@ object SparkEntry {
            |    row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
            |  FROM c)
            |WHERE rank <= 1000""".stripMargin,
+      "q_bpe_pairs" ->
+        s"""WITH p AS (SELECT unnest(list_transform(generate_series(1, len(t.toks) - 1),
+           |             i -> t.toks[i] || ' ' || t.toks[i+1])) AS pair
+           |           FROM (SELECT $toks AS toks FROM documents) t),
+           |c AS (SELECT pair, count(*) AS n_occurrences FROM p GROUP BY 1)
+           |SELECT pair, n_occurrences, rank FROM (
+           |  SELECT pair, n_occurrences,
+           |    row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
+           |  FROM c)
+           |WHERE rank <= 200""".stripMargin,
+      "stream_topk" ->
+        """SELECT rank, rank_id, price FROM (
+          |  SELECT row_number() OVER (ORDER BY l_extendedprice DESC,
+          |           (l_orderkey * 8 + l_linenumber) ASC) AS rank,
+          |         (l_orderkey * 8 + l_linenumber)::BIGINT AS rank_id,
+          |         l_extendedprice AS price
+          |  FROM lineitem) WHERE rank <= 20""".stripMargin,
       "text_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |tri AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),

@@ -212,24 +212,22 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           sum(col("n_tokens")).as("sum_tokens"))
     }),
-    "q_moving_avg" -> ((s, dir) =>
+    "q_moving_avg" -> ((s, dir) => {
       // rolling-window smoothing per key (ROWS BETWEEN 4 PRECEDING):
-      // decimal sum / window count, cast at the end — summation-order-
-      // independent, so both engines produce identical doubles
+      // ONE window spec for both aggregates (the oracle's named WINDOW w)
+      // — exact decimal sum -> double, THEN divide: decimal division
+      // scale/rounding rules differ across engines, double division is
+      // IEEE-identical
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-4, 0)
       t(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts"), dec("value").as("v"))
         .withColumn("mavg_value",
-          // exact decimal window sum -> double, THEN divide: decimal
-          // division scale/rounding rules differ across engines, double
-          // division is IEEE-identical
-          sum(col("v")).over(Window.partitionBy("user_id")
-              .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-4, 0))
-            .cast("double")
-            / count(lit(1)).over(Window.partitionBy("user_id")
-              .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-4, 0))
-              .cast("double"))
-        .select(col("user_id"), col("event_id"), col("mavg_value"))),
+          sum(col("v")).over(w).cast("double")
+            / count(lit(1)).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("mavg_value"))
+    }),
     "q_gapfill" -> ((s, dir) => {
       // time-series densification (resampling to a regular grid): hourly
       // counts per type INCLUDING empty hours as zeros — the gap-fill
@@ -240,13 +238,15 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(expr("ts div 3600000000000").as("h"), col("event_type"))
       // grid sides renamed: types and agg share the ev lineage, and
-      // same-name columns across a self-derived join are ambiguous
+      // same-name columns across a self-derived join are ambiguous.
+      // Bounds and the type set derive from the POST-AGGREGATION frame
+      // (every h/type of ev appears there) — one corpus scan, not three.
       val agg = ev.groupBy(col("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("h"), col("event_type").as("_at"), col("n"))
-      val hours = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      val hours = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("hour_bucket"))
-      val types = ev.select(col("event_type")).distinct()
+      val types = agg.select(col("_at").as("event_type")).distinct()
       hours.crossJoin(types)
         .join(agg, col("hour_bucket") === col("h")
           && col("event_type") === col("_at"), "left")
@@ -292,8 +292,10 @@ object SparkEntry {
       // Same shape as q_vocab: map-side pair explode -> combined count ->
       // rank window over the post-aggregation pair vocabulary only.
       t(s, dir, "documents")
-        .select(explode(TextFunctions.wordShinglesFromTokens(
-          TextFunctions.tokens(col("text")), 2)).as("pair"))
+        // token array materialized in its own projection first (the
+        // shingle expr references it ~4x — substitution discipline)
+        .select(TextFunctions.tokens(col("text")).as("_toks"))
+        .select(explode(TextFunctions.wordShinglesFromTokens(col("_toks"), 2)).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n_occurrences").desc, col("pair").asc)).cast("long"))

@@ -81,6 +81,11 @@ object LayoutBench {
     println(f"[layoutbench] box query unclustered: $secU%.3fs, files with stats overlapping the box: $hitU/$totU")
     println(f"[layoutbench] box query zordered:    $secZ%.3fs, files with stats overlapping the box: $hitZ/$totZ")
     println(f"[layoutbench] file-skipping factor: ${hitU.toDouble / math.max(hitZ, 1)}%.0fx fewer files must be read")
+    // both 10M-row datasets live under base — don't leave them in /tmp
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(base)
     spark.stop()
   }
 }

@@ -38,9 +38,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
-  test("q_region_revenue broadcasts the dimension tables") {
-    val p = plan("q_region_revenue")
-    assert(p.contains("BroadcastHashJoin"), s"dimension joins must broadcast:\n$p")
+  test("an UN-hinted dimension join auto-broadcasts under the size threshold") {
+    // q_region_revenue carries explicit broadcast() hints, which would
+    // make this assertion tautological — gate the AUTO path instead
+    val p = spark.read.parquet(s"$dir/customer.parquet")
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      s"small dimension joins must auto-broadcast without hints:\n$p")
   }
 
   test("skyline and top-k aggregates keep the partial/final split (map-side local results)") {

@@ -350,6 +350,23 @@ object SparkEntry {
       Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
         .groupBy(col("cluster_id").as("keep_id"))
         .agg(count(lit(1)).as("n_members"))),
+    "q_retain_best" -> ((s, dir) => {
+      // quality-based retention over NEAR-dup clusters (the production
+      // retention policy: not the smallest id but the best-quality
+      // member survives). Cluster labels from the pair graph, then one
+      // max_by aggregate per cluster — argmax on (quality, -id) gives
+      // highest quality, ties to the lower id, no per-cluster sort.
+      val labeled = Dedup.clusters(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val quality = t(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          expr("(doc_id * 2654435761) % 1000").as("q"))
+      labeled.join(quality, "id")
+        .groupBy(col("cluster_id"))
+        .agg(max_by(col("id"), struct(col("q"), -col("id"))).as("keep_id"),
+          max(col("q")).as("best_quality"),
+          count(lit(1)).as("n_members"))
+    }),
     "q_pipeline_funnel" -> ((s, dir) => {
       // the whole preprocessing funnel as ONE map-side pass + one agg:
       // quality gate -> repetition gate -> language gate -> deterministic
@@ -1061,6 +1078,29 @@ object SparkEntry {
            |  GROUP BY d.doc_id)
            |SELECT cluster_id AS keep_id, count(*) AS n_members
            |FROM labels GROUP BY 1""".stripMargin,
+      "q_retain_best" ->
+        // the recursive-CTE labeling joined to the quality score; the
+        // survivor per cluster is rank-1 by (quality DESC, id ASC)
+        s"""WITH RECURSIVE $jaccardCtes,
+           |edges AS (SELECT id1 AS a, id2 AS b FROM good
+           |          UNION ALL SELECT id2, id1 FROM good),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |labels AS (SELECT d.doc_id AS id,
+           |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |  GROUP BY d.doc_id),
+           |lq AS (SELECT l.cluster_id, l.id, (l.id * 2654435761) % 1000 AS q
+           |       FROM labels l),
+           |rk AS (SELECT cluster_id, id, q,
+           |         row_number() OVER (PARTITION BY cluster_id
+           |           ORDER BY q DESC, id ASC) AS rn,
+           |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+           |         max(q) OVER (PARTITION BY cluster_id) AS best_quality
+           |       FROM lq)
+           |SELECT cluster_id, id AS keep_id, best_quality, n_members
+           |FROM rk WHERE rn = 1""".stripMargin,
       "q_pipeline_funnel" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |tri AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),

@@ -60,6 +60,11 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .skylineBy(Seq("c_mktsegment"),
           Seq("o_totalprice" -> Max, "o_orderdate" -> Min))),
+    "sky_band_part" -> ((s, dir) =>
+      // k-skyband: the 3-band of parts (min price, max size) with each
+      // point's exact dominator count — the relaxed-frontier query for
+      // "top alternatives" when the strict skyline is too thin
+      t(s, dir, "part").kSkyband(Seq("p_retailprice" -> Min, "p_size" -> Max), k = 3)),
     // Partitioning-scheme hints (MR_DIM / MR_GRID / MR_ANGLE): same result
     // as sky_li_2d by the partitioning-invariance property — same oracle.
     "sky_hint_dim" -> ((s, dir) =>
@@ -791,6 +796,17 @@ object SparkEntry {
       "sky_hint_grid" -> li2dOracle,
       "sky_hint_angle" -> li2dOracle,
       "sky_part_minmax" -> sky2d("part", "p_retailprice", "p_size", min1 = true, min2 = false),
+      "sky_band_part" ->
+        // O(n·n) dominator-count join over the distinct pairs; part is
+        // small enough at the verify SF for the quadratic oracle
+        """WITH d AS (SELECT DISTINCT p_retailprice, p_size FROM part),
+          |cnt AS (SELECT p.p_retailprice, p.p_size, count(q.p_retailprice) AS c
+          |        FROM d p LEFT JOIN d q
+          |          ON q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          |          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+          |        GROUP BY 1, 2)
+          |SELECT p_retailprice, p_size, c::BIGINT AS n_dominators
+          |FROM cnt WHERE c < 3""".stripMargin,
       "sky_orders_maxmin" -> sky2d("orders", "o_totalprice", "o_orderdate", min1 = false, min2 = true),
       "sky_events_2d" -> sky2d("events", "value", "user_id", min1 = false, min2 = true),
       "sky_li_3d" ->

@@ -88,6 +88,87 @@ object SkylineCore {
   }
 
   // ---------------------------------------------------------------------
+  // k-skyband (Papadias et al., SIGMOD'03): the relaxed skyline — points
+  // dominated by FEWER than k others. k = 1 is exactly the skyline. Set
+  // semantics like the skyline (exact duplicates collapse; equal points
+  // do not dominate each other).
+  //
+  // Candidate maintenance is BNL-style with RUNNING dominator counts:
+  // a point is dropped only when it has accumulated >= k GENUINE
+  // dominators (every counted dominator is a real input point, so drops
+  // are always sound). Running counts may UNDERCOUNT (dominators dropped
+  // earlier are forgotten), which only keeps extra candidates — the
+  // final [[kSkybandCounts]] recount inside the surviving candidate set
+  // is provably exact: by induction over dominance depth, a point with
+  // >= k global dominators always has >= k dominators among the
+  // never-dropped candidates (each dropped dominator contributes its own
+  // >= k dominators transitively), and conversely every k-skyband
+  // member's dominators all have < k dominators themselves and are
+  // therefore never dropped — so emitted counts equal TRUE global
+  // dominator counts.
+  // ---------------------------------------------------------------------
+
+  /** Insert `p` into the candidate buffer (parallel point/count arrays)
+    * in place. Returns silently when `p` is an exact duplicate or
+    * already has `k` buffered dominators. */
+  def kSkybandInsert(
+      buf: ArrayBuffer[Array[Double]], cnt: ArrayBuffer[Int],
+      p: Array[Double], minDir: Array[Boolean], k: Int): Unit = {
+    var c = 0
+    var i = 0
+    while (i < buf.length) {
+      val q = buf(i)
+      if (java.util.Arrays.equals(q, p)) return
+      if (dominates(q, p, minDir)) { c += 1; if (c >= k) return }
+      i += 1
+    }
+    // p joins; incumbents it dominates take a hit, dropping at k
+    i = 0
+    while (i < buf.length) {
+      if (dominates(p, buf(i), minDir)) {
+        cnt(i) += 1
+        if (cnt(i) >= k) {
+          buf.remove(i); cnt.remove(i); ()
+        } else i += 1
+      } else i += 1
+    }
+    buf += p
+    cnt += c
+    ()
+  }
+
+  /** Exact per-candidate dominator counts WITHIN the candidate set (the
+    * emission pass — see the exactness argument above). Returns the
+    * (point, count) pairs with count < k. */
+  def kSkybandCounts(
+      buf: ArrayBuffer[Array[Double]], minDir: Array[Boolean],
+      k: Int): ArrayBuffer[(Array[Double], Int)] = {
+    val out = ArrayBuffer.empty[(Array[Double], Int)]
+    var i = 0
+    while (i < buf.length) {
+      var c = 0
+      var j = 0
+      while (j < buf.length && c < k) {
+        if (j != i && dominates(buf(j), buf(i), minDir)) c += 1
+        j += 1
+      }
+      if (c < k) out += ((buf(i), c))
+      i += 1
+    }
+    out
+  }
+
+  /** Full k-skyband with exact dominator counts (test oracle form). */
+  def kSkybandOf(
+      points: IterableOnce[Array[Double]], minDir: Array[Boolean],
+      k: Int): ArrayBuffer[(Array[Double], Int)] = {
+    val buf = ArrayBuffer.empty[Array[Double]]
+    val cnt = ArrayBuffer.empty[Int]
+    points.iterator.foreach(kSkybandInsert(buf, cnt, _, minDir, k))
+    kSkybandCounts(buf, minDir, k)
+  }
+
+  // ---------------------------------------------------------------------
   // MR_DIM (functions.py:57-73): 1-D equal-width range bucketing.
   // ---------------------------------------------------------------------
 

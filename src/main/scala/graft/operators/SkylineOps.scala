@@ -122,6 +122,38 @@ object SkylineOps {
         }: _*)
     }
 
+    /**
+     * k-skyband (Papadias et al., SIGMOD'03): all points dominated by
+     * FEWER than `k` others — the relaxed skyline (`k = 1` IS the
+     * skyline; larger k widens the frontier band, the standard "top
+     * alternatives" query when the strict frontier is too thin). Output:
+     * one row per band point with the original columns plus
+     * `n_dominators` (the point's exact global dominator count). Same
+     * execution shape as the skyline: partial candidate buffers map-side,
+     * buffers-only shuffle, final merge ([[KSkybandAggExpr]]).
+     */
+    def kSkyband(dims: Seq[(String, Direction)], k: Int): DataFrame = {
+      require(dims.nonEmpty, "empty dimension list")
+      require(k >= 1, s"k must be >= 1, got $k")
+      val schema = df.schema
+      val types = dims.map { case (name, _) => schema(name).dataType }
+      val minDir = dims.map(_._2.isMin).toArray
+      val fwd = dims.zip(types).map { case ((name, _), dt) => toDouble(col(name), dt) }
+      val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
+      val projected = df.filter(nonNull)
+        .select(fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+      val bandCol = ColumnShim.column(KSkybandAggExpr(
+        dims.indices.map(i => ColumnShim.expression(col(s"_d$i"))), minDir, k,
+        SkylineAggExpr.configuredCap(df.sparkSession))
+        .toAggregateExpression())
+      projected.agg(bandCol.as("_band"))
+        .select(explode(col("_band")).as("_e"))
+        .select(dims.zip(types).zipWithIndex.map {
+          case (((name, _), dt), i) =>
+            fromDouble(element_at(col("_e.p"), i + 1), dt).as(name)
+        } :+ col("_e.c").cast(LongType).as("n_dominators"): _*)
+    }
+
     def skyline(query: String, hint: PartitionHint): DataFrame =
       skyline(SkylineQuery.parse(query), hint)
 

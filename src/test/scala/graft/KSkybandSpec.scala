@@ -1,0 +1,78 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Direction.{Max, Min}
+import graft.core.SkylineCore
+import graft.operators.SkylineOps._
+
+/** k-skyband invariants: candidate maintenance vs an O(n²) brute-force
+  * oracle, the k=1 ≡ skyline degeneration, and the distributed
+  * aggregate vs the pure core. */
+class KSkybandSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def brute(pts: Seq[Array[Double]], minDir: Array[Boolean],
+      k: Int): Set[(Seq[Double], Int)] = {
+    // set semantics: collapse exact duplicates first
+    val distinct = pts.map(_.toSeq).distinct.map(_.toArray)
+    distinct.flatMap { p =>
+      val c = distinct.count(q => SkylineCore.dominates(q, p, minDir))
+      if (c < k) Some((p.toSeq, c)) else None
+    }.toSet
+  }
+
+  test("core kSkybandOf matches the brute-force oracle across shapes, seeds, and k") {
+    val rnd = new scala.util.Random(11)
+    for {
+      d <- Seq(2, 3)
+      k <- Seq(1, 2, 3, 5)
+      range <- Seq(8, 1000) // small range forces duplicates + deep dominance chains
+      trial <- 1 to 5
+    } {
+      val n = 300
+      val pts = Seq.fill(n)(Array.fill(d)(rnd.nextInt(range).toDouble))
+      val minDir = Array.fill(d)(rnd.nextBoolean())
+      val got = SkylineCore.kSkybandOf(pts, minDir, k)
+        .map { case (p, c) => (p.toSeq, c) }.toSet
+      val want = brute(pts, minDir, k)
+      assert(got == want, s"d=$d k=$k range=$range trial=$trial")
+    }
+  }
+
+  test("k=1 degenerates to the skyline (zero dominators each)") {
+    val rnd = new scala.util.Random(5)
+    val pts = Seq.fill(500)(Array(rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble))
+    val minDir = Array(true, true)
+    val band = SkylineCore.kSkybandOf(pts, minDir, 1)
+    assert(band.forall(_._2 == 0))
+    assert(band.map(_._1.toSeq).toSet ==
+      SkylineCore.skylineOf(pts, minDir).map(_.toSeq).toSet)
+  }
+
+  test("insertion order does not change the result") {
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.fill(400)(Array(rnd.nextInt(20).toDouble, rnd.nextInt(20).toDouble))
+    val minDir = Array(true, false)
+    val a = SkylineCore.kSkybandOf(pts, minDir, 3).map { case (p, c) => (p.toSeq, c) }.toSet
+    val b = SkylineCore.kSkybandOf(rnd.shuffle(pts), minDir, 3)
+      .map { case (p, c) => (p.toSeq, c) }.toSet
+    assert(a == b)
+  }
+
+  test("df.kSkyband equals the pure core (distributed partial/merge path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(3000)((rnd.nextInt(500).toDouble, rnd.nextInt(500).toDouble))
+    val df = rows.toDF("x", "y").repartition(7) // force multi-buffer merges
+    val got = df.kSkyband(Seq("x" -> Min, "y" -> Max), k = 4)
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toSet
+    val want = SkylineCore.kSkybandOf(
+        rows.map(t => Array(t._1, t._2)), Array(true, false), 4)
+      .map { case (p, c) => ((p(0), p(1)), c.toLong) }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+}

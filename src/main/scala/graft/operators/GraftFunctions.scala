@@ -81,12 +81,43 @@ object GraftFunctions {
       .toAggregateExpression()
   }
 
+  /** `kskyband_agg(<directions literal>, k, dim1, ...)`: the k-skyband as
+    * an aggregate — array<struct<p: array<double>, c: int>> with exact
+    * dominator counts. Directions like skyline_agg; k an int literal. */
+  private def buildKSkybandAgg(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 3,
+      "kskyband_agg(directions, k, dim1, ...) needs a directions literal, k, and at least one dimension")
+    val minDir = exprs.head match {
+      case Literal(s, StringType) if s != null =>
+        s.toString.split(",").map(_.trim.toLowerCase).map {
+          case "min" => true
+          case "max" => false
+          case other => throw new IllegalArgumentException(
+            s"kskyband_agg direction must be min or max, got '$other'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"kskyband_agg's first argument must be a string literal of directions, got $other")
+    }
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"kskyband_agg's k must be an integer literal, got $other")
+    }
+    require(minDir.length == exprs.length - 2,
+      s"kskyband_agg: ${minDir.length} directions for ${exprs.length - 2} dimension columns")
+    val cap = try SkylineAggExpr.configuredCap(SparkSession.active)
+              catch { case _: IllegalStateException => SkylineAggExpr.DefaultMaxBuffer }
+    KSkybandAggExpr(exprs.drop(2).map(Cast(_, DoubleType)), minDir, k, cap)
+      .toAggregateExpression()
+  }
+
   /** Name -> expression builder for every SQL-surface function. The single
     * source of truth consumed by both registration paths: per-session
     * [[register]] and the cluster-wide [[graft.GraftExtensions]] config
     * entry point. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "skyline_agg" -> (buildSkylineAgg _),
+    "kskyband_agg" -> (buildKSkybandAgg _),
     "topk_agg" -> (buildTopKAgg _),
     "graft_dot" ->
       arity("graft_dot", 2)(exprs => graft.functions.DotProduct(exprs(0), exprs(1))),

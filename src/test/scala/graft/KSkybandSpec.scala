@@ -63,6 +63,21 @@ class KSkybandSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("SQL surface: kskyband_agg matches the DSL path") {
+    import spark.implicits._
+    graft.operators.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    Seq.fill(800)((rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+      .toDF("x", "y").createOrReplaceTempView("band_in")
+    val got = spark.sql(
+      """SELECT e.p[0] AS x, e.p[1] AS y, e.c AS n_dominators
+        |FROM (SELECT explode(kskyband_agg('min,min', 2, x, y)) AS e FROM band_in)""".stripMargin)
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getInt(2))).toSet
+    val want = spark.table("band_in").kSkyband(Seq("x" -> Min, "y" -> Min), k = 2)
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2).toInt)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("df.kSkyband equals the pure core (distributed partial/merge path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

@@ -60,6 +60,11 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .skylineBy(Seq("c_mktsegment"),
           Seq("o_totalprice" -> Max, "o_orderdate" -> Min))),
+    "sky_band_by_brand" -> ((s, dir) =>
+      // per-group k-skyband: one relaxed frontier per brand, dominator
+      // counts within the group
+      t(s, dir, "part").kSkybandBy(Seq("p_brand"),
+        Seq("p_retailprice" -> Min, "p_size" -> Max), k = 2)),
     "sky_band_part" -> ((s, dir) =>
       // k-skyband: the 3-band of parts (min price, max size) with each
       // point's exact dominator count — the relaxed-frontier query for
@@ -796,6 +801,17 @@ object SparkEntry {
       "sky_hint_grid" -> li2dOracle,
       "sky_hint_angle" -> li2dOracle,
       "sky_part_minmax" -> sky2d("part", "p_retailprice", "p_size", min1 = true, min2 = false),
+      "sky_band_by_brand" ->
+        """WITH d AS (SELECT DISTINCT p_brand, p_retailprice, p_size FROM part),
+          |cnt AS (SELECT p.p_brand, p.p_retailprice, p.p_size,
+          |          count(q.p_retailprice) AS c
+          |        FROM d p LEFT JOIN d q
+          |          ON q.p_brand = p.p_brand
+          |          AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          |          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+          |        GROUP BY 1, 2, 3)
+          |SELECT p_brand, p_retailprice, p_size, c::BIGINT AS n_dominators
+          |FROM cnt WHERE c < 2""".stripMargin,
       "sky_band_part" ->
         // O(n·n) dominator-count join over the distinct pairs; part is
         // small enough at the verify SF for the quadratic oracle

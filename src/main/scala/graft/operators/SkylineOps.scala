@@ -154,6 +154,39 @@ object SkylineOps {
         } :+ col("_e.c").cast(LongType).as("n_dominators"): _*)
     }
 
+    /** Per-group k-skybands: [[kSkyband]] composed with groupBy — the
+      * relaxed frontier per key tuple, with exact per-point dominator
+      * counts WITHIN the group. Same shuffle shape as [[skylineBy]]:
+      * only (key, candidate-buffer) pairs cross the wire. */
+    def kSkybandBy(keyCols: Seq[String], dims: Seq[(String, Direction)],
+        k: Int): DataFrame = {
+      require(dims.nonEmpty, "empty dimension list")
+      require(keyCols.nonEmpty, "kSkybandBy needs at least one key column (use kSkyband otherwise)")
+      require(k >= 1, s"k must be >= 1, got $k")
+      val overlap = keyCols.toSet.intersect(dims.map(_._1).toSet)
+      require(overlap.isEmpty, s"key and dimension columns overlap: $overlap")
+      val reserved = keyCols.filter(c => c.startsWith("_d") || c == "_band" || c == "_e")
+      require(reserved.isEmpty, s"key column names collide with internal aliases: $reserved")
+      val schema = df.schema
+      val types = dims.map { case (name, _) => schema(name).dataType }
+      val minDir = dims.map(_._2.isMin).toArray
+      val fwd = dims.zip(types).map { case ((name, _), dt) => toDouble(col(name), dt) }
+      val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
+      val projected = df.filter(nonNull).select(
+        keyCols.map(col) ++ fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+      val bandCol = ColumnShim.column(KSkybandAggExpr(
+        dims.indices.map(i => ColumnShim.expression(col(s"_d$i"))), minDir, k,
+        SkylineAggExpr.configuredCap(df.sparkSession))
+        .toAggregateExpression())
+      projected.groupBy(keyCols.map(col): _*)
+        .agg(bandCol.as("_band"))
+        .select(keyCols.map(col) :+ explode(col("_band")).as("_e"): _*)
+        .select(keyCols.map(col) ++ dims.zip(types).zipWithIndex.map {
+          case (((name, _), dt), i) =>
+            fromDouble(element_at(col("_e.p"), i + 1), dt).as(name)
+        } :+ col("_e.c").cast(LongType).as("n_dominators"): _*)
+    }
+
     def skyline(query: String, hint: PartitionHint): DataFrame =
       skyline(SkylineQuery.parse(query), hint)
 

@@ -78,6 +78,21 @@ class KSkybandSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("kSkybandBy computes each group's band independently") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(1500)(
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(80).toDouble, rnd.nextInt(80).toDouble))
+    val df = rows.toDF("g", "x", "y").repartition(5)
+    val got = df.kSkybandBy(Seq("g"), Seq("x" -> Min, "y" -> Min), k = 2)
+      .collect().map(r => ((r.getString(0), r.getDouble(1), r.getDouble(2)), r.getLong(3))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, grp) =>
+      SkylineCore.kSkybandOf(grp.map(t => Array(t._2, t._3)), Array(true, true), 2)
+        .map { case (p, c) => ((g, p(0), p(1)), c.toLong) }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("df.kSkyband equals the pure core (distributed partial/merge path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

@@ -28,7 +28,19 @@ object Bench {
     // not. Disable with SPARK_GRAFT_WARM_DIR="" to measure cold, or point
     // it at another SF dir.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Median-of-N timed runs per query (after warmup): a single timed run
+    // is at the mercy of transient machine load — two rounds of phantom
+    // 2-5x "regressions" on untouched code cleared on re-run. The median
+    // of 3 defends the number. SPARK_GRAFT_RUNS=1 restores the old
+    // single-shot behavior for quick local iteration.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // SPARK_GRAFT_ONLY="a,b,c" restricts the suite — local iteration only
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       if (warmDir.nonEmpty) {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => }
         // the eager pair finders return persisted frames; drop them (and
@@ -36,16 +48,24 @@ object Bench {
         // pressure the timed runs' execution memory across the suite
         spark.catalog.clearCache()
       }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // timed pair finders pin caches too
-      name -> elapsed
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // timed pair finders pin caches too
+        elapsed
+      }
+      name -> times.sorted.apply(times.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    // per-query map first, then the total as its own COMPACT FINAL line:
+    // a log-tail truncation can eat the front of the long line, never the
+    // short last one, so the headline number always parses.
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -180,7 +180,7 @@ object SparkEntry {
       // 100 TB the exact countDistinct re-shuffles raw keys; the sketch
       // ships a fixed-size register array per group. Approximate ->
       // rows-only driver check; the rsd-bound gate vs exact lives in
-      // FunctionsSpec.
+      // DriverContractSpec.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -601,7 +601,8 @@ object SparkEntry {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
       val sky = graft.streaming.SkylineStreaming.skylineStream(stream, SkylineQueryDims.li2d)
-      graft.streaming.SkylineStreaming.runOnce(sky, "stream_sky_li_2d_mem")
+      graft.streaming.SkylineStreaming.runOnce(sky, "stream_sky_li_2d_mem",
+        statePartitions = Some(8))
     }),
     "stream_window_hourly" -> ((s, dir) => {
       // watermarked event-time windowed aggregation over the events
@@ -618,7 +619,11 @@ object SparkEntry {
         keyCols = Seq("event_type"),
         aggs = Seq(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("sum_value")))
-      graft.streaming.SkylineStreaming.runOnce(agg, "stream_window_hourly_mem")
+      // pin the stateful shuffle narrow for the drain: one state store per
+      // shuffle partition per micro-batch is a fixed cost that dwarfs the
+      // data at bench scale (goes UP with window-key cardinality at 100 TB)
+      graft.streaming.SkylineStreaming.runOnce(agg, "stream_window_hourly_mem",
+          statePartitions = Some(8))
         .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
           col("event_type"), col("n_events"), col("sum_value"))
     }),
@@ -639,7 +644,8 @@ object SparkEntry {
         keyCols = Seq("user_id"),
         aggs = Seq(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event")))
-      graft.streaming.SkylineStreaming.runOnce(sess, "stream_sessionize_mem")
+      graft.streaming.SkylineStreaming.runOnce(sess, "stream_sessionize_mem",
+          statePartitions = Some(8))
         .select(col("user_id"),
           unix_micros(col("session.start")).as("session_start_us"),
           col("n_events"), col("first_event"))
@@ -658,7 +664,8 @@ object SparkEntry {
         // unique ranking id: orderkey * 8 + linenumber (lineitem PK)
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("long"),
         k = 20).as("_top"))
-      graft.streaming.SkylineStreaming.runOnce(agg, "stream_topk_mem")
+      graft.streaming.SkylineStreaming.runOnce(agg, "stream_topk_mem",
+          statePartitions = Some(8))
         .select(posexplode(col("_top")).as(Seq("_pos", "_e")))
         .select((col("_pos") + 1).cast("long").as("rank"),
           col("_e.id").as("rank_id"), col("_e.score").as("price"))
@@ -677,7 +684,8 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("sum_value"))
-      graft.streaming.SkylineStreaming.runOnce(agg, "stream_enrich_mem")
+      graft.streaming.SkylineStreaming.runOnce(agg, "stream_enrich_mem",
+        statePartitions = Some(8))
     }),
     "stream_join_attrib" -> ((s, dir) => {
       // watermarked stream-stream interval join: each purchase matched to
@@ -703,25 +711,24 @@ object SparkEntry {
       // a stream-stream join commits 4 state stores PER shuffle partition
       // per micro-batch (left/right x keyToNumValues/keyWithIndex); that
       // fixed cost dwarfs the data at bench scale, so pin the stateful
-      // shuffle narrow for the drain and restore after (at 100 TB the
-      // same knob goes UP with the key cardinality)
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        graft.streaming.SkylineStreaming
-          .runOnce(joined, "stream_join_attrib_mem", outputMode = "append")
-          .select(col("purchase_id"), col("user_id"), col("view_id"),
-            unix_micros(col("p_ts")).as("purchase_us"),
-            unix_micros(col("v_ts")).as("view_us"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      // shuffle narrow for the drain (at 100 TB the same knob goes UP
+      // with the key cardinality)
+      graft.streaming.SkylineStreaming
+        .runOnce(joined, "stream_join_attrib_mem", outputMode = "append",
+          statePartitions = Some(8))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          unix_micros(col("p_ts")).as("purchase_us"),
+          unix_micros(col("v_ts")).as("view_us"))
     }),
 
     // ----- multimodal plumbing (stubbed codec, real dataflow) ------------
     "mm_decode" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
       val decoded = Multimodal.decode(media)
-      Multimodal.resizePlan(decoded, maxSide = 256)
-        .join(decoded.toDF().select(col("doc_id"), col("n_bytes"), col("format")), "doc_id")
+      // carry= keeps n_bytes/format in the resize projection: ONE decode
+      // in the executed plan (the former self-join ran the codec twice)
+      Multimodal.resizePlan(decoded, maxSide = 256,
+        carry = Seq("n_bytes", "format"))
     }),
   )
 

@@ -93,13 +93,20 @@ object Multimodal {
   }
 
   /** Resize step stub: recompute target dims preserving aspect ratio —
-    * pure metadata arithmetic here; a real impl transforms pixels. */
-  def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame =
+    * pure metadata arithmetic here; a real impl transforms pixels.
+    * `carry` lists extra decoded-metadata columns to keep in the same
+    * projection: at a real media scale the codec dominates the scan, so
+    * downstream consumers must take everything they need from ONE decode
+    * pass rather than self-joining the decoded frame (which re-evaluates
+    * the `mapPartitions` codec per branch — Spark does not share
+    * unmaterialized subplans). */
+  def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int,
+      carry: Seq[String] = Nil): DataFrame =
     decoded.toDF().select(
-      col("doc_id"), col("width"), col("height"),
-      least(lit(maxSide), col("width")).as("target_w"),
-      // floor, not cast: Spark's double->int cast truncates while DuckDB's
-      // rounds; floor agrees in both for the non-negative case.
-      floor(least(lit(maxSide), col("width")) * col("height") / col("width"))
-        .cast("int").as("target_h"))
+      Seq(col("doc_id"), col("width"), col("height"),
+        least(lit(maxSide), col("width")).as("target_w"),
+        // floor, not cast: Spark's double->int cast truncates while DuckDB's
+        // rounds; floor agrees in both for the non-negative case.
+        floor(least(lit(maxSide), col("width")) * col("height") / col("width"))
+          .cast("int").as("target_h")) ++ carry.map(col): _*)
 }

@@ -333,6 +333,11 @@ object PipelineOps {
     require(jt == "inner" || jt == "left" || jt == "leftouter",
       s"saltedJoin supports inner and left joins, got '$joinType' " +
         "(right/full outer would duplicate unmatched small-side rows per salt)")
+    // the trailing drop would silently eat same-named user columns
+    Seq("_salt_b", "_salt_s").foreach { reserved =>
+      require(!big.columns.contains(reserved) && !small.columns.contains(reserved),
+        s"saltedJoin reserves column name '$reserved'; rename it in the input")
+    }
     val saltedBig = big.withColumn("_salt_b",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val saltedSmall = small.withColumn("_salt_s",

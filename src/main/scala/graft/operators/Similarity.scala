@@ -303,7 +303,15 @@ object Similarity {
     }
 
     /** Probe the `nprobe` nearest cells per query and rank exact cosines
-      * within them (bounded top-k heap — see [[rankTopK]]). */
+      * within them (bounded top-k heap — see [[rankTopK]]).
+      *
+      * NOTE: the probe set is pinned via `localCheckpoint`, whose blocks
+      * live for the SESSION (queries x nprobe rows — tiny, but a
+      * long-lived service probing thousands of query batches should
+      * recycle its session or spill the batches through [[save]]/
+      * [[Similarity.loadIvf]]); unpersisting before the returned frame
+      * materializes would truncate its lineage and fail the job, and
+      * localCheckpoint data is not recomputable on executor loss. */
     def topK(queries: DataFrame, idCol: String, vecCol: String,
         k: Int, nprobe: Int): DataFrame = {
       def distsExpr(vec: Column): Column =

@@ -219,17 +219,34 @@ object SkylineStreaming {
     * return the materialized result. Complete mode re-emits the whole
     * refined result (required by unwatermarked global aggregates); pass
     * `outputMode = "append"` for append-only plans — stream-stream joins
-    * and watermarked flows that forbid complete. */
+    * and watermarked flows that forbid complete.
+    *
+    * `statePartitions` pins `spark.sql.shuffle.partitions` for the drain
+    * (restored after): every stateful operator commits one state store
+    * per shuffle partition per micro-batch (a stream-stream join commits
+    * FOUR), a fixed cost that dwarfs the data when the session default is
+    * wide. Size it to the stateful key cardinality — low for a bounded
+    * drain, up with cardinality on a real 100 TB run. The width is baked
+    * into the checkpoint at first run, so a resumed query must keep it. */
   def runOnce(result: DataFrame, queryName: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete",
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = result.sparkSession
-    val q = result.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    val oldParts = statePartitions.map { n =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      prev
+    }
+    try {
+      val q = result.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally oldParts.foreach(
+      spark.conf.set("spark.sql.shuffle.partitions", _))
   }
 }

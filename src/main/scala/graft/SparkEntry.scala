@@ -363,19 +363,11 @@ object SparkEntry {
     "q_retain_best" -> ((s, dir) => {
       // quality-based retention over NEAR-dup clusters (the production
       // retention policy: not the smallest id but the best-quality
-      // member survives). Cluster labels from the pair graph, then one
-      // max_by aggregate per cluster — argmax on (quality, -id) gives
-      // highest quality, ties to the lower id, no per-cluster sort.
-      val labeled = Dedup.clusters(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5)
-      val quality = t(s, dir, "documents")
-        .select(col("doc_id").as("id"),
-          expr("(doc_id * 2654435761) % 1000").as("q"))
-      labeled.join(quality, "id")
-        .groupBy(col("cluster_id"))
-        .agg(max_by(col("id"), struct(col("q"), -col("id"))).as("keep_id"),
-          max(col("q")).as("best_quality"),
-          count(lit(1)).as("n_members"))
+      // member survives) — the Dedup.retainBest composite: pair graph +
+      // labeling once, then one max_by argmax per cluster.
+      val d = t(s, dir, "documents")
+        .withColumn("q", expr("(doc_id * 2654435761) % 1000"))
+      Dedup.retainBest(d, "doc_id", "text", "q", n = 3, threshold = 0.5)
     }),
     "q_pipeline_funnel" -> ((s, dir) => {
       // the whole preprocessing funnel as ONE map-side pass + one agg:

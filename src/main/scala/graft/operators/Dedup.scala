@@ -185,6 +185,35 @@ object Dedup {
   }
 
   /**
+   * Quality-based retention over near-dup clusters — the production
+   * retention policy as ONE operator: label the pair graph once
+   * ([[clusters]]), join each member's quality score, and keep the
+   * argmax-quality member per cluster (ties to the lower id). Output:
+   * (cluster_id, keep_id, best_quality, n_members) — one row per
+   * cluster. Composing this from [[clusters]] + a join + `max_by` is
+   * what users were re-deriving by hand; as a composite the expensive
+   * pair graph + labeling runs exactly once.
+   *
+   * `qualityCol` is any numeric column of `df` (a model score, crawl
+   * rank, length heuristic). The argmax is a single `max_by` on
+   * (quality, -id) — no per-cluster sort, map-side combinable, so the
+   * reduce ships one candidate per cluster per partition at 100 TB.
+   */
+  def retainBest(
+      df: DataFrame, idCol: String, textCol: String, qualityCol: String,
+      n: Int, threshold: Double, maxRounds: Int = 20,
+      driverMaxEdges: Int = 1000000): DataFrame = {
+    val labeled = clusters(df, idCol, textCol, n, threshold, maxRounds, driverMaxEdges)
+    val quality = df.select(col(idCol).cast("long").as("id"),
+      col(qualityCol).as("_q"))
+    labeled.join(quality, "id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("id"), struct(col("_q"), -col("id"))).as("keep_id"),
+        max(col("_q")).as("best_quality"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /**
    * Connected-component labels over an arbitrary verified pair graph:
    * every member of `df` gets the smallest id reachable from it through
    * `pairs` (id1, id2) as its `cluster_id`; members in no pair form
@@ -333,16 +362,63 @@ object Dedup {
    * slower than that (72 s for the same frame; array columns hit the
    * cache builder's slow generic path). See [[IvfIndex.save]] for the
    * reuse-across-jobs shape.
+   *
+   * '''Hot-cell guard.''' Verification cost is the sum of SQUARED cell
+   * widths: a skewed kmeans — a mass of identical/near-identical
+   * embeddings, exactly what a dedup input looks like — concentrates
+   * the corpus in one cell and turns one task quadratic. Before the
+   * join, cell widths (one slim aggregation over the layout, the
+   * [[Similarity.IvfIndex.topWidths]] shape) are checked against
+   * `hotCellRows`, failing LOUDLY with a per-cell diagnostic instead of
+   * straggling. The diagnostic separates the two causes, which have
+   * different fixes: a hot cell of mostly '''bit-identical vectors''' is
+   * irreducible for the pair contract (its pair OUTPUT is quadratic —
+   * collapse identical embeddings upstream with an exact dedup; no
+   * clustering can shrink an answer set); a hot cell of '''spread
+   * vectors''' is a clustering artifact (raise `nlist` for a finer
+   * kmeans). `hotCellRows = 0` disables the guard (and its extra
+   * assignment pass) for corpora known to be balanced.
    */
   def semanticPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nlist: Int = 0, iters: Int = 3): DataFrame = {
+      threshold: Double, nlist: Int = 0, iters: Int = 3,
+      hotCellRows: Int = 4096): DataFrame = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto ~ sqrt(n)), got $nlist")
     val resolvedNlist =
       if (nlist > 0) nlist
       else math.max(4, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     val idx = Similarity.buildIvf(df, idCol, vecCol, dim, resolvedNlist, iters)
     val ind = idx.indexed
+    if (hotCellRows > 0) {
+      // ONE slim materialized pass (two longs per row) feeds both the
+      // width check and the identical-mass diagnostic: aggregating
+      // count_distinct THROUGH the lazy assignment expression measured
+      // ~300x slower (the distinct-agg plan evaluates its group key
+      // outside codegen, interpreting the centroid-distance kernel per
+      // row) — materializing (c, hash(v)) first runs the kernel exactly
+      // once, codegen'd, and the aggregates then touch only longs.
+      val slim = ind.select(col("c"), xxhash64(col("v")).as("k")).persist()
+      try {
+        val hot = slim.groupBy("c")
+          .agg(count(lit(1)).as("w"), count_distinct(col("k")).as("d"))
+          .filter(col("w") > hotCellRows)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        if (hot.nonEmpty) {
+          val lines = hot.sortBy(-_._2).take(5).map { case (c, w, d) =>
+            s"cell $c: $w rows, $d distinct vectors"
+          }.mkString("; ")
+          throw new IllegalArgumentException(
+            s"semanticPairs: ${hot.length} kmeans cell(s) wider than " +
+              s"hotCellRows=$hotCellRows at nlist=$resolvedNlist ($lines) — " +
+              "the within-cell verification task would be quadratic in the " +
+              "cell width. Mostly-identical vectors: collapse them upstream " +
+              "(exact dedup on the embedding) — their pair set itself is " +
+              "quadratic, no clustering shrinks an answer set. Spread cell: " +
+              "raise nlist (finer kmeans). Or raise hotCellRows / disable " +
+              "the guard with hotCellRows = 0 if the cost is intended.")
+        }
+      } finally slim.unpersist(blocking = false)
+    }
     val a = ind.select(col("c"), col("id").as("id1"), col("v").as("v1"), col("vn").as("n1"))
     val b = ind.select(col("c"), col("id").as("id2"), col("v").as("v2"), col("vn").as("n2"))
     val out = a.join(b, "c")
@@ -362,8 +438,9 @@ object Dedup {
   def semanticClusters(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nlist: Int = 0, iters: Int = 3,
-      maxRounds: Int = 20, driverMaxEdges: Int = 1000000): DataFrame = {
-    val pairs = semanticPairs(df, idCol, vecCol, dim, threshold, nlist, iters)
+      maxRounds: Int = 20, driverMaxEdges: Int = 1000000,
+      hotCellRows: Int = 4096): DataFrame = {
+    val pairs = semanticPairs(df, idCol, vecCol, dim, threshold, nlist, iters, hotCellRows)
     try labelComponents(df, idCol, pairs, maxRounds, driverMaxEdges)
     finally pairs.unpersist(blocking = false)
   }

@@ -130,6 +130,35 @@ object DedupBench {
         f"recall=${hits.toDouble / planted}%.3f time=${(System.nanoTime() - s0) / 1e9}%.1f s")
       pairs.unpersist(blocking = false)
     }
+    // Adversarial hot-cell check: a corpus where two thirds of the rows
+    // carry ONE identical embedding (what a raw crawl's boilerplate-dup
+    // mass looks like) concentrates a kmeans cell far past hotCellRows.
+    // The guard must fail LOUDLY in bounded time — seconds, before the
+    // quadratic within-cell join launches — and name the identical-mass
+    // cause (1 distinct vector) so the user is pointed at exact dedup
+    // upstream, not at nlist.
+    if (args.contains("--semantic-skew")) {
+      val dim = 64
+      val nSkew = math.min(n, 100000)
+      def elem(idCol: org.apache.spark.sql.Column, j: Int) =
+        ((pmod(xxhash64(idCol, lit(j)), lit(2000001L)).cast("double")
+          / lit(1000000.5)) - lit(1.0))
+      val vecs = spark.range(nSkew.toLong).select(col("id"),
+        array((0 until dim).map(j =>
+          when(col("id") % 3 =!= 0, elem(lit(0L), j)) // the identical mass
+            .otherwise(elem(col("id"), j)).cast("float")): _*).as("v"))
+      val s0 = System.nanoTime()
+      val outcome =
+        try {
+          val p = Dedup.semanticPairs(vecs, "id", "v", dim = dim, threshold = 0.9)
+          val c = p.count(); p.unpersist(blocking = false)
+          s"GUARD DID NOT TRIP ($c pairs)"
+        } catch {
+          case e: IllegalArgumentException => "tripped: " + e.getMessage.take(160)
+        }
+      println(f"[dedupbench] semantic-skew n=$nSkew " +
+        f"time=${(System.nanoTime() - s0) / 1e9}%.1f s $outcome")
+    }
     spark.stop()
   }
 }

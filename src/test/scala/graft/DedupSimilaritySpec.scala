@@ -266,6 +266,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral id columns"))
   }
 
+  test("semanticPairs hot-cell guard trips loudly on an identical-embedding mass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val massVec = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 80).map(i => (i.toLong, massVec)) ++
+      (80 until 120).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticPairs(df, "id", "v", dim = 8, threshold = 0.9, hotCellRows = 32)
+    }
+    // the diagnostic must name the cause: a hot cell dominated by
+    // identical vectors (exact-dedup-upstream fix, not nlist)
+    assert(e.getMessage.contains("hotCellRows") &&
+      e.getMessage.contains("distinct vectors"))
+    // guard disabled: the same corpus completes, and the identical mass
+    // produces its full quadratic pair set (cos = 1 for all C(80,2))
+    val pairs = Dedup.semanticPairs(df, "id", "v", dim = 8, threshold = 0.9,
+      hotCellRows = 0)
+    assert(pairs.filter(col("id1") < 80 && col("id2") < 80).count() == 80L * 79 / 2)
+    pairs.unpersist(blocking = false)
+  }
+
   test("semanticClusters labels transitive chains and leaves singletons alone") {
     import spark.implicits._
     // chain: 1 ~ 2 ~ 3 (1 and 3 NOT directly similar), singleton 9 —
@@ -395,6 +417,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     // id 2 wins the triplicate (q=9.0 tie broken to lower id); singleton kept
     assert(got == Set((2L, 9.0, 3L), (4L, 1.0, 1L)))
+  }
+
+  test("retainBest keeps the argmax-quality member per near-dup cluster") {
+    import spark.implicits._
+    // three near-identical docs (one cluster) + one unrelated singleton
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (10L, base, 5.0),
+      (20L, base + " extra", 9.0),
+      (30L, base, 9.0),
+      (40L, "completely different content about distributed query engines", 2.0))
+      .toDF("doc_id", "text", "q")
+    val got = Dedup.retainBest(df, "doc_id", "text", "q", n = 3, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // cluster label is the min reachable id (10); id 20 wins on q=9.0
+    // (tie with 30 broken to the lower id); the singleton keeps itself
+    assert(got == Set((10L, 20L, 9.0, 3L), (40L, 40L, 2.0, 1L)))
   }
 
   test("canonical fingerprint dedup collapses word-order permutations") {

@@ -132,7 +132,8 @@ object SkylineOps {
      * execution shape as the skyline: partial candidate buffers map-side,
      * buffers-only shuffle, final merge ([[KSkybandAggExpr]]).
      */
-    def kSkyband(dims: Seq[(String, Direction)], k: Int): DataFrame = {
+    def kSkyband(dims: Seq[(String, Direction)], k: Int,
+        presort: Option[Boolean] = None): DataFrame = {
       require(dims.nonEmpty, "empty dimension list")
       require(k >= 1, s"k must be >= 1, got $k")
       val schema = df.schema
@@ -142,11 +143,25 @@ object SkylineOps {
       val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
       val projected = df.filter(nonNull)
         .select(fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+      // SFS presort, same d >= 5 heuristic as the skyline. For the band
+      // it pays twice: under score order an arriving point can dominate
+      // no incumbent (its score would have to be smaller), so inserts
+      // never run the eviction sweep, and a >= k-dominated point is
+      // rejected the moment it arrives — the candidate buffer stays near
+      // the true band, which also shrinks the O(|buf|^2) emission
+      // recount. Exactness is order-independent (see the core proof), so
+      // the presort is purely a pruning accelerator.
+      val pts = if (!presort.getOrElse(dims.length >= 5)) projected else {
+        val sfsScore = dims.indices
+          .map(i => if (minDir(i)) col(s"_d$i") else -col(s"_d$i"))
+          .reduce(_ + _)
+        projected.sortWithinPartitions(sfsScore.asc)
+      }
       val bandCol = ColumnShim.column(KSkybandAggExpr(
         dims.indices.map(i => ColumnShim.expression(col(s"_d$i"))), minDir, k,
         SkylineAggExpr.configuredCap(df.sparkSession))
         .toAggregateExpression())
-      projected.agg(bandCol.as("_band"))
+      pts.agg(bandCol.as("_band"))
         .select(explode(col("_band")).as("_e"))
         .select(dims.zip(types).zipWithIndex.map {
           case (((name, _), dt), i) =>
@@ -159,7 +174,7 @@ object SkylineOps {
       * counts WITHIN the group. Same shuffle shape as [[skylineBy]]:
       * only (key, candidate-buffer) pairs cross the wire. */
     def kSkybandBy(keyCols: Seq[String], dims: Seq[(String, Direction)],
-        k: Int): DataFrame = {
+        k: Int, presort: Option[Boolean] = None): DataFrame = {
       require(dims.nonEmpty, "empty dimension list")
       require(keyCols.nonEmpty, "kSkybandBy needs at least one key column (use kSkyband otherwise)")
       require(k >= 1, s"k must be >= 1, got $k")
@@ -174,11 +189,20 @@ object SkylineOps {
       val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
       val projected = df.filter(nonNull).select(
         keyCols.map(col) ++ fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+      // per-group SFS: one partition-local sort serves every group (a
+      // subsequence of a score-sorted partition is still score-sorted);
+      // see kSkyband for why score order accelerates band pruning
+      val pts = if (!presort.getOrElse(dims.length >= 5)) projected else {
+        val sfsScore = dims.indices
+          .map(i => if (minDir(i)) col(s"_d$i") else -col(s"_d$i"))
+          .reduce(_ + _)
+        projected.sortWithinPartitions(sfsScore.asc)
+      }
       val bandCol = ColumnShim.column(KSkybandAggExpr(
         dims.indices.map(i => ColumnShim.expression(col(s"_d$i"))), minDir, k,
         SkylineAggExpr.configuredCap(df.sparkSession))
         .toAggregateExpression())
-      projected.groupBy(keyCols.map(col): _*)
+      pts.groupBy(keyCols.map(col): _*)
         .agg(bandCol.as("_band"))
         .select(keyCols.map(col) :+ explode(col("_band")).as("_e"): _*)
         .select(keyCols.map(col) ++ dims.zip(types).zipWithIndex.map {

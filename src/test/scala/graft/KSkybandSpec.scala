@@ -3,6 +3,7 @@ package graft
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Direction.{Max, Min}
@@ -91,6 +92,39 @@ class KSkybandSpec extends AnyFunSuite {
         .map { case (p, c) => ((g, p(0), p(1)), c.toLong) }
     }.toSet
     assert(got == want && got.nonEmpty)
+  }
+
+  test("k-skyband buffer cap trips loudly when the band exceeds it, never silently") {
+    import spark.implicits._
+    // a perfect 2-D anti-chain: at k=2 every point is in the band
+    val df = (0 until 500).map(i => (i.toDouble, (500 - i).toDouble)).toDF("x", "y")
+    val dims = Seq("x" -> Min, "y" -> Min)
+    spark.conf.set("spark.graft.skyline.maxBufferPoints", "50")
+    try {
+      val e = intercept[Exception] { df.kSkyband(dims, k = 2).collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("maxBufferPoints"), msgs)
+    } finally spark.conf.unset("spark.graft.skyline.maxBufferPoints")
+    // default cap: the same band computes (every point, zero/one dominators)
+    assert(df.kSkyband(dims, k = 2).count() == 500)
+  }
+
+  test("SFS presort on/off returns the identical band and counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(2000)((rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble,
+      rnd.nextInt(100).toDouble))
+    val df = rows.toDF("x", "y", "z").repartition(6).cache()
+    val dims = Seq("x" -> Min, "y" -> Max, "z" -> Min)
+    def run(ps: Boolean) = df.kSkyband(dims, k = 3, presort = Some(ps))
+      .collect().map(_.toSeq).toSet
+    assert(run(true) == run(false) && run(true).nonEmpty)
+    val grouped = df.withColumn("g", (col("x") < 50).cast("int"))
+    def runBy(ps: Boolean) = grouped.kSkybandBy(Seq("g"), dims, k = 3, presort = Some(ps))
+      .collect().map(_.toSeq).toSet
+    assert(runBy(true) == runBy(false) && runBy(true).nonEmpty)
+    df.unpersist()
   }
 
   test("df.kSkyband equals the pure core (distributed partial/merge path)") {

@@ -132,6 +132,27 @@ object SparkEntry {
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))),
+    "q_bloom_semijoin" -> ((s, dir) =>
+      // exact semi join, but the fact side first passes a bloom filter of
+      // the hot-order key set: at 100 TB non-matching lineitems drop at
+      // the scan and the join shuffles ~|matches|, not the table
+      PipelineOps.bloomSemiJoin(
+          t(s, dir, "lineitem"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))),
+    "q_bloom_anti" -> ((s, dir) =>
+      // blocklist subtraction: rows the bloom proves absent keep
+      // map-side; only the might-contain sliver enters the anti join
+      PipelineOps.bloomAntiJoin(
+          t(s, dir, "lineitem"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_price"))),
     "q_antijoin" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
@@ -278,6 +299,23 @@ object SparkEntry {
     "text_rollhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))),
+    "text_pii" -> ((s, dir) => {
+      // the synthetic corpus carries no natural PII, so append a
+      // deterministic contact block derived from doc_id — the redaction
+      // regexes are exercised end-to-end and the DuckDB oracle rebuilds
+      // the identical seeded text
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com ip 10.0."),
+          (col("doc_id") % 200).cast("string"),
+          lit(".7 ssn 123-45-6789 tel +14155550100")).as("seeded"))
+      seeded.select(
+        Seq(col("doc_id"),
+          TextFunctions.redactPii(col("seeded")).as("redacted")) ++
+        TextFunctions.piiCounts(col("seeded")).map {
+          case (n, c) => c.cast("long").as(n) }: _*)
+    }),
     "text_tokens_by_source" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -878,6 +916,22 @@ object SparkEntry {
         """SELECT c_custkey, c_name FROM customer c
           |WHERE EXISTS (SELECT 1 FROM orders o
           |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin,
+      "q_bloom_semijoin" ->
+        // the bloom pre-filter's contract IS the plain semi join
+        """SELECT l_returnflag, count(*) AS n_items,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
+          |FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+          |                     WHERE o_totalprice > 400000)
+          |GROUP BY l_returnflag""".stripMargin,
+      "q_bloom_anti" ->
+        // the bloom keep/settle split's contract IS the plain anti join
+        """SELECT l_linestatus, count(*) AS n_items,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
+          |FROM lineitem
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000)
+          |GROUP BY l_linestatus""".stripMargin,
       "q_antijoin" ->
         """SELECT c_custkey, c_name FROM customer c
           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
@@ -1016,6 +1070,30 @@ object SparkEntry {
           |    list_transform(string_split(text, ''), x -> ascii(x)::BIGINT)),
           |    (a, b) -> (a * 131 + b) % 1000000007) AS rh
           |FROM documents""".stripMargin,
+      "text_pii" ->
+        // same seeded text, same patterns, same application order; RE2
+        // and Java regex agree on these ASCII-class, lookaround-free
+        // patterns ('g' = replace all, Spark's default)
+        """WITH seeded AS (
+          |  SELECT doc_id,
+          |    text || ' contact u' || doc_id::VARCHAR || '@mail.example.com ip 10.0.'
+          |      || (doc_id % 200)::VARCHAR || '.7 ssn 123-45-6789 tel +14155550100' AS seeded
+          |  FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(seeded,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+          |    '\+\d{7,15}\b', '<PHONE>', 'g') AS redacted,
+          |  len(regexp_extract_all(seeded,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+          |  len(regexp_extract_all(seeded,
+          |    '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+          |  len(regexp_extract_all(seeded,
+          |    '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ids,
+          |  len(regexp_extract_all(seeded,
+          |    '\+\d{7,15}\b'))::BIGINT AS n_phones
+          |FROM seeded""".stripMargin,
       "text_tokens_by_source" ->
         s"""SELECT source, count(*) AS n_docs,
            |  sum(len(t.toks))::BIGINT AS total_tokens,

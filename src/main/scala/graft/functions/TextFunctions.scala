@@ -120,4 +120,41 @@ object TextFunctions {
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, c) => (acc * lit(131L) + c) % lit(1000000007L))
+
+  /** PII patterns, ordered: each is applied AFTER the previous one's
+    * replacement, so e.g. the digits of an already-redacted IP can't
+    * re-match as a phone number. Patterns are deliberately conservative
+    * and engine-portable (identical semantics in Java regex and RE2 —
+    * ASCII classes, no lookaround, no backreferences) so a DuckDB/Trino
+    * audit job can reproduce the redaction bit-for-bit:
+    *   email    -> <EMAIL>
+    *   IPv4     -> <IP>     (word-bounded dotted quad)
+    *   SSN-like -> <ID>     (ddd-dd-dddd, word-bounded)
+    *   phone    -> <PHONE>  (international +digits form only; bare
+    *                         national formats collide with ordinary
+    *                         numbers and are a policy choice, not a
+    *                         default) */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<ID>",
+    "\\+\\d{7,15}\\b" -> "<PHONE>")
+
+  /** Redact PII in place: [[piiPatterns]] applied in order as chained
+    * `regexp_replace` — one projection, whole-stage codegen, no UDF.
+    * At 100 TB this is a map-only pass; the scan's pushed projection
+    * reads only the text column. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, token)) =>
+      regexp_replace(acc, pat, token)
+    }
+
+  /** Per-pattern PII hit counts on the ORIGINAL text (each pattern
+    * counted independently, before any replacement): columns
+    * `n_emails, n_ipv4, n_ids, n_phones` — the audit row that decides
+    * whether a document needs redaction at all. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    Seq("n_emails", "n_ipv4", "n_ids", "n_phones").zip(piiPatterns).map {
+      case (name, (pat, _)) => name -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
 }

@@ -1,8 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.BinaryType
 
 /**
  * Training-data pipeline operators beyond dedup/similarity: reproducible
@@ -382,5 +386,110 @@ object PipelineOps {
         largest = false).as("_kept"))
       .select(col(groupCol), explode(col("_kept")).as("_e"))
       .select(col(groupCol), col("_e.id").cast(idType).as(idCol))
+  }
+
+  /**
+   * Exact left-semi join with a bloom-filter pre-filter on the big side:
+   * the result is EXACTLY `big.join(small, bigKey === smallKey,
+   * "left_semi")`, but `big` is first filtered through a bloom filter of
+   * the small side's keys, so rows that cannot match never enter the
+   * join's shuffle. The bloom has no false negatives (every true match
+   * survives the pre-filter) and the semi join removes its false
+   * positives — exactness does not depend on `fpp`.
+   *
+   * Why this exists when Spark has runtime row-level filtering
+   * (`spark.sql.optimizer.runtime.bloomFilter.*`): the built-in
+   * `InjectRuntimeFilter` only fires when stats-based thresholds line up
+   * (creation-side size estimate, selectivity heuristics) and silently
+   * does nothing otherwise — on a 100 TB fact scan whose dim side is too
+   * big to broadcast-hash-join but whose KEY SET fits a few MB of bloom
+   * bits, this operator makes the filter deterministic and caller-sized.
+   * The shape is the standard one: one pass over `small` builds the
+   * filter (distributed partial blooms, bitwise-OR merge), the bits ship
+   * to the big-side scan as a plan literal, and the scan-side test is a
+   * codegen'd `might_contain` on `xxhash64(key)` — cheap enough to sit
+   * inside the fact table's WholeStageCodegen span.
+   *
+   * Sizing: `expectedItems` defaults to `small.count()` (one cheap extra
+   * job; pass the known key cardinality to skip it). Optimal bit count
+   * for the target `fpp` is capped at `maxNumBits` — default 2^26 bits =
+   * 8 MB, matching Spark's own runtime-filter ceiling (the aggregate
+   * additionally clamps to the session's
+   * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`/`maxNumItems`,
+   * so raising the cap past the conf requires raising the conf too). The
+   * bits ride the serialized plan to every task, hence broadcast-sized.
+   * Past the cap the realized false-positive rate degrades gracefully
+   * and only pre-filter EFFICIENCY suffers, never correctness. Null keys
+   * never match an equi-join, so both sides drop them up front.
+   */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Long = 0L, fpp: Double = 0.03,
+      maxNumBits: Long = 1L << 26): DataFrame =
+    bloomOf(small, smallKey, xxhash64(big(bigKey)),
+        expectedItems, fpp, maxNumBits) match {
+      case None => big.filter(lit(false)) // no keys -> empty semi join
+      case Some(mightContain) =>
+        big.filter(big(bigKey).isNotNull && mightContain)
+          .join(small, big(bigKey) === small(smallKey), "left_semi")
+    }
+
+  /**
+   * Exact left-anti join against a large blocklist — the
+   * training-pipeline "remove every document whose key appears in the
+   * removal list" shape when the list is broadcast-too-big. The result
+   * is EXACTLY `big.join(small, bigKey === smallKey, "left_anti")`, but
+   * rows the bloom proves ABSENT from the blocklist (no false negatives
+   * — most of a 100 TB corpus, for any sane blocklist) are kept
+   * map-side without entering any join; only the might-contain sliver
+   * (true blocks + fpp of the rest) shuffles into the real anti join,
+   * which settles the false positives.
+   *
+   * Cost shape: TWO pruned scans of `big` (the keep branch and the
+   * maybe branch partition it exactly) instead of ONE scan + a
+   * full-table shuffle — at wide-row 100 TB the shuffle is the
+   * expensive half, and both scans push the same pruned columns. When
+   * `small` broadcasts comfortably, prefer the plain anti join (zero
+   * shuffle, one scan); this operator is for the blocklist that fits
+   * megabytes of bloom bits but not a broadcast hash table. Null big
+   * keys match nothing in an anti join, so they are kept outright;
+   * sizing and caps as in [[bloomSemiJoin]].
+   */
+  def bloomAntiJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Long = 0L, fpp: Double = 0.03,
+      maxNumBits: Long = 1L << 26): DataFrame =
+    bloomOf(small, smallKey, xxhash64(big(bigKey)),
+        expectedItems, fpp, maxNumBits) match {
+      case None => big // empty blocklist removes nothing
+      case Some(mightContain) =>
+        val definiteKeep = big.filter(big(bigKey).isNull || !mightContain)
+        val settled = big.filter(big(bigKey).isNotNull && mightContain)
+          .join(small, big(bigKey) === small(smallKey), "left_anti")
+        definiteKeep.union(settled)
+    }
+
+  /** Build the bloom bits over `small`'s non-null `smallKey` set (one
+    * distributed aggregation, partial blooms OR-merged) and return the
+    * might-contain predicate for `probe`, or None when the key set is
+    * empty. The bits are embedded as a plan literal — broadcast-sized by
+    * the `maxNumBits` cap. */
+  private def bloomOf(small: DataFrame, smallKey: String, probe: Column,
+      expectedItems: Long, fpp: Double, maxNumBits: Long): Option[Column] = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    require(maxNumBits >= 64, s"maxNumBits must be >= 64, got $maxNumBits")
+    val keys = small.select(col(smallKey)).filter(col(smallKey).isNotNull)
+    val n = if (expectedItems > 0) expectedItems else keys.count()
+    if (n == 0) return None
+    // m = -n ln(p) / (ln 2)^2, the textbook optimum, then the plan-size cap
+    val optimalBits = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.max(64L, math.min(optimalBits, maxNumBits))
+    val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
+      ColumnShim.expression(xxhash64(col(smallKey))),
+      Literal(n), Literal(numBits)).toAggregateExpression())
+    val bytes = keys.agg(bloomAgg.as("_bf")).head().getAs[Array[Byte]](0)
+    if (bytes == null) None // defensive: empty agg yields null bits
+    else Some(ColumnShim.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), ColumnShim.expression(probe))))
   }
 }

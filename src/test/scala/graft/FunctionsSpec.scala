@@ -286,4 +286,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(1), "exact-dim vector must evaluate")
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1), "long vector must null out")
   }
+
+  test("redactPii replaces each pattern class and piiCounts audits the original") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b+c@sub.example.org and d@e.io, ip 10.0.0.1, ssn 123-45-6789, tel +14155550100.",
+      "no pii here, just words and the number 42",
+      "edge: 999.999.999.999 is still dotted-quad shaped; 1.2.3.4.5 has a quad prefix"
+    ).toDF("text")
+    val got = df.select(
+      (Seq(TextFunctions.redactPii(col("text")).as("r")) ++
+        TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }): _*)
+      .collect()
+    assert(got(0).getString(0) ==
+      "mail <EMAIL> and <EMAIL>, ip <IP>, ssn <ID>, tel <PHONE>.")
+    assert(Seq(1, 2, 3, 4).map(got(0).getInt) == Seq(2, 1, 1, 1))
+    assert(got(1).getString(0) == "no pii here, just words and the number 42")
+    assert(Seq(1, 2, 3, 4).map(got(1).getInt) == Seq(0, 0, 0, 0))
+    // the pattern is shape-based (no 0-255 octet check) by design, and
+    // "1.2.3.4.5" — \b holds at the '.' after the 4th octet, so the quad
+    // prefix redacts; both engines agree because the regexes are identical
+    assert(got(2).getString(0) ==
+      "edge: <IP> is still dotted-quad shaped; <IP>.5 has a quad prefix")
+  }
+
+  test("redaction order prevents token re-matching across classes") {
+    import spark.implicits._
+    // an IP's digits must not resurface as a phone match after
+    // redaction, and an email containing a dotted quad in its local
+    // part redacts as ONE email, not email-then-ip
+    val df = Seq("ip+1.2.3.4@x.yz then 5.6.7.8").toDF("text")
+    val got = df.select(TextFunctions.redactPii(col("text"))).head().getString(0)
+    assert(got == "<EMAIL> then <IP>")
+  }
 }

@@ -191,4 +191,72 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(repartitioned == got, "survivors must not depend on partitioning")
   }
+
+  test("bloomSemiJoin equals the plain semi join, even under forced false positives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val big = (1 to 5000).map(i => (rnd.nextInt(800).toLong, i))
+      .toDF("k", "payload")
+      .union(Seq((-1L, -1)).toDF("k", "payload")
+        .select(lit(null).cast("long").as("k"), col("payload")))
+    val small = (1 to 300).map(_ => rnd.nextInt(1200).toLong).toDF("sk")
+      .union(Seq(Tuple1[java.lang.Long](null)).toDF("sk"))
+    val want = big.join(small, col("k") === col("sk"), "left_semi")
+      .collect().map(_.toSeq).toSet
+    val got = PipelineOps.bloomSemiJoin(big, small, "k", "sk")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // 64 bloom bits for ~300 keys: almost every probe is a false
+    // positive, and the trailing semi join must still remove them all
+    val fp = PipelineOps.bloomSemiJoin(big, small, "k", "sk", maxNumBits = 64)
+      .collect().map(_.toSeq).toSet
+    assert(fp == want, "false positives must never reach the result")
+    // pre-sized (caller-supplied cardinality) path
+    val sized = PipelineOps.bloomSemiJoin(big, small, "k", "sk",
+      expectedItems = 301).collect().map(_.toSeq).toSet
+    assert(sized == want)
+    // empty and all-null key sets -> empty result, big schema preserved
+    val empty = PipelineOps.bloomSemiJoin(big, small.filter(lit(false)), "k", "sk")
+    assert(empty.count() == 0 && empty.columns.sameElements(big.columns))
+    val allNull = PipelineOps.bloomSemiJoin(
+      big, small.filter(col("sk").isNull), "k", "sk")
+    assert(allNull.count() == 0)
+  }
+
+  test("bloomAntiJoin equals the plain anti join: null keys kept, false positives settled") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val big = (1 to 5000).map(i => (rnd.nextInt(800).toLong, i))
+      .toDF("k", "payload")
+      .union(Seq((-1L, -1)).toDF("k", "payload")
+        .select(lit(null).cast("long").as("k"), col("payload")))
+    val small = (1 to 300).map(_ => rnd.nextInt(1200).toLong).toDF("sk")
+      .union(Seq(Tuple1[java.lang.Long](null)).toDF("sk"))
+    val want = big.join(small, col("k") === col("sk"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    val got = PipelineOps.bloomAntiJoin(big, small, "k", "sk")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    assert(want.exists(_.head == null), "the null-key row must survive the anti join")
+    // 64 bloom bits: nearly everything is a might-contain false positive
+    // and must be settled by the real anti join, not dropped
+    val fp = PipelineOps.bloomAntiJoin(big, small, "k", "sk", maxNumBits = 64)
+      .collect().map(_.toSeq).toSet
+    assert(fp == want, "false positives must be settled, never dropped")
+    // empty blocklist removes nothing
+    val none = PipelineOps.bloomAntiJoin(big, small.filter(lit(false)), "k", "sk")
+    assert(none.count() == big.count())
+  }
+
+  test("bloomSemiJoin plan: might_contain filters the big side below the join") {
+    // parquet scans, not local relations — Catalyst constant-folds a
+    // filter over a LocalRelation away, which would hide the assertion
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val hot = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_totalprice") > 400000)
+    val plan = PipelineOps.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a bloom might_contain pre-filter in the plan:\n$plan")
+  }
 }

@@ -316,6 +316,14 @@ object SparkEntry {
         TextFunctions.piiCounts(col("seeded")).map {
           case (n, c) => c.cast("long").as(n) }: _*)
     }),
+    "text_entropy" -> ((s, dir) =>
+      // byte-entropy quality kernel (ByteEntropy, one codegen map-side
+      // pass, no shuffle); rounded to 4 decimals for the cross-engine
+      // compare — both engines evaluate the identical per-doc fold, the
+      // rounding absorbs sub-ulp ln() jitter between libm and the JVM
+      t(s, dir, "documents").select(col("doc_id"),
+        round(graft.functions.EntropyFunctions.byteEntropy(col("text")), 4)
+          .as("entropy"))),
     "text_tokens_by_source" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -583,6 +591,12 @@ object SparkEntry {
       // shared segments exist at sf0.01 — near-dup pairs share runs)
       PipelineOps.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
         segmentTokens = 10, minDocFreq = 2)),
+    "q_seg_dedup" -> ((s, dir) =>
+      // C4-style first-occurrence segment dedup (the complement of
+      // q_boilerplate's frequency strip): every repeated 10-token
+      // segment survives only at its (doc_id, position)-first copy
+      PipelineOps.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
+        segmentTokens = 10)),
 
     // ----- temporal joins (as-of + bucketed range join) -----------------
     "q_asof" -> ((s, dir) => {
@@ -715,6 +729,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("sum_value"))
       graft.streaming.SkylineStreaming.runOnce(agg, "stream_enrich_mem",
+        statePartitions = Some(8))
+    }),
+    "stream_blocklist" -> ((s, dir) => {
+      // streaming blocklist removal: the bloom bits build ONCE on the
+      // static side and apply as a stateless map-side filter per
+      // micro-batch; only the might-contain sliver enters the
+      // stream-static left_anti join that settles false positives —
+      // exact at any fpp. Complete-mode drain == the batch NOT EXISTS.
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val blocked = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("blocked_id"))
+      val clean = PipelineOps.bloomAntiJoin(stream, blocked, "user_id", "blocked_id")
+      val agg = clean.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("sum_value"))
+      graft.streaming.SkylineStreaming.runOnce(agg, "stream_blocklist_mem",
         statePartitions = Some(8))
     }),
     "stream_join_attrib" -> ((s, dir) => {
@@ -1094,6 +1127,21 @@ object SparkEntry {
           |  len(regexp_extract_all(seeded,
           |    '\+\d{7,15}\b'))::BIGINT AS n_phones
           |FROM seeded""".stripMargin,
+      "text_entropy" ->
+        // identical per-doc fold: -sum(p ln p)/ln 2 over the byte (==
+        // char: corpus is ASCII) histogram; round(4) on both sides
+        """WITH chars AS (
+          |  SELECT doc_id, substring(text, i, 1) AS ch
+          |  FROM documents, unnest(generate_series(1, len(text))) AS g(i)),
+          |freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+          |ent AS (SELECT doc_id,
+          |          round(sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) / ln(2), 4)
+          |            AS entropy
+          |        FROM (SELECT doc_id, c,
+          |                sum(c) OVER (PARTITION BY doc_id) AS n FROM freq)
+          |        GROUP BY doc_id)
+          |SELECT d.doc_id, e.entropy
+          |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin,
       "text_tokens_by_source" ->
         s"""SELECT source, count(*) AS n_docs,
            |  sum(len(t.toks))::BIGINT AS total_tokens,
@@ -1339,6 +1387,27 @@ object SparkEntry {
            |  coalesce(agg.n_kept, 0) AS n_kept_segments,
            |  tot.nseg - coalesce(agg.n_kept, 0) AS n_removed_segments
            |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
+      "q_seg_dedup" ->
+        // first occurrence by (doc_id, position): row_number over the
+        // segment TEXT — the engine's xxhash64 grouping is exact modulo
+        // the documented 2^-64 collision trade
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |segs AS (SELECT doc_id, s,
+           |           array_to_string(list_slice(tk, (s-1)*10+1, s*10), ' ') AS seg
+           |         FROM t, unnest(generate_series(1, (len(tk)+9)//10)) AS g(s)),
+           |kept AS (SELECT doc_id, s, seg FROM (
+           |           SELECT doc_id, s, seg,
+           |             row_number() OVER (PARTITION BY seg
+           |               ORDER BY doc_id, s) AS rn
+           |           FROM segs)
+           |         WHERE rn = 1),
+           |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY s) AS clean_text,
+           |          count(*) AS n_kept FROM kept GROUP BY doc_id),
+           |tot AS (SELECT doc_id, (len(tk)+9)//10 AS nseg FROM t)
+           |SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+           |  coalesce(agg.n_kept, 0) AS n_kept_segments,
+           |  tot.nseg - coalesce(agg.n_kept, 0) AS n_removed_segments
+           |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
       "q_salted_join" ->
         // the salted join's contract IS the plain equi-join
         """SELECT c_mktsegment, count(*) AS n_orders,
@@ -1367,6 +1436,15 @@ object SparkEntry {
           |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
           |FROM events JOIN customer ON user_id = c_custkey
           |GROUP BY c_mktsegment""".stripMargin,
+      "stream_blocklist" ->
+        // NOT EXISTS == left_anti (incl. null-key rows kept); the bloom
+        // pre-filter is exact-by-construction so it has no oracle trace
+        """SELECT event_type, count(*) AS n_events,
+          |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+          |FROM events e
+          |WHERE NOT EXISTS (SELECT 1 FROM customer c
+          |  WHERE c.c_mktsegment = 'MACHINERY' AND c.c_custkey = e.user_id)
+          |GROUP BY event_type""".stripMargin,
       "stream_join_attrib" ->
         // inner interval matches emit eagerly, so the bounded drain of the
         // stream-stream join equals this batch join (both sides micro

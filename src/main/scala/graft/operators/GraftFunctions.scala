@@ -126,6 +126,8 @@ object GraftFunctions {
     "graft_sorted_intersect_count" ->
       arity("graft_sorted_intersect_count", 2)(
         exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1))),
+    "byte_entropy" ->
+      arity("byte_entropy", 1)(exprs => graft.functions.ByteEntropy(exprs.head)),
     "vector_avg" ->
       arity("vector_avg", 1)(
         exprs => VectorAvgAggExpr(exprs.head).toAggregateExpression()),

@@ -196,6 +196,64 @@ object PipelineOps {
   }
 
   /**
+   * C4-style corpus-wide segment deduplication: split every document
+   * into consecutive `segmentTokens`-token segments and keep each
+   * distinct segment's FIRST occurrence only — ordered by (`idCol`,
+   * segment index) — removing every later occurrence, across documents
+   * AND within one (C4 does this at the three-sentence-span level;
+   * token windows are this corpus's analog, same trade as
+   * [[stripBoilerplate]]'s segmenter). Complements [[stripBoilerplate]]:
+   * that removes segments frequent across MANY docs everywhere,
+   * this keeps one canonical copy of ANY repeat. Output per input row:
+   * (`idCol`, clean_text, n_kept_segments, n_removed_segments).
+   *
+   * Scale shape: the first-occurrence winner per segment comes from
+   * `min(struct(id, seg_idx))` under a groupBy on the segment hash —
+   * a partial/final aggregate with map-side combine, so a segment
+   * duplicated a billion times costs its holder ONE row into the
+   * shuffle per map task (a `row_number() over (partition by segment)`
+   * window would funnel all of them through one task — windows don't
+   * pre-aggregate and AQE cannot split them). The winners table is
+   * distinct-segment-sized (NOT broadcastable at corpus scale), so it
+   * shuffle-joins back on the hash — equi-join, AQE-skew-splittable —
+   * and reassembly is one groupBy on the doc id. Segment equality is
+   * by xxhash64, the same 2^-64-per-pair collision trade (and the same
+   * loud-alias contract) as [[stripBoilerplate]].
+   */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segmentTokens: Int): DataFrame = {
+    require(segmentTokens > 0, s"segmentTokens must be positive, got $segmentTokens")
+    val internal = Seq("_toks", "_nseg", "_s", "_seg", "_h", "_first")
+    require(!internal.contains(idCol),
+      s"idCol '$idCol' collides with an internal alias of dedupSegments")
+    val k = segmentTokens
+    val segs = df
+      .select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("_nseg", ((size(col("_toks")) + (k - 1)) / k).cast("int"))
+      .withColumn("_s", explode(when(col("_nseg") > 0,
+        sequence(lit(0), col("_nseg") - 1)).otherwise(array(lit(-1)))))
+      .select(col(idCol), col("_s"),
+        when(col("_s") >= 0,
+          concat_ws(" ", slice(col("_toks"), col("_s") * k + 1, lit(k)))).as("_seg"))
+      .withColumn("_h", when(col("_s") >= 0, xxhash64(col("_seg"))))
+    val firsts = segs.filter(col("_s") >= 0)
+      .groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("_s"))).as("_first"))
+    val keep = col("_s") >= 0 &&
+      col("_first")(idCol) === col(idCol) && col("_first")("_s") === col("_s")
+    segs
+      .join(firsts, Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(keep, struct(col("_s"), col("_seg"))))),
+          x => x.getField("_seg")), " ").as("clean_text"),
+        sum(keep.cast("long")).as("n_kept_segments"),
+        (sum((col("_s") >= 0).cast("long")) - sum(keep.cast("long")))
+          .as("n_removed_segments"))
+  }
+
+  /**
    * TF-IDF keyword extraction: the `topPerDoc` highest-scoring tokens
    * per document, `score = tf * (ln((N+1)/(df+1)) + 1)` (smoothed idf,
    * sklearn's form). Output: (`idCol`, token, tf, df, rank, score).

@@ -319,4 +319,38 @@ class FunctionsSpec extends AnyFunSuite {
     val got = df.select(TextFunctions.redactPii(col("text"))).head().getString(0)
     assert(got == "<EMAIL> then <IP>")
   }
+
+  test("ByteEntropy: exact closed-form values, reference parity, empty/null, SQL") {
+    import spark.implicits._
+    import graft.functions.EntropyFunctions.byteEntropy
+    // power-of-two uniform distributions have exact binary entropies
+    val df = Seq(Option("aaaa"), Option("abab"), Option("abcd"),
+      Option(""), Option.empty[String]).toDF("t")
+    val got = df.select(byteEntropy(col("t"))).collect()
+    assert(got(0).getDouble(0) == 0.0 && got(1).getDouble(0) == 1.0 &&
+      got(2).getDouble(0) == 2.0)
+    assert(got(3).isNullAt(0), "empty string has no distribution")
+    assert(got(4).isNullAt(0), "null propagates")
+    // codegen path == interpreted eval == independent reference fold
+    def ref(s: String): Double = {
+      val bs = s.getBytes("UTF-8")
+      var h = 0.0
+      // ascending byte order, matching the kernel's determinism contract
+      (0 until 256).foreach { b =>
+        val c = bs.count(x => (x & 0xff) == b)
+        if (c > 0) { val p = c.toDouble / bs.length; h -= p * math.log(p) }
+      }
+      h / math.log(2.0)
+    }
+    val sample = "the quick brown fox 0123 jumps!! over the lazy dog"
+    val viaDf = Seq(sample).toDF("t").select(byteEntropy(col("t"))).head().getDouble(0)
+    val viaEval = graft.functions.ByteEntropy(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sample)))
+      .eval(null).asInstanceOf[Double]
+    assert(viaDf == ref(sample) && viaEval == ref(sample))
+    // SQL surface
+    graft.operators.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT byte_entropy('abcd') AS e").head().getDouble(0) == 2.0)
+  }
 }

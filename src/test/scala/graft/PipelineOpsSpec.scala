@@ -124,6 +124,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSegments keeps only the corpus-first occurrence of each segment") {
+    import spark.implicits._
+    // segment size 2: "b1 b2" appears in docs 1,2,3 — survives only at its
+    // (doc_id, position)-first copy in doc 1; "u1 u2" repeats WITHIN doc 4,
+    // so its second copy drops too (the within-doc case stripBoilerplate
+    // deliberately keeps); doc 5 loses its only segment; doc 6 is empty
+    val docs = Seq(
+      (1L, "a1 a2 b1 b2 c1 c2"),
+      (2L, "b1 b2 d1 d2"),
+      (3L, "e1 e2 b1 b2"),
+      (4L, "u1 u2 u1 u2 f1"),
+      (5L, "b1 b2"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = PipelineOps.dedupSegments(docs, "doc_id", "text", segmentTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a1 a2 b1 b2 c1 c2", 3L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == (("d1 d2", 1L, 1L)))
+    assert(out(3L) == (("e1 e2", 1L, 1L)))
+    assert(out(4L) == (("u1 u2 f1", 2L, 1L)), "within-doc repeat deduped")
+    assert(out(5L) == (("", 0L, 1L)), "doc of only-repeats stays, empty")
+    assert(out(6L) == (("", 0L, 0L)), "empty doc stays")
+    intercept[IllegalArgumentException] {
+      PipelineOps.dedupSegments(docs, "_s", "text", 2)
+    }
+  }
+
   test("SQL surface: topk_agg ranks per group like the Column API") {
     import spark.implicits._
     graft.operators.GraftFunctions.register(spark)

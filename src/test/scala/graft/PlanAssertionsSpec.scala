@@ -58,4 +58,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(topk.contains("partial_topk_agg"),
       s"top-k heap must aggregate map-side first:\n$topk")
   }
+
+  test("q_seg_dedup picks first occurrences with a partial min-aggregate, never a window") {
+    // the scale claim: a billion-fold repeated segment must pre-combine
+    // map-side (partial min(struct)) instead of funnelling every copy
+    // through one window-partition task
+    val p = plan("q_seg_dedup")
+    assert(!p.contains("Window"), s"no window over segments allowed:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("min")),
+      s"first-occurrence pick must be a partial-able min aggregate:\n$p")
+  }
 }

@@ -499,6 +499,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("bloomAntiJoin stream-static: bounded drain equals the batch anti join") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val blocked = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey").as("blocked_id"))
+    val clean = graft.operators.PipelineOps.bloomAntiJoin(
+      stream, blocked, "user_id", "blocked_id")
+    val got = SkylineStreaming.runOnce(clean, "blk_parity", outputMode = "append")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val want = ev.join(blocked, ev("user_id") === blocked("blocked_id"), "left_anti")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty, "drain == batch anti join")
+    assert(got.size < ev.count(), "the blocklist actually removed events")
+  }
+
   test("intervalJoin left_outer: null-padded rows emit only after the watermark closes the window") {
     import java.nio.file.Files
     val lDir = Files.createTempDirectory("graft-ssjl-l").toFile

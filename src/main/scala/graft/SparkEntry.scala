@@ -597,6 +597,20 @@ object SparkEntry {
       // segment survives only at its (doc_id, position)-first copy
       PipelineOps.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
         segmentTokens = 10)),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // incremental-refresh planning: the "previous" snapshot derives
+      // deterministically from the current corpus — the id%10==0 slice
+      // is missing from it (-> added), id%7==0 carries older text
+      // (-> changed), and a shifted id%13 slice exists only there
+      // (-> removed); the oracle rebuilds the identical snapshot
+      val cur = t(s, dir, "documents")
+      val prev = cur.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        .unionByName(cur.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      PipelineOps.snapshotDiff(prev, cur, "doc_id", "text")
+    }),
 
     // ----- temporal joins (as-of + bucketed range join) -----------------
     "q_asof" -> ((s, dir) => {
@@ -1408,6 +1422,25 @@ object SparkEntry {
            |  coalesce(agg.n_kept, 0) AS n_kept_segments,
            |  tot.nseg - coalesce(agg.n_kept, 0) AS n_removed_segments
            |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
+      "q_snapshot_diff" ->
+        // text compared directly (the engine's xxhash64 content
+        // fingerprint is exact modulo the documented 2^-64 trade)
+        """WITH prev AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 10 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 13 = 0),
+          |j AS (SELECT c.doc_id AS cid, p.doc_id AS pid,
+          |        c.text AS ct, p.text AS pt
+          |      FROM documents c FULL OUTER JOIN prev p
+          |        ON c.doc_id = p.doc_id)
+          |SELECT coalesce(cid, pid) AS doc_id,
+          |  CASE WHEN pid IS NULL THEN 'added'
+          |       WHEN cid IS NULL THEN 'removed'
+          |       WHEN ct <> pt THEN 'changed' ELSE 'unchanged' END AS status
+          |FROM j""".stripMargin,
       "q_salted_join" ->
         // the salted join's contract IS the plain equi-join
         """SELECT c_mktsegment, count(*) AS n_orders,

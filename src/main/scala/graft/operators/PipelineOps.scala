@@ -447,6 +447,37 @@ object PipelineOps {
   }
 
   /**
+   * Incremental-corpus snapshot diff: classify every document id across
+   * two corpus snapshots as `added` (only in `current`), `removed`
+   * (only in `previous`), `changed` (in both, content differs) or
+   * `unchanged` — the refresh-planning primitive of an incremental
+   * training-data pipeline (re-process only `added`+`changed`, retire
+   * `removed` from the index).
+   *
+   * Scale shape: both sides project to (id, xxhash64(content)) BEFORE
+   * the full-outer join, so the shuffle ships 16 bytes per doc instead
+   * of document bodies — at 100 TB the join is two column-pruned scans
+   * plus an id-keyed exchange of ~nothing. Content equality is by
+   * xxhash64 (the same 2^-64-per-pair collision trade as the segment
+   * pipelines: a collision misclassifies one changed doc as unchanged).
+   * Output: (`idCol`, status).
+   */
+  def snapshotDiff(previous: DataFrame, current: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val prev = previous.select(col(idCol).as("_pid"),
+      xxhash64(col(contentCol)).as("_ph"))
+    val cur = current.select(col(idCol).as("_cid"),
+      xxhash64(col(contentCol)).as("_ch"))
+    prev.join(cur, col("_pid") === col("_cid"), "full_outer")
+      .select(
+        coalesce(col("_cid"), col("_pid")).as(idCol),
+        when(col("_pid").isNull, "added")
+          .when(col("_cid").isNull, "removed")
+          .when(col("_ph") =!= col("_ch"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /**
    * Exact left-semi join with a bloom-filter pre-filter on the big side:
    * the result is EXACTLY `big.join(small, bigKey === smallKey,
    * "left_semi")`, but `big` is first filtered through a bloom filter of

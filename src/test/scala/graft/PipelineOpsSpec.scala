@@ -150,6 +150,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val prev = Seq((1L, "same"), (2L, "old text"), (4L, "gone")).toDF("id", "body")
+    val cur = Seq((1L, "same"), (2L, "new text"), (3L, "fresh")).toDF("id", "body")
+    val got = PipelineOps.snapshotDiff(prev, cur, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "added", 4L -> "removed"), s"got $got")
+  }
+
   test("SQL surface: topk_agg ranks per group like the Column API") {
     import spark.implicits._
     graft.operators.GraftFunctions.register(spark)

@@ -385,6 +385,13 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+    "dedup_editdist" -> ((s, dir) =>
+      // fuzzy dedup phrased in edits: Jaccard candidates, Levenshtein
+      // verify (cast: Spark levenshtein is int, DuckDB's is bigint)
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, candidateThreshold = 0.5, maxDistance = 5)
+        .select(col("id1"), col("id2"), col("jaccard"),
+          col("edit_dist").cast("long").as("edit_dist"))),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_best" -> ((s, dir) => {
@@ -517,6 +524,12 @@ object SparkEntry {
       // identical across runs/engines — NOT df.sample's per-run reroll
       PipelineOps.hashSample(t(s, dir, "documents"), "doc_id", fraction = 0.2)
         .select(col("doc_id"), col("source"))),
+    "q_split_assign" -> ((s, dir) =>
+      // leakage-free train/val/test assignment: pure function of
+      // (doc_id, salt) — an id keeps its split as the corpus grows
+      PipelineOps.assignSplits(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
     "q_mix_sources" -> ((s, dir) =>
       // dataset mixing: per-source keep fractions (upsample some sources,
       // drop the rest), deterministic via the same md5 device
@@ -1219,6 +1232,13 @@ object SparkEntry {
       "dedup_jaccard" ->
         s"""WITH $jaccardCtes
            |SELECT id1, id2, jaccard FROM good""".stripMargin,
+      "dedup_editdist" ->
+        s"""WITH $jaccardCtes
+           |SELECT id1, id2, jaccard,
+           |  levenshtein(d1.text, d2.text) AS edit_dist
+           |FROM good JOIN documents d1 ON id1 = d1.doc_id
+           |          JOIN documents d2 ON id2 = d2.doc_id
+           |WHERE levenshtein(d1.text, d2.text) <= 5""".stripMargin,
       "dedup_cluster" ->
         // connected components over the qualifying pair graph via a
         // recursive reachability CTE; cluster id = min reachable doc id.
@@ -1328,6 +1348,16 @@ object SparkEntry {
           |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
           |    WHEN 'src2' THEN '40000000' ELSE '19999999' END
           |GROUP BY source""".stripMargin,
+      "q_split_assign" ->
+        // cumulative thresholds: 0.8 -> cccccccc, 0.9 -> e6666666;
+        // the last split is the catch-all
+        """SELECT doc_id,
+          |  CASE WHEN h < 'cccccccc' THEN 'train'
+          |       WHEN h < 'e6666666' THEN 'validation'
+          |       ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |        substr(md5(doc_id::VARCHAR || ':graft'), 1, 8) AS h
+          |      FROM documents)""".stripMargin,
       "q_chunks" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |s AS (SELECT doc_id, toks,

@@ -159,6 +159,44 @@ object Dedup {
   }
 
   /**
+   * Edit-distance verified near-dup pairs — the candidate-then-verify
+   * composition for fuzzy dedup when the retention policy is phrased in
+   * edits ("differ by at most k characters"), not set overlap: exact
+   * Jaccard candidates at `candidateThreshold` (the [[jaccardPairs]]
+   * AllPairs machinery, bounded and exact), then each surviving pair
+   * verified with true Levenshtein distance and kept at
+   * `<= maxDistance`. The contract is exactly "pairs with
+   * J >= candidateThreshold AND edit distance <= maxDistance" — the
+   * Jaccard stage is part of the semantics, not a recall heuristic
+   * (unconstrained edit-distance self-join is Ω(n²); a sound pure
+   * edit-distance blocking needs q-gram count filtering, which the
+   * Jaccard prefix filter approximates with the same shingle index).
+   *
+   * Scale shape: Levenshtein is O(|a|·|b|) per pair — the expensive
+   * verify runs ONLY on the qualifying-Jaccard sliver (tiny relative
+   * to the corpus). Both body lookups build on the BROADCAST pair side
+   * (first the bare pairs, then pairs+left-bodies, still sliver-sized),
+   * so the corpus' document bodies never enter a shuffle — the
+   * qualifying sliver must fit the broadcast bound; if a pathological
+   * corpus outgrows it, raise `candidateThreshold` (or drop the hints
+   * and take the shuffle). Output: (id1, id2, jaccard, edit_dist).
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, candidateThreshold: Double, maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val pairs = jaccardPairs(df, idCol, textCol, n, candidateThreshold)
+    val t1 = df.select(col(idCol).as("id1"), col(textCol).as("_t1"))
+    val t2 = df.select(col(idCol).as("id2"), col(textCol).as("_t2"))
+    val withLeft = t1.join(broadcast(pairs), "id1")
+    val out = t2.join(broadcast(withLeft), "id2")
+      .withColumn("edit_dist", levenshtein(col("_t1"), col("_t2")))
+      .filter(col("edit_dist") <= maxDistance)
+      .select(col("id1"), col("id2"), col("jaccard"), col("edit_dist"))
+    try materializeThenRelease(out)
+    finally pairs.unpersist(blocking = false)
+  }
+
+  /**
    * Near-duplicate CLUSTERS: connected components over the verified
    * near-dup pair graph, labeling every document with the smallest
    * doc id reachable from it — the canonical survivor of its cluster.

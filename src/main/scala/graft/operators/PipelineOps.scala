@@ -47,6 +47,47 @@ object PipelineOps {
     else df.filter(hashKey(col(keyCol), salt) < lit(hexThreshold(fraction)))
 
   /**
+   * Deterministic train/validation/test split assignment: every row
+   * maps to exactly ONE named split with probability proportional to
+   * its weight, as a pure function of (key, salt) — stable across
+   * runs, partitionings, cluster sizes, and engines (the same
+   * fixed-width md5-hex device as [[hashSample]], so an external
+   * system can reproduce the assignment row for row; a given id keeps
+   * its split even as the corpus around it grows, which is what makes
+   * incremental refreshes leakage-free: a train doc can never drift
+   * into test). Map-side only — one projection, no shuffle. Changing
+   * `salt` redraws all assignments independently. Output: `df`'s
+   * columns plus `split`.
+   */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(splits.forall(_._2 > 0.0),
+      s"split weights must be positive, got $splits")
+    val names = splits.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate split names in $names")
+    require(!df.columns.contains("split"),
+      "df already has a 'split' column; rename it first")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"split weights must sum to 1, got $total")
+    val h = hashKey(col(keyCol), salt)
+    // cumulative upper bounds for all but the last split; the last is
+    // the catch-all (immune to float rounding in the partial sums)
+    val cum = splits.init.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assignment =
+      if (splits.size == 1) lit(names.head)
+      else {
+        val first = when(h < lit(hexThreshold(cum.head)), names.head)
+        names.tail.init.zip(cum.tail).foldLeft(first) {
+          case (acc, (n, c)) => acc.when(h < lit(hexThreshold(c)), n)
+        }.otherwise(names.last)
+      }
+    df.withColumn("split", assignment)
+  }
+
+  /**
    * Deterministic stratified sampling — the dataset-mixing primitive: a
    * per-stratum keep fraction (e.g. upsample curated sources, downsample
    * crawl), applied with the same md5 device so mixes are reproducible.

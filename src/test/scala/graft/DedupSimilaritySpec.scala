@@ -28,6 +28,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("editDistancePairs: Levenshtein verify over Jaccard candidates matches a reference DP") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val curr = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        curr(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          curr(j) = math.min(math.min(prev(j) + 1, curr(j - 1) + 1), sub)
+        }
+        Array.copy(curr, 0, prev, 0, curr.length)
+      }
+      prev(b.length)
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cands = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = cands.filter { case (a, b) => lev(texts(a), texts(b)) <= 5 }
+      .map { case (a, b) => Seq(a, b, lev(texts(a), texts(b)).toLong) }.toSet
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        n = 3, candidateThreshold = 0.5, maxDistance = 5)
+      .select(col("id1"), col("id2"), col("edit_dist").cast("long"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty && want.size < cands.length,
+      "maxDistance must actually discriminate among candidates")
+  }
+
   test("simhash banded search is EXACT for hamming <= maxHamming (pigeonhole)") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

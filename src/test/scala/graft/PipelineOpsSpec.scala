@@ -150,6 +150,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("assignSplits: exhaustive, deterministic, proportional, leakage-free growth") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val got = PipelineOps.assignSplits(ids, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000, "every row assigned exactly one split")
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05 &&
+      math.abs(frac("validation") - 0.1) < 0.03 &&
+      math.abs(frac("test") - 0.1) < 0.03, s"got $frac")
+    // leakage-free growth: assignments are per-id pure — a larger corpus
+    // leaves existing ids' splits untouched
+    val small = PipelineOps.assignSplits((0L until 100L).toDF("id"), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (k, v) => got(k) == v })
+    // a different salt redraws; a single split is total
+    val redrawn = PipelineOps.assignSplits(ids, "id", splits, salt = "other")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redrawn != got)
+    assert(PipelineOps.assignSplits(ids, "id", Seq("all" -> 1.0))
+      .filter(col("split") === "all").count() == 2000)
+    intercept[IllegalArgumentException] {
+      PipelineOps.assignSplits(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps.assignSplits(ids, "id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val prev = Seq((1L, "same"), (2L, "old text"), (4L, "gone")).toDF("id", "body")

@@ -59,6 +59,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-k heap must aggregate map-side first:\n$topk")
   }
 
+  test("q_split_assign is map-side only: no exchange anywhere in the plan") {
+    val p = plan("q_split_assign")
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+  }
+
+  test("q_snapshot_diff shuffles (id, hash) projections, never document bodies") {
+    val p = plan("q_snapshot_diff")
+    // every Exchange block's input must be the 2-column (id, xxhash64)
+    // projection — bodies compared by hash, never shipped
+    val blocks = p.split("\n\n").filter(_.linesIterator.next().contains("Exchange"))
+    assert(blocks.nonEmpty, s"expected shuffle exchanges in:\n$p")
+    blocks.foreach { b =>
+      assert(!b.contains("text#"), s"an exchange carries document bodies:\n$b")
+    }
+    assert(p.contains("xxhash64"), s"content hash must be computed pre-shuffle:\n$p")
+  }
+
   test("q_seg_dedup picks first occurrences with a partial min-aggregate, never a window") {
     // the scale claim: a billion-fold repeated segment must pre-combine
     // map-side (partial min(struct)) instead of funnelling every copy

@@ -324,6 +324,10 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         round(graft.functions.EntropyFunctions.byteEntropy(col("text")), 4)
           .as("entropy"))),
+    "text_lm_score" -> ((s, dir) =>
+      // corpus-trained bigram cross-entropy (perplexity-style quality
+      // signal): low = common phrasing, high = rare transitions
+      PipelineOps.lmCrossEntropy(t(s, dir, "documents"), "doc_id", "text")),
     "text_tokens_by_source" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -1169,6 +1173,21 @@ object SparkEntry {
           |        GROUP BY doc_id)
           |SELECT d.doc_id, e.entropy
           |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin,
+      "text_lm_score" ->
+        // identical counts and per-bigram -ln(c/cp); round(4) absorbs
+        // the order-dependent per-doc double sum
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |b AS (SELECT doc_id, tk[i] AS p, tk[i+1] AS w
+           |      FROM t, unnest(generate_series(1, len(tk)-1)) AS g(i)
+           |      WHERE len(tk) >= 2),
+           |cb AS (SELECT p, w, count(*) AS c FROM b GROUP BY 1, 2),
+           |cp AS (SELECT p, sum(c) AS cp FROM cb GROUP BY 1),
+           |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+           |         round(sum(-ln(c::DOUBLE / cp)) / count(*), 4) AS xent
+           |       FROM b JOIN cb USING (p, w) JOIN cp USING (p)
+           |       GROUP BY b.doc_id)
+           |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.xent
+           |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
       "text_tokens_by_source" ->
         s"""SELECT source, count(*) AS n_docs,
            |  sum(len(t.toks))::BIGINT AS total_tokens,

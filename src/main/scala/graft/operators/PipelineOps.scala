@@ -488,6 +488,54 @@ object PipelineOps {
   }
 
   /**
+   * Corpus-trained bigram LM cross-entropy — the perplexity-style
+   * quality signal of CCNet-class pipelines, self-trained so no
+   * external model ships: score(doc) = -(1/n_bigrams) Σ ln P(w|prev)
+   * with P(w|prev) = c(prev,w) / c(prev,·) counted over THIS corpus.
+   * Low scores = phrasing the corpus has seen often (fluent/common);
+   * high scores = rare transitions (noise, gibberish, boilerplate
+   * concatenations). Output: (`idCol`, n_bigrams, xent) — xent rounded
+   * to 4 decimals (the per-doc sum is order-dependent double math;
+   * rounding makes it partitioning- and engine-stable, same trade as
+   * the byte-entropy kernel), null for docs with < 2 tokens.
+   *
+   * Scale shape: the bigram table explodes once; counts are two
+   * partial/final aggregates (map-side combine); the per-bigram NLL is
+   * derived on the VOCAB-sized count tables first (bigram-vocab join
+   * prev-vocab), so the corpus-sized exploded table takes exactly ONE
+   * equi-join against (prev, w, nll) — AQE-skew-splittable where a
+   * naive per-row join against both count tables would shuffle the
+   * corpus twice. Stopword-headed bigrams make hot keys; AQE splits
+   * them (joins are splittable; windows would not be).
+   */
+  def lmCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val internal = Seq("_toks", "_p", "_w", "_cb", "_cp", "_nll")
+    require(!internal.contains(idCol),
+      s"idCol '$idCol' collides with an internal alias of lmCrossEntropy")
+    val toks = df.select(col(idCol),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+    val bi = toks
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => struct(a.as("_p"), b.as("_w")))).as("_bi"))
+      .select(col(idCol), col("_bi._p").as("_p"), col("_bi._w").as("_w"))
+    val cb = bi.groupBy(col("_p"), col("_w")).agg(count(lit(1)).as("_cb"))
+    val cp = cb.groupBy(col("_p")).agg(sum(col("_cb")).as("_cp"))
+    val nll = cb.join(cp, Seq("_p")).select(col("_p"), col("_w"),
+      (-log(col("_cb").cast("double") / col("_cp"))).as("_nll"))
+    val scored = bi.join(nll, Seq("_p", "_w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_nll")) / count(lit(1)), 4).as("xent"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("xent"))
+  }
+
+  /**
    * Incremental-corpus snapshot diff: classify every document id across
    * two corpus snapshots as `added` (only in `current`), `removed`
    * (only in `previous`), `changed` (in both, content differs) or

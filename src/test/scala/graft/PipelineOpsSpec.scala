@@ -180,6 +180,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lmCrossEntropy: hand-computed bigram NLLs, short-doc null, count parity") {
+    import spark.implicits._
+    // corpus bigrams: (a,b) (b,c) from doc 1, (a,c) from doc 2 ->
+    // c(a,b)=c(b,c)=c(a,c)=1, c(a,.)=2, c(b,.)=1
+    // doc1 = (-ln(1/2) - ln(1/1)) / 2 = ln(2)/2; doc2 = -ln(1/2) = ln(2)
+    val docs = Seq((1L, "a b c"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val got = PipelineOps.lmCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    def r4(x: Double) = // Spark round() semantics: HALF_UP on BigDecimal
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L, Some(r4(math.log(2.0) / 2)))), s"got ${got(1L)}")
+    assert(got(2L) == ((1L, Some(r4(math.log(2.0))))), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, None)), "single-token doc has no bigrams")
+    intercept[IllegalArgumentException] {
+      PipelineOps.lmCrossEntropy(docs, "_p", "text")
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val prev = Seq((1L, "same"), (2L, "old text"), (4L, "gone")).toDF("id", "body")

@@ -40,32 +40,47 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      if (warmDir.nonEmpty) {
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
-        // the eager pair finders return persisted frames; drop them (and
-        // anything else the warmup pinned) so accumulated caches don't
-        // pressure the timed runs' execution memory across the suite
-        spark.catalog.clearCache()
+    // A failing query must NEVER bench as a (fast) number: round 5's
+    // testdata regeneration made 8 queries fail analysis in ~0.05-0.3 s
+    // and the old `catch -> -1L` recorded those as the round's "biggest
+    // improvements". A query that throws on ANY timed run reports "err".
+    val results: Map[String, Either[String, Double]] =
+      selected.map { case (name, fn) =>
+        if (warmDir.nonEmpty) {
+          try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+          // the eager pair finders return persisted frames; drop them (and
+          // anything else the warmup pinned) so accumulated caches don't
+          // pressure the timed runs' execution memory across the suite
+          spark.catalog.clearCache()
+        }
+        var failure: Option[Throwable] = None
+        val times = (1 to runs).iterator.takeWhile(_ => failure.isEmpty).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case e: Throwable => failure = Some(e) }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // timed pair finders pin caches too
+          elapsed
+        }.toVector
+        failure match {
+          case Some(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+            name -> Left("err")
+          case None => name -> Right(times.sorted.apply(times.size / 2))
+        }
       }
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // timed pair finders pin caches too
-        elapsed
-      }
-      name -> times.sorted.apply(times.size / 2)
-    }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + r3(v)
+      case (k, Left(tag)) => s"\"" + k + "\":\"" + tag + "\""
+    }.mkString("{", ",", "}")
+    val ok = results.values.collect { case Right(v) => v }
+    val total = r3(if (ok.nonEmpty) ok.sum else 0.0)
+    val nFailed = results.values.count(_.isLeft)
     // per-query map first, then the total as its own COMPACT FINAL line:
     // a log-tail truncation can eat the front of the long line, never the
     // short last one, so the headline number always parses.
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"n_queries":${results.size},"n_failed":$nFailed}""")
     spark.stop()
   }
 }

@@ -9,6 +9,7 @@ import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
 import graft.operators._
 import graft.operators.SkylineOps._
+import graft.sources.EventTime
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,6 +28,13 @@ object SparkEntry {
 
   private def dec(c: String): org.apache.spark.sql.Column =
     col(c).cast("decimal(18,2)")
+
+  /** events with `ts` normalized to nanos-since-epoch longs regardless of
+    * the physical parquet encoding (legacy TIMESTAMP(NANOS)-as-long vs
+    * the regenerated timestamp[us]) — see [[graft.sources.EventTime]].
+    * Every ts-consuming query reads through this one choke point. */
+  private def eventsNs(spark: SparkSession, dir: String): DataFrame =
+    EventTime.withTsNanos(t(spark, dir, "events"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -174,9 +182,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => {
       // classic gap-based sessionization: a new session starts when the
       // gap to the previous event of the same user exceeds 30 minutes;
-      // ts is exact ns-since-epoch (long), so arithmetic matches DuckDB.
+      // ts is normalized to exact ns-since-epoch longs (eventsNs), so the
+      // integer arithmetic matches DuckDB's epoch_ns.
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      t(s, dir, "events")
+      eventsNs(s, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
@@ -213,9 +222,9 @@ object SparkEntry {
         .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
           percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"))),
     "q_events_hourly" -> ((s, dir) =>
-      // events.ts is TIMESTAMP(NANOS) surfaced as nanos-since-epoch long;
+      // events.ts normalized to nanos-since-epoch long (eventsNs);
       // bucket by integer hour for an engine-neutral window aggregation.
-      t(s, dir, "events")
+      eventsNs(s, dir)
         // integer `div`, not `/`: Column `/` promotes the ns-epoch long
         // (~1.8e18 > 2^53) to double, quantizing near hour boundaries.
         // NOTE Spark `div` truncates toward zero while DuckDB `//` floors;
@@ -251,7 +260,7 @@ object SparkEntry {
       // IEEE-identical
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-4, 0)
-      t(s, dir, "events")
+      eventsNs(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts"), dec("value").as("v"))
         .withColumn("mavg_value",
@@ -266,7 +275,7 @@ object SparkEntry {
       // distributed (sequence+explode over the 1-row bounds aggregate ×
       // distinct types) and left-joins the hourly rollup; every side is
       // post-aggregation small, so the grid join never touches raw rows.
-      val ev = t(s, dir, "events")
+      val ev = eventsNs(s, dir)
         .select(expr("ts div 3600000000000").as("h"), col("event_type"))
       // grid sides renamed: types and agg share the ev lineage, and
       // same-name columns across a self-derived join are ambiguous.
@@ -634,10 +643,10 @@ object SparkEntry {
       // point-in-time attribution: each purchase joined to the same
       // user's most recent at-or-before view/click. One shuffle on
       // user_id + a per-key time sort — never a nested-loop join.
-      val ev = t(s, dir, "events")
-      // output in micros (`div 1000`): DuckDB loads TIMESTAMP(NANOS)
-      // parquet at micro precision, and no two same-user events share a
-      // microsecond (verified both SFs), so the join order is identical
+      val ev = eventsNs(s, dir)
+      // output in micros (`div 1000`): both physical ts encodings carry
+      // micro precision, and no two same-user events share a microsecond
+      // (verified both SFs), so the join order is identical to DuckDB's
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           expr("ts div 1000").as("purchase_us"))
@@ -652,7 +661,7 @@ object SparkEntry {
       // +/-5-minute incident windows; purchases landing in each window
       // aggregate per window. Buckets (10-min `div`) turn the pure
       // range predicate into an equi-join — no BroadcastNestedLoop.
-      val ev = t(s, dir, "events")
+      val ev = eventsNs(s, dir)
       val windows = ev.filter(col("event_type") === "error")
         .groupBy(expr("ts div 60000000000").as("m"))
         .agg(count(lit(1)).as("n_err"))
@@ -683,12 +692,11 @@ object SparkEntry {
       // watermarked event-time windowed aggregation over the events
       // stream; a complete-mode drain emits every window, so the result
       // equals the batch hourly rollup and the DuckDB oracle gates it.
-      // ts is epoch-nanos long -> integer div to micros for a real
-      // TimestampType event-time column (double division would quantize).
+      // EventTime.withTsUtc derives the TimestampType event-time column
+      // from whichever physical ts encoding the parquet carries.
       val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val stream = EventTime.withTsUtc(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val agg = graft.streaming.EventStreams.windowedAgg(
         stream, "ts_utc", watermarkDelay = "1 hour", windowDuration = "1 hour",
         keyCols = Seq("event_type"),
@@ -711,9 +719,8 @@ object SparkEntry {
       // diff STRICTLY > gap — the exact boundary of the batch lag
       // formulation (asserted in StreamingSpec).
       val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val stream = EventTime.withTsUtc(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val sess = graft.streaming.EventStreams.sessionizeStream(
         stream, "ts_utc", watermarkDelay = "1 hour", gap = "30 minutes",
         keyCols = Seq("user_id"),
@@ -788,9 +795,8 @@ object SparkEntry {
       // the batch join — the DuckDB oracle gates it. Watermarks + the
       // range condition bound the join state on an unbounded run.
       val schema = t(s, dir, "events").schema
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      def src = EventTime.withTsUtc(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts_utc").as("p_ts"))
@@ -1530,7 +1536,7 @@ object SparkEntry {
       "stream_join_attrib" ->
         // inner interval matches emit eagerly, so the bounded drain of the
         // stream-stream join equals this batch join (both sides micro
-        // precision: Spark truncates ns->us, DuckDB loads ns parquet at us)
+        // precision whichever physical ts encoding the parquet carries)
         """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
           |           FROM events WHERE event_type = 'purchase'),
           |     v AS (SELECT event_id AS view_id, user_id AS vu, epoch_us(ts) AS vus

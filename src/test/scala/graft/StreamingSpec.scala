@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Direction.Min
 import graft.operators.SkylineOps._
+import graft.sources.EventTime
 import graft.streaming.SkylineStreaming
 
 /** Structured-Streaming parity tests (reference batch_job/stream_job
@@ -299,12 +300,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("windowedAgg complete-mode drain equals the batch window rollup") {
     val dir = "/root/testdata/sf0.001"
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-    val stream = spark.readStream.schema(
+    val batch = EventTime.withTsUtc(spark.read.parquet(s"$dir/events.parquet"))
+    val stream = EventTime.withTsUtc(spark.readStream.schema(
         spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val agg = graft.streaming.EventStreams.windowedAgg(
       stream, "ts_utc", watermarkDelay = "1 hour", windowDuration = "1 hour",
       keyCols = Seq("event_type"), aggs = Seq(count(lit(1)).as("n")))
@@ -470,9 +469,8 @@ class StreamingSpec extends AnyFunSuite {
   test("intervalJoin: bounded stream-stream drain equals the batch interval join") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    def src = EventTime.withTsUtc(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     def shape(ev: org.apache.spark.sql.DataFrame) = (
       ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -489,8 +487,7 @@ class StreamingSpec extends AnyFunSuite {
     val got = SkylineStreaming.runOnce(joined, "ssj_parity", outputMode = "append")
       .select("purchase_id", "view_id").collect().map(_.toSeq).toSet
 
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val ev = EventTime.withTsUtc(spark.read.parquet(s"$dir/events.parquet"))
     val (bp, bv) = shape(ev)
     val want = bp.join(bv, bp("user_id") === bv("v_user")
         && bv("v_ts") >= bp("p_ts") - expr("INTERVAL 1 hour")
@@ -564,9 +561,8 @@ class StreamingSpec extends AnyFunSuite {
   test("intervalJoin rejects keyless, overlapping-name, and unsupported-type joins") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    def src = EventTime.withTsUtc(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val l = src.select(col("event_id").as("lid"), col("user_id").as("lu"),
       col("ts_utc").as("lts"))
     val r = src.select(col("event_id").as("rid"), col("user_id").as("ru"),

@@ -25,6 +25,62 @@ class DriverContractSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("testdata schema drift: every table reads with the expected columns and types") {
+    // The driver regenerated /root/testdata once already (round 5:
+    // events.ts flipped TIMESTAMP(NANOS)-as-long -> timestamp[us]) and
+    // silently broke 8 queries at analysis time. This guard makes the
+    // NEXT regeneration fail ONE named test with a readable diff instead.
+    // Time columns accept the known encoding variants, which
+    // graft.sources.EventTime absorbs; everything else must match exactly.
+    import org.apache.spark.sql.types._
+    val ts: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
+    def exact(t: DataType): Set[DataType] = Set(t)
+    val expected: Map[String, Seq[(String, Set[DataType])]] = Map(
+      "region" -> Seq("r_regionkey" -> exact(IntegerType), "r_name" -> exact(StringType)),
+      "nation" -> Seq("n_nationkey" -> exact(IntegerType), "n_name" -> exact(StringType),
+        "n_regionkey" -> exact(IntegerType)),
+      "customer" -> Seq("c_custkey" -> exact(LongType), "c_name" -> exact(StringType),
+        "c_nationkey" -> exact(IntegerType), "c_acctbal" -> exact(DoubleType),
+        "c_mktsegment" -> exact(StringType)),
+      "supplier" -> Seq("s_suppkey" -> exact(LongType), "s_name" -> exact(StringType),
+        "s_nationkey" -> exact(IntegerType), "s_acctbal" -> exact(DoubleType)),
+      "part" -> Seq("p_partkey" -> exact(LongType), "p_name" -> exact(StringType),
+        "p_brand" -> exact(StringType), "p_type" -> exact(StringType),
+        "p_size" -> exact(IntegerType), "p_retailprice" -> exact(DoubleType)),
+      "orders" -> Seq("o_orderkey" -> exact(LongType), "o_custkey" -> exact(LongType),
+        "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
+        "o_orderdate" -> ts, "o_orderpriority" -> exact(StringType)),
+      "lineitem" -> Seq("l_orderkey" -> exact(LongType), "l_partkey" -> exact(LongType),
+        "l_suppkey" -> exact(LongType), "l_linenumber" -> exact(IntegerType),
+        "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
+        "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
+        "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
+        "l_shipdate" -> ts),
+      "events" -> Seq("event_id" -> exact(LongType), "ts" -> ts,
+        "user_id" -> exact(LongType), "event_type" -> exact(StringType),
+        "value" -> exact(DoubleType), "props" -> exact(StringType)),
+      "documents" -> Seq("doc_id" -> exact(LongType), "text" -> exact(StringType),
+        "lang" -> exact(StringType), "source" -> exact(StringType),
+        "n_chars" -> exact(LongType)),
+      "embeddings" -> Seq("vec_id" -> exact(LongType),
+        "embedding" -> Set[DataType](ArrayType(FloatType), ArrayType(FloatType, true),
+          ArrayType(FloatType, false)),
+        "label" -> exact(IntegerType)))
+    val drift = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val got = spark.read.parquet(s"/root/testdata/sf0.001/$table.parquet")
+        .schema.fields.map(f => f.name -> f.dataType).toSeq
+      if (got.map(_._1) != cols.map(_._1))
+        Seq(s"$table: columns ${got.map(_._1).mkString(",")} != expected ${cols.map(_._1).mkString(",")}")
+      else got.zip(cols).collect {
+        case ((n, t), (_, allowed)) if !allowed.contains(t) =>
+          s"$table.$n: read as $t, expected one of ${allowed.mkString("/")}"
+      }
+    }
+    assert(drift.isEmpty,
+      "testdata schema drifted — update EventTime/the affected queries AND " +
+        "their DuckDB oracles in lockstep:\n" + drift.mkString("\n"))
+  }
+
   test("q_sketch_distinct: HLL estimates stay inside the rsd bound of exact") {
     import org.apache.spark.sql.functions._
     // the sketch query has no SQL oracle (HLL registers are

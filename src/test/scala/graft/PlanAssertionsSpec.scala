@@ -76,6 +76,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), s"content hash must be computed pre-shuffle:\n$p")
   }
 
+  test("q_gapfill's dense-grid cross join is broadcast and both sides are post-aggregation") {
+    // the hours x types grid is a DELIBERATE cross join — safe only
+    // because each side is the output of an aggregation (1-row bounds
+    // exploded to hours; distinct types), never raw events rows. Pin
+    // both properties so a refactor can't silently turn it into a
+    // corpus-sized cartesian product.
+    val p = SparkEntry.queries("q_gapfill")(spark, dir).queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val cross = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(cross.size == 1, s"expected exactly one broadcast cross join:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"grid join must broadcast, never CartesianProduct:\n$p")
+    cross.head.children.foreach { side =>
+      assert(side.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"a cross-join side feeds raw (pre-aggregation) rows:\n$side")
+    }
+  }
+
   test("q_seg_dedup picks first occurrences with a partial min-aggregate, never a window") {
     // the scale claim: a billion-fold repeated segment must pre-combine
     // map-side (partial min(struct)) instead of funnelling every copy

@@ -830,6 +830,29 @@ object SparkEntry {
       Multimodal.resizePlan(decoded, maxSide = 256,
         carry = Seq("n_bytes", "format"))
     }),
+    "mm_frames" -> ((s, dir) =>
+      // video frame sampling (stub codec, real explode-shaped dataflow):
+      // one row per sampled frame, frames distributed, never collected
+      Multimodal.frameSamplePlan(
+        Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"),
+        everyNthSec = 10)),
+    "mm_features" -> ((s, dir) =>
+      // media -> fixed-dim Float feature vector (stub encoder, real
+      // partition-batched dataflow); posexplode to rows for the oracle
+      Multimodal.featureExtract(
+          Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"),
+          dim = 8)
+        .select(col("doc_id"),
+          posexplode(col("features")).as(Seq("dim", "value")))
+        .select(col("doc_id"), col("dim").cast("int").as("dim"),
+          round(col("value").cast("double"), 6).as("value"))),
+
+    // ----- retrieval scoring --------------------------------------------
+    "q_bm25" -> ((s, dir) =>
+      // BM25 of every doc against a 3-term query: map-side term filter,
+      // one slim shuffle of matching (doc, term) pairs, broadcast stats
+      PipelineOps.bm25Score(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1577,6 +1600,46 @@ object SparkEntry {
           |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
           |    ELSE 'webp' END AS format
           |FROM documents""".stripMargin,
+      "mm_frames" ->
+        // mirrors the stub codec: duration = 1 + n_bytes % 120, frames
+        // every 10 s strictly below the duration
+        """WITH m AS (SELECT doc_id, 1 + octet_length(encode(text)) % 120 AS dur
+          |           FROM documents),
+          |f AS (SELECT doc_id, dur, unnest(generate_series(0, dur - 1, 10)) AS t
+          |      FROM m)
+          |SELECT doc_id, t::INT AS frame_ts_sec, dur::INT AS duration_sec,
+          |       'frame_' || doc_id || '_' || t AS frame_ref FROM f""".stripMargin,
+      "mm_features" ->
+        // stub encoder: 8-bucket byte histogram, L1-normalized; the ASCII
+        // corpus makes char == byte, so ascii(char) % 8 is the bucket.
+        // double-divide THEN ::FLOAT matches the Scala (c/n).toFloat
+        """WITH d AS (SELECT doc_id,
+          |    list_transform(string_split(text, ''), c -> ascii(c) % 8) AS bs,
+          |    octet_length(encode(text)) AS n FROM documents),
+          |dims AS (SELECT unnest(generate_series(0, 7)) AS dim)
+          |SELECT d.doc_id, dims.dim::INT AS dim,
+          |  round((CASE WHEN d.n = 0 THEN 0.0 ELSE
+          |    (len(list_filter(d.bs, x -> x = dims.dim))::DOUBLE / d.n)::FLOAT
+          |  END)::DOUBLE, 6) AS value
+          |FROM d CROSS JOIN dims""".stripMargin,
+      "q_bm25" ->
+        // Lucene BM25 (k1=1.2, b=0.75) over the 3-term query; avgdl as
+        // exact integer sum then ONE division; round(4) absorbs the
+        // order-dependent per-doc sum (byte-entropy/LM-score trade)
+        s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+           |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+           |st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+           |       FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+           |       WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2),
+           |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+           |w AS (SELECT tf.doc_id,
+           |        ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+           |          * (tf.tf * (1.2 + 1))
+           |          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS w
+           |      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+           |SELECT doc_id, round(sum(w), 4) AS bm25, count(*) AS n_terms
+           |FROM w GROUP BY doc_id""".stripMargin,
     )
   }
 }

@@ -92,6 +92,44 @@ object Multimodal {
       .toDF("doc_id", "frame_ts_sec", "duration_sec", "frame_ref")
   }
 
+  /**
+   * Feature-extraction plan (STUB model, real dataflow): one fixed-`dim`
+   * Float vector per media row — the embedding-ready shape ANN/semantic
+   * dedup consume downstream. The stub "model" is a `dim`-bucket byte
+   * histogram, L1-normalized; a production deployment swaps in a real
+   * encoder forward pass (ONNX/JNI) inside the same typed
+   * `mapPartitions` batch loop without touching the dataflow: payloads
+   * stay distributed, one model invocation scope per partition batch
+   * (where a real impl amortizes model load), nothing collects.
+   *
+   * Float values are produced as double-divisions rounded to float
+   * (`(c/n).toFloat`), so an engine computing in double and casting gets
+   * the bit-identical float — the cross-engine parity device for the
+   * mm_features oracle.
+   */
+  def featureExtract(media: DataFrame, dim: Int = 8): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // real impl: load the encoder ONCE here, run batched forward
+        // passes — unavailable in this container: ???
+        batch.map { case (id, bytes) =>
+          val counts = new Array[Long](dim)
+          var i = 0
+          while (i < bytes.length) { counts((bytes(i) & 0xff) % dim) += 1; i += 1 }
+          val n = bytes.length
+          val feats =
+            if (n == 0) new Array[Float](dim)
+            else counts.map(c => (c.toDouble / n).toFloat)
+          (id, feats)
+        }
+      }
+      .toDF("doc_id", "features")
+  }
+
   /** Resize step stub: recompute target dims preserving aspect ratio —
     * pure metadata arithmetic here; a real impl transforms pixels.
     * `carry` lists extra decoded-metadata columns to keep in the same

@@ -312,6 +312,71 @@ object PipelineOps {
    * anywhere. Stopword tokens make hot window partitions; pre-filter a
    * stopword list upstream if that skew bites.
    */
+  /**
+   * BM25 relevance of every document against a small query-term set —
+   * the retrieval primitive for targeted corpus curation ("find docs
+   * about X to upweight/inspect"). Lucene's non-negative idf variant:
+   *
+   *   idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+   *   score  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *
+   * Shape at 100 TB: the query terms are a handful of literals, so the
+   * corpus token explode filters to them MAP-SIDE (`isin` over literals,
+   * codegen) before anything shuffles — only the matching (doc, term)
+   * sliver aggregates; the document length rides the same projection so
+   * no second corpus join is needed for dl. N/avgdl reduce to ONE row
+   * and df(t) to ≤|terms| rows — both broadcast. Total motion: one slim
+   * shuffle of matching pairs + two broadcasts; the corpus-sized scan
+   * stays map-side. (A second column-pruned pass computes N/avgdl over
+   * ALL docs — required by the formula, aggregate-only shuffle of
+   * partial sums.)
+   *
+   * The matching sliver is persisted: df(t) and the scoring join both
+   * consume it, and Spark does not share unmaterialized subplans — an
+   * unpersisted plan would tokenize the corpus twice. The df(t)
+   * broadcast job populates the cache before the main job reads it. The
+   * sliver stays cached after return (same contract as the pair
+   * finders); long-lived sessions should `spark.catalog.clearCache()`
+   * between pipelines.
+   *
+   * Determinism: per-(doc,term) weights derive from identical doubles on
+   * any engine (avgdl is computed as exact Long sum / count, THEN one
+   * IEEE division); the per-doc sum over ≤|terms| weights is
+   * order-dependent, so the output rounds to 4 decimals — the same
+   * trade as the byte-entropy and LM-score kernels. Output:
+   * (`idCol`, bm25, n_terms) for documents matching ≥1 term.
+   */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Score needs at least one query term")
+    require(terms.distinct.size == terms.size,
+      s"duplicate query terms in $terms")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, b in [0,1]; got k1=$k1 b=$b")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val docs = df.select(col(idCol).as("_id"),
+      size(toks).cast("long").as("_dl"), toks.as("_toks"))
+    // exact integer sum, ONE division: bit-identical avgdl on any engine
+    val stats = docs.agg(count(lit(1)).as("_n"),
+      (sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val tf = docs
+      .select(col("_id"), col("_dl"), explode(col("_toks")).as("_term"))
+      .filter(col("_term").isin(terms: _*)) // map-side, pre-shuffle
+      .groupBy(col("_id"), col("_term"))
+      .agg(count(lit(1)).as("_tf"), max(col("_dl")).as("_dl"))
+      .persist()
+    val dft = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    tf.join(broadcast(dft), "_term")
+      .crossJoin(broadcast(stats)) // 1-row stats side
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_w",
+        col("_idf") * (col("_tf") * (k1 + 1)) /
+          (col("_tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col("_id"))
+      .agg(round(sum(col("_w")), 4).as("bm25"), count(lit(1)).as("n_terms"))
+      .select(col("_id").as(idCol), col("bm25"), col("n_terms"))
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       topPerDoc: Int): DataFrame = {
     require(topPerDoc > 0, s"topPerDoc must be positive, got $topPerDoc")

@@ -141,6 +141,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(resized.getAs[Int]("target_w") == math.min(256, d.width))
   }
 
+  test("multimodal featureExtract: normalized byte-histogram stub, empty payload -> zeros") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val rows = Multimodal.featureExtract(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // 'hello' bytes mod 8: h=0, e=5, l=4, l=4, o=7 -> [1,0,0,0,2,1,0,1]/5
+    assert(rows(1L) == Seq(1, 0, 0, 0, 2, 1, 0, 1).map(c => (c.toDouble / 5).toFloat))
+    assert(rows(2L) == Seq.fill(8)(0.0f), "empty payload must yield a zero vector")
+    assert(rows(1L).map(_.toDouble).sum > 0.999 && rows(1L).map(_.toDouble).sum < 1.001)
+  }
+
   test("MinHashSignature kernel is bit-identical to the min(xxhash64(lit(i), s)) tree") {
     import spark.implicits._
     val numPerm = 8

@@ -209,6 +209,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "added", 4L -> "removed"), s"got $got")
   }
 
+  test("bm25Score: hand-computed Lucene BM25, non-matching docs absent, partition-independent") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a c"), (2L, "a d"), (3L, "d d d"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.bm25Score(corpus, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // N=3, dl = 4/2/3, avgdl = 3; df(a)=2, df(b)=1
+    val idfA = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    val idfB = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    def w(idf: Double, tf: Long, dl: Long): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r4(v: Double): Double = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((r4(w(idfA, 2, 4) + w(idfB, 1, 4)), 2L)))
+    assert(got(2L) == ((r4(w(idfA, 1, 2)), 1L)))
+    assert(!got.contains(3L), "a doc matching no query term must be absent")
+    val reparted = PipelineOps.bm25Score(corpus.repartition(5), "doc_id", "text",
+      Seq("a", "b")).collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(reparted == got, "bm25 must not depend on partitioning")
+    intercept[IllegalArgumentException] {
+      PipelineOps.bm25Score(corpus, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps.bm25Score(corpus, "doc_id", "text", Seq("a", "a"))
+    }
+  }
+
   test("SQL surface: topk_agg ranks per group like the Column API") {
     import spark.implicits._
     graft.operators.GraftFunctions.register(spark)

@@ -95,6 +95,40 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bm25: term filter is map-side below the shuffle; the tf sliver is cached, not recomputed") {
+    // the scale claims: (a) only query-term matches ever shuffle — the
+    // isin filter must sit under the (id, term) aggregate, not after it;
+    // (b) df(t) and the scoring join share ONE tokenize pass via the
+    // persisted sliver (Spark does not share unmaterialized subplans)
+    val df = SparkEntry.queries("q_bm25")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), s"no window anywhere in bm25:\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"the tf sliver must be persisted so df(t) reuses it:\n$p")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the tf sliver's plan lives inside the cached relation (AQE-wrapped,
+    // and AdaptiveSparkPlanExec is a leaf to collect() — unwrap it)
+    val cachedPlans = df.queryExecution.sparkPlan.collect {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+    }.map {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    assert(cachedPlans.nonEmpty, "expected the persisted tf sliver in the plan")
+    // map-side order inside the sliver: partial aggregate ABOVE the term
+    // filter ABOVE the token explode — i.e. non-matching tokens die in
+    // the same task that generated them, and only matching (id, term)
+    // partials ever reach the exchange EnsureRequirements inserts above
+    val s = cachedPlans.mkString("\n")
+    val iPartial = s.indexOf("partial_count")
+    val iFilter = s.indexOf("Filter _term")
+    val iGen = s.indexOf("Generate explode")
+    assert(iPartial >= 0 && iFilter > iPartial && iGen > iFilter,
+      s"term filter must sit between the partial aggregate and the explode:\n$s")
+    spark.catalog.clearCache() // release the sliver this plan pinned
+  }
+
   test("q_seg_dedup picks first occurrences with a partial min-aggregate, never a window") {
     // the scale claim: a billion-fold repeated segment must pre-combine
     // map-side (partial min(struct)) instead of funnelling every copy

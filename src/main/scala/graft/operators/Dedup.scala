@@ -188,9 +188,14 @@ object Dedup {
     val t1 = df.select(col(idCol).as("id1"), col(textCol).as("_t1"))
     val t2 = df.select(col(idCol).as("id2"), col(textCol).as("_t2"))
     val withLeft = t1.join(broadcast(pairs), "id1")
+    // banded (threshold) Levenshtein: O(k·min(|a|,|b|)) instead of the
+    // full O(|a|·|b|) DP, bailing out at > maxDistance with -1 — we only
+    // keep distances <= k, so the band loses nothing and the verify
+    // stage stops scaling with document length squared
     val out = t2.join(broadcast(withLeft), "id2")
-      .withColumn("edit_dist", levenshtein(col("_t1"), col("_t2")))
-      .filter(col("edit_dist") <= maxDistance)
+      .withColumn("edit_dist",
+        levenshtein(col("_t1"), col("_t2"), maxDistance))
+      .filter(col("edit_dist") >= 0)
       .select(col("id1"), col("id2"), col("jaccard"), col("edit_dist"))
     try materializeThenRelease(out)
     finally pairs.unpersist(blocking = false)

@@ -853,6 +853,14 @@ object SparkEntry {
       // one slim shuffle of matching (doc, term) pairs, broadcast stats
       PipelineOps.bm25Score(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "window"))),
+    "q_quantile_bins" -> ((s, dir) =>
+      // equi-depth length bucketing (k=8 on n_chars): exact mode for
+      // oracle parity (dyadic probs interpolate bit-identically — the
+      // q_percentile device); the sketch mode is the 100 TB path,
+      // spec-gated against this one
+      PipelineOps.quantileBuckets(t(s, dir, "documents"), "doc_id",
+          "n_chars", k = 8, exact = true)
+        .select(col("doc_id"), col("n_chars"), col("bucket"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1640,6 +1648,16 @@ object SparkEntry {
            |      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
            |SELECT doc_id, round(sum(w), 4) AS bm25, count(*) AS n_terms
            |FROM w GROUP BY doc_id""".stripMargin,
+      "q_quantile_bins" ->
+        // bucket = count of interior k=8 cuts strictly below the value;
+        // quantile_cont interpolates exactly like Spark percentile
+        """WITH c AS (SELECT quantile_cont(n_chars::DOUBLE,
+          |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts
+          |  FROM documents)
+          |SELECT doc_id, n_chars,
+          |  list_sum(list_transform(c.cuts,
+          |    x -> CASE WHEN n_chars::DOUBLE > x THEN 1 ELSE 0 END))::INT AS bucket
+          |FROM documents, c""".stripMargin,
     )
   }
 }

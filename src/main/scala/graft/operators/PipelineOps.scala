@@ -313,6 +313,42 @@ object PipelineOps {
    * stopword list upstream if that skew bites.
    */
   /**
+   * Equi-depth quantile bucketing of a numeric column — feature
+   * discretization, length-bucketed batching (pack similar-length docs
+   * to cut padding waste), and curriculum sharding all reduce to it.
+   * Every row gets `bucket` ∈ [0, k): the count of interior cut points
+   * (quantiles i/k, i = 1..k-1) strictly below-or-equal via `value >
+   * cut` — a value equal to a cut stays in the lower bucket; heavy ties
+   * may leave buckets empty (same semantics on any engine).
+   *
+   * Two modes, one contract: `exact = true` computes interpolated exact
+   * quantiles (`percentile`) — a full per-column sort, the
+   * oracle-parity mode, fine up to memory-of-one-executor scale.
+   * `exact = false` (default, the 100 TB path) uses
+   * `approx_percentile`'s mergeable fixed-memory sketch: partials
+   * combine map-side, no sort, error bounded by `accuracy` (1/accuracy
+   * relative rank error). Both produce ONE broadcast row of k-1 cuts;
+   * assignment is a map-side codegen fold over the cut array — the
+   * corpus never shuffles.
+   */
+  def quantileBuckets(df: DataFrame, idCol: String, valueCol: String,
+      k: Int, exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets, got $k")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    require(!df.columns.contains("bucket"),
+      "df already has a 'bucket' column; rename it first")
+    val v = col(valueCol).cast("double")
+    val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val cuts = (if (exact) df.agg(percentile(v, probs).as("_cuts"))
+                else df.agg(approx_percentile(v, probs, lit(accuracy)).as("_cuts")))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        aggregate(col("_cuts"), lit(0),
+          (acc, c) => acc + when(v > c, 1).otherwise(0)))
+      .drop("_cuts")
+  }
+
+  /**
    * BM25 relevance of every document against a small query-term set —
    * the retrieval primitive for targeted corpus curation ("find docs
    * about X to upweight/inspect"). Lucene's non-negative idf variant:

@@ -209,6 +209,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "added", 4L -> "removed"), s"got $got")
   }
 
+  test("quantileBuckets: near-uniform depths, sketch mode tracks exact, guards") {
+    val exact = PipelineOps.quantileBuckets(docs, "doc_id", "n_chars",
+      k = 8, exact = true)
+    val n = docs.count()
+    val depths = exact.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(depths.keySet.subsetOf((0 until 8).toSet), s"bucket out of range: $depths")
+    // equi-depth: every bucket within 2x of the ideal n/k (ties distort)
+    depths.values.foreach(d =>
+      assert(d <= 2 * n / 8 + 1, s"bucket too deep: $depths"))
+    assert(depths.values.sum == n, "every row must land in exactly one bucket")
+    // the sketch path must agree with exact for nearly every row at a
+    // tight accuracy (it only disagrees within the rank-error band)
+    val approx = PipelineOps.quantileBuckets(docs, "doc_id", "n_chars",
+      k = 8, exact = false, accuracy = 10000)
+    val joined = exact.select(col("doc_id"), col("bucket").as("be"))
+      .join(approx.select(col("doc_id"), col("bucket").as("ba")), "doc_id")
+    val disagree = joined.filter(col("be") =!= col("ba")).count()
+    assert(disagree <= n / 100, s"$disagree/$n rows moved bucket under the sketch")
+    intercept[IllegalArgumentException] {
+      PipelineOps.quantileBuckets(docs, "doc_id", "n_chars", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps.quantileBuckets(docs.withColumnRenamed("source", "bucket"),
+        "doc_id", "n_chars", k = 4)
+    }
+  }
+
   test("bm25Score: hand-computed Lucene BM25, non-matching docs absent, partition-independent") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a c"), (2L, "a d"), (3L, "d d d"))

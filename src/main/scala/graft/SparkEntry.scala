@@ -861,6 +861,15 @@ object SparkEntry {
       PipelineOps.quantileBuckets(t(s, dir, "documents"), "doc_id",
           "n_chars", k = 8, exact = true)
         .select(col("doc_id"), col("n_chars"), col("bucket"))),
+    "q_mix_budget" -> ((s, dir) =>
+      // mixture-to-budget: 10k char budget split 50/30/20 across three
+      // sources; per-source totals exceed every allocation, so all
+      // three fractions are real (< 1)
+      PipelineOps.mixToBudget(t(s, dir, "documents"), "doc_id", "source",
+          "n_chars", budgetUnits = 10000,
+          weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("units_kept"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1658,6 +1667,25 @@ object SparkEntry {
           |  list_sum(list_transform(c.cuts,
           |    x -> CASE WHEN n_chars::DOUBLE > x THEN 1 ELSE 0 END))::INT AS bucket
           |FROM documents, c""".stripMargin,
+      "q_mix_budget" ->
+        // fraction = min(1, budget*w / units); threshold = floor(f*16^8)
+        // as 8 lowercase hex chars — the md5 device with data-dependent
+        // fractions (exact Long sums -> one double division each side)
+        """WITH tot AS (SELECT source, sum(n_chars)::DOUBLE AS units
+          |             FROM documents WHERE source IN ('src0', 'src1', 'src2')
+          |             GROUP BY source),
+          |thr AS (SELECT source,
+          |    CASE WHEN f >= 1.0 THEN 'g'
+          |         ELSE lpad(lower(hex(floor(f * 4294967296)::BIGINT)), 8, '0')
+          |    END AS t
+          |  FROM (SELECT source,
+          |          least(1.0, 10000 * (CASE source WHEN 'src0' THEN 0.5
+          |            WHEN 'src1' THEN 0.3 ELSE 0.2 END) / units) AS f
+          |        FROM tot))
+          |SELECT d.source, count(*) AS n_kept, sum(d.n_chars)::BIGINT AS units_kept
+          |FROM documents d JOIN thr ON d.source = thr.source
+          |WHERE substr(md5(d.doc_id::VARCHAR || ':graft'), 1, 8) < thr.t
+          |GROUP BY d.source""".stripMargin,
     )
   }
 }

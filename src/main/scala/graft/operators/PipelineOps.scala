@@ -313,6 +313,54 @@ object PipelineOps {
    * stopword list upstream if that skew bites.
    */
   /**
+   * Mix a corpus DOWN TO a unit budget (tokens/chars/bytes) with
+   * per-source weights — the data-mixture step run before every
+   * pretraining job: "x% of the budget from curated, y% from crawl".
+   * Per stratum s the keep fraction is `min(1, budget·w_s / units_s)`
+   * (a stratum smaller than its allocation keeps everything — the
+   * budget is a CAP, not an upsampler), applied with the same md5-hex
+   * device as [[hashSample]]: deterministic per key, engine-portable,
+   * leakage-free under reruns. Strata absent from `weights` are
+   * DROPPED — the mixture spec IS the source list. Weights must sum to
+   * 1 (the [[assignSplits]] contract).
+   *
+   * Shape at 100 TB: per-stratum unit totals are one aggregate-only
+   * shuffle of partial sums (≤|weights| rows); fractions and hex
+   * thresholds derive on that tiny frame and broadcast back; the keep
+   * filter is map-side. The corpus never shuffles. Determinism: unit
+   * totals are exact Long sums cast once to double, so every engine
+   * computes the identical fraction, threshold, and kept set.
+   */
+  def mixToBudget(df: DataFrame, keyCol: String, strataCol: String,
+      unitCol: String, budgetUnits: Long, weights: Map[String, Double],
+      salt: String = "graft"): DataFrame = {
+    require(budgetUnits > 0, s"budgetUnits must be positive, got $budgetUnits")
+    require(weights.nonEmpty, "mixToBudget needs at least one stratum weight")
+    require(weights.values.forall(_ > 0), s"weights must be positive, got $weights")
+    val total = weights.values.sum
+    require(math.abs(total - 1.0) < 1e-6, s"weights must sum to 1, got $total")
+    val entries = weights.toSeq
+    val in = df.filter(col(strataCol).isin(entries.map(_._1): _*))
+    val wCol = entries.tail.foldLeft(
+      when(col(strataCol) === lit(entries.head._1), lit(entries.head._2))) {
+      case (acc, (s, w)) => acc.when(col(strataCol) === lit(s), lit(w))
+    }
+    val thr = in.groupBy(col(strataCol))
+      .agg(sum(col(unitCol)).cast("double").as("_units"))
+      .withColumn("_frac",
+        least(lit(1.0), lit(budgetUnits.toDouble) * wCol / col("_units")))
+      // the hexThreshold device as a plan expression (fractions are
+      // data-dependent here): floor(f * 16^8) as 8 lowercase hex chars;
+      // 'g' sorts after every hex digit = keep all
+      .withColumn("_thr", when(col("_frac") >= 1.0, lit("g"))
+        .otherwise(lpad(lower(hex(floor(col("_frac") * 4294967296d))), 8, "0")))
+      .select(col(strataCol), col("_thr"))
+    in.join(broadcast(thr), strataCol)
+      .filter(hashKey(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
+  /**
    * Equi-depth quantile bucketing of a numeric column — feature
    * discretization, length-bucketed batching (pack similar-length docs
    * to cut padding waste), and curriculum sharding all reduce to it.

@@ -209,6 +209,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "added", 4L -> "removed"), s"got $got")
   }
 
+  test("mixToBudget: per-source caps near allocation, unlisted strata dropped, deterministic") {
+    val budget = 10000L
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val kept = PipelineOps.mixToBudget(docs, "doc_id", "source", "n_chars",
+      budget, weights)
+    val bySource = kept.groupBy("source")
+      .agg(sum(col("n_chars")).as("u"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.keySet == weights.keySet,
+      s"only the weighted sources may survive: $bySource")
+    // Bernoulli sampling on ~25 docs/source is noisy; the kept units must
+    // still land in the right regime: nonzero, and under ~2x allocation
+    weights.foreach { case (s, w) =>
+      val alloc = budget * w
+      assert(bySource(s) > 0, s"$s lost every doc")
+      assert(bySource(s) < 2.2 * alloc,
+        s"$s kept ${bySource(s)} units vs allocation $alloc")
+    }
+    val rerun = PipelineOps.mixToBudget(docs.repartition(7), "doc_id", "source",
+        "n_chars", budget, weights)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rerun == kept.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "mix must be a pure function of (key, salt, totals)")
+    // a stratum smaller than its allocation keeps everything (cap, not upsample)
+    val all = PipelineOps.mixToBudget(docs, "doc_id", "source", "n_chars",
+      budgetUnits = 100000000L, weights = Map("src0" -> 1.0))
+    assert(all.count() == docs.filter(col("source") === "src0").count())
+    intercept[IllegalArgumentException] {
+      PipelineOps.mixToBudget(docs, "doc_id", "source", "n_chars",
+        budget, Map("src0" -> 0.5, "src1" -> 0.2)) // sums to 0.7
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps.mixToBudget(docs, "doc_id", "source", "n_chars",
+        0L, Map("src0" -> 1.0))
+    }
+  }
+
   test("quantileBuckets: near-uniform depths, sketch mode tracks exact, guards") {
     val exact = PipelineOps.quantileBuckets(docs, "doc_id", "n_chars",
       k = 8, exact = true)

@@ -96,4 +96,26 @@ object Layout {
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
   }
+
+  /**
+   * Range-sharding by a score column — the curriculum/difficulty layout:
+   * rows range-partition into `numFiles` contiguous score bands (Spark's
+   * sampled RangePartitioner) and sort within each, so per-file min/max
+   * on the score are tight and NON-OVERLAPPING across files. Two reads
+   * this layout buys at 100 TB: a score-band filter prunes to its shard
+   * files from footer stats alone, and a curriculum trainer streams
+   * shards in difficulty order without a global sort at train time.
+   * `tieBreak` columns make the within-file order total (deterministic
+   * replay); rows sharing one score value may still straddle two
+   * adjacent shards (the partitioner splits ties — stats stay tight
+   * regardless).
+   */
+  def rangeShard(df: DataFrame, scoreCol: String, numFiles: Int,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(!tieBreak.contains(scoreCol), "tieBreak must not repeat scoreCol")
+    val keys = col(scoreCol) +: tieBreak.map(col)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+  }
 }

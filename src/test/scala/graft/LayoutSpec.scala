@@ -104,6 +104,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(worst <= 30, s"a z partition spans $worst — not spatially tight")
   }
 
+  test("rangeShard: per-partition score bands are non-overlapping and cover every row") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sharded = Layout.rangeShard(docs, "n_chars", numFiles = 8,
+      tieBreak = Seq("doc_id"))
+    val bands = sharded
+      .groupBy(spark_partition_id().as("p"))
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Int]("p"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"), r.getAs[Long]("n")))
+      .sortBy(_._2)
+    assert(bands.map(_._4).sum == docs.count(), "rows lost or duplicated")
+    assert(bands.length > 1, "expected multiple shards")
+    // contiguous non-overlapping bands: each shard's min must be >= the
+    // previous shard's max (ties on the boundary value may touch) — the
+    // property that makes footer-stats pruning and in-order curriculum
+    // consumption work
+    bands.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+        assert(lo2 >= hi1, s"overlapping shard bands: $bands")
+      case _ =>
+    }
+    intercept[IllegalArgumentException] {
+      Layout.rangeShard(docs, "n_chars", numFiles = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.rangeShard(docs, "n_chars", 4, tieBreak = Seq("n_chars"))
+    }
+  }
+
   test("bucketed tables join with no shuffle exchange and the exact plain-join result") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")

@@ -295,24 +295,6 @@ object PipelineOps {
   }
 
   /**
-   * TF-IDF keyword extraction: the `topPerDoc` highest-scoring tokens
-   * per document, `score = tf * (ln((N+1)/(df+1)) + 1)` (smoothed idf,
-   * sklearn's form). Output: (`idCol`, token, tf, df, rank, score).
-   *
-   * Scale shape: the corpus is tokenized ONCE — term frequencies
-   * aggregate (doc, token) with map-side combine, and document
-   * frequencies come from a `count over (partition by token)` window on
-   * that result rather than a self-join (a df-table join would either
-   * recompute the tokenize subtree — Spark does not share unmaterialized
-   * subplans — or broadcast a vocabulary-sized table, which breaks once
-   * the vocab outgrows a broadcast). The corpus size joins in as a
-   * broadcast 1-row aggregate over a doc-id-only column-pruned scan,
-   * keeping the plan fully lazy. The ranking window partitions by
-   * document — groups bounded by per-doc vocabulary, so no global sort
-   * anywhere. Stopword tokens make hot window partitions; pre-filter a
-   * stopword list upstream if that skew bites.
-   */
-  /**
    * Mix a corpus DOWN TO a unit budget (tokens/chars/bytes) with
    * per-source weights — the data-mixture step run before every
    * pretraining job: "x% of the budget from curated, y% from crawl".
@@ -461,14 +443,38 @@ object PipelineOps {
       .select(col("_id").as(idCol), col("bm25"), col("n_terms"))
   }
 
+  /**
+   * TF-IDF keyword extraction: the `topPerDoc` highest-scoring tokens
+   * per document, `score = tf * (ln((N+1)/(df+1)) + 1)` (smoothed idf,
+   * sklearn's form). Output: (`idCol`, token, tf, df, rank, score).
+   *
+   * Scale shape: the corpus is tokenized ONCE — term frequencies
+   * aggregate (doc, token) with map-side combine into a PERSISTED tf
+   * table ([[bm25Score]]'s device: Spark does not share unmaterialized
+   * subplans, so the df aggregate would otherwise re-tokenize the
+   * corpus). Document frequencies reduce from tf with a second
+   * partial/final aggregate and join back on token as a plain shuffle
+   * join — AQE splits the hot stopword keys, where the former
+   * `count over (partition by token)` window funneled every row of a
+   * hot token through ONE task (the straggler that kills this at
+   * 100 TB; a broadcast of the df table is no alternative once the
+   * vocabulary outgrows a broadcast). The corpus size joins in as a
+   * broadcast 1-row aggregate. The ranking window partitions by
+   * document — groups bounded by per-doc vocabulary, so no global sort
+   * anywhere. The tf sliver stays cached after return (pair-finder
+   * contract); long-lived sessions should `clearCache()` between
+   * pipelines.
+   */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       topPerDoc: Int): DataFrame = {
     require(topPerDoc > 0, s"topPerDoc must be positive, got $topPerDoc")
     val tf = df.select(col(idCol), explode(
         graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = df.agg(count_distinct(col(idCol)).as("_n"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    tf.join(dft, "token")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * (log((col("_n") + 1) / (col("df") + 1)) + 1))

@@ -129,6 +129,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the sliver this plan pinned
   }
 
+  test("q_tfidf: document frequencies come from an aggregate+join, never a token-partitioned window") {
+    // a count-over-window partitioned by token funnels every row of a
+    // hot stopword through ONE task; the aggregate+join shape keeps the
+    // partial/final split and lets AQE split the hot join keys. Only the
+    // per-document rank window (bounded by per-doc vocabulary) may remain.
+    val df = SparkEntry.queries("q_tfidf")(spark, dir)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the per-doc rank window")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.map(_.toString)
+      assert(parts.nonEmpty && !parts.exists(_.contains("token")),
+        s"a window partitions by token (hot-key straggler): $parts")
+    }
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("InMemoryRelation"),
+      s"the tf table must be persisted so df(t) reuses it:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q_seg_dedup picks first occurrences with a partial min-aggregate, never a window") {
     // the scale claim: a billion-fold repeated segment must pre-combine
     // map-side (partial min(struct)) instead of funnelling every copy

@@ -38,21 +38,22 @@ object Dedup {
    * accidentally-lowest id. One row per group with the survivor's id,
    * its quality, and the group size.
    *
-   * A per-group window over `textCol` — group widths are duplicate
-   * counts (small), so the window partitions are tiny however large the
-   * corpus; the shuffle key is the text (or pre-hash it upstream).
+   * One partial/final aggregate on `textCol` — the argmax is `max_by`
+   * on (quality, -id), map-side combinable, so a billion-fold duplicated
+   * boilerplate page ships ONE candidate per map task (the former
+   * window-over-text routed every copy of a hot duplicate through a
+   * single task — the [[retainBest]] device, now shared).
    */
   def exactBest(df: DataFrame, idCol: String, textCol: String,
-      qualityCol: String): DataFrame = {
-    val w = Window.partitionBy(textCol)
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      qualityCol: String): DataFrame =
     df.select(col(idCol), col(textCol), col(qualityCol))
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col(textCol))))
-      .filter(col("_rn") === 1)
-      .select(col(idCol).as("keep_id"), col(qualityCol).as("best_quality"),
-        col("n_copies"))
-  }
+      .groupBy(col(textCol))
+      .agg(
+        // max of (q, -id) = highest quality, ties to the LOWER id
+        max_by(col(idCol), struct(col(qualityCol), -col(idCol))).as("keep_id"),
+        max(col(qualityCol)).as("best_quality"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("best_quality"), col("n_copies"))
 
   /** id -> distinct shingle set. Tokenizes into its own projection first —
     * see [[TextFunctions.wordShinglesFromTokens]] for why inlining the

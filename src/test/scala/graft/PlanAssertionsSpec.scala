@@ -129,6 +129,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the sliver this plan pinned
   }
 
+  test("dedup_best survivor pick is a partial-able aggregate, never a window over the text") {
+    // a hot duplicate (boilerplate page repeated a billion-fold) must
+    // pre-combine map-side; a window over textCol would funnel every
+    // copy through one task
+    val p = plan("dedup_best")
+    assert(!p.contains("Window"), s"no window in the survivor pick:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"survivor argmax must keep the partial/final split:\n$p")
+  }
+
   test("q_tfidf: document frequencies come from an aggregate+join, never a token-partitioned window") {
     // a count-over-window partitioned by token funnels every row of a
     // hot stopword through ONE task; the aggregate+join shape keeps the

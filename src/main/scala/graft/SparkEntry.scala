@@ -870,6 +870,11 @@ object SparkEntry {
           weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("units_kept"))),
+    "q_novelty" -> ((s, dir) =>
+      // information-gain curation signal: fraction of each doc's
+      // trigrams unseen in any lower-id doc (near-dups score low)
+      PipelineOps.noveltyScore(t(s, dir, "documents"), "doc_id", "text",
+        n = 3)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1686,6 +1691,19 @@ object SparkEntry {
           |FROM documents d JOIN thr ON d.source = thr.source
           |WHERE substr(md5(d.doc_id::VARCHAR || ':graft'), 1, 8) < thr.t
           |GROUP BY d.source""".stripMargin,
+      "q_novelty" ->
+        // novel shingle = this doc holds the minimum doc_id containing
+        // it; DuckDB works on raw shingle strings where Spark ships
+        // 64-bit hashes — counts agree (collisions ~|sh|^2/2^65)
+        s"""WITH t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
+           |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM tt),
+           |f AS (SELECT s, min(doc_id) AS fid FROM ex GROUP BY s)
+           |SELECT ex.doc_id, count(*) AS n_shingles,
+           |  sum(CASE WHEN f.fid = ex.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           |  round(sum(CASE WHEN f.fid = ex.doc_id THEN 1 ELSE 0 END)::DOUBLE
+           |    / count(*), 4) AS novelty
+           |FROM ex JOIN f ON ex.s = f.s GROUP BY ex.doc_id""".stripMargin,
     )
   }
 }

@@ -295,6 +295,46 @@ object PipelineOps {
   }
 
   /**
+   * Per-document novelty scoring — the information-gain curation signal:
+   * the fraction of a document's distinct word `n`-grams that no
+   * EARLIER document (lower id) contains. Boilerplate-heavy and
+   * near-duplicate docs score low; first occurrences score high —
+   * the greedy selection objective of dedup-aware data curation,
+   * computed exactly in one pass. Output: (`idCol`, n_shingles,
+   * n_novel, novelty) for documents with at least one n-gram.
+   *
+   * Shape at 100 TB: one corpus tokenize into a PERSISTED (doc,
+   * shingle-hash) sliver (two consumers — Spark does not share
+   * unmaterialized subplans); first-occurrence per shingle is a
+   * partial/final `min` aggregate (a billion-fold repeated shingle
+   * pre-combines map-side — never a window over the shingle), joined
+   * back as a plain equi-join AQE can skew-split on hot boilerplate
+   * shingles. Shingles travel as 64-bit hashes — strings never shuffle
+   * (collision odds ~|shingles|²/2⁶⁵, the [[graft.operators.Dedup]]
+   * trade). Determinism: novelty = one IEEE division of exact counts,
+   * rounded to 4.
+   */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"shingle width must be positive, got $n")
+    val ex = df.select(col(idCol).as("_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("_id"), explode(
+        graft.functions.TextFunctions.shingleSetFromTokens(col("_toks"), n)).as("_sh"))
+      .select(col("_id"), xxhash64(col("_sh")).as("_s"))
+      .persist()
+    val first = ex.groupBy(col("_s")).agg(min(col("_id")).as("_first"))
+    ex.join(first, "_s")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col("_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+      .select(col("_id").as(idCol), col("n_shingles"), col("n_novel"),
+        col("novelty"))
+  }
+
+  /**
    * Mix a corpus DOWN TO a unit budget (tokens/chars/bytes) with
    * per-source weights — the data-mixture step run before every
    * pretraining job: "x% of the budget from curated, y% from crawl".

@@ -209,6 +209,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "added", 4L -> "removed"), s"got $got")
   }
 
+  test("noveltyScore: hand-computed novelty, short docs absent, partition-independent") {
+    import spark.implicits._
+    // doc 1: shingles {a b c, b c d}; doc 2 repeats {a b c} and adds
+    // {c d e, d e f}; doc 3 is all-repeat; doc 4 too short for a trigram
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b c d e f"), (3L, "a b c"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.noveltyScore(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // doc 2 shingles: abc(first=1), bcd(first=1), cde, def -> 2/4 novel
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((4L, 2L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)), "an all-repeat doc scores zero")
+    assert(!got.contains(4L), "docs with no shingle must be absent")
+    val reparted = PipelineOps.noveltyScore(corpus.repartition(5), "doc_id",
+        "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(reparted == got, "novelty must not depend on partitioning")
+  }
+
   test("mixToBudget: per-source caps near allocation, unlisted strata dropped, deterministic") {
     val budget = 10000L
     val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)

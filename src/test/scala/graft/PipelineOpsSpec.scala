@@ -268,6 +268,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileBuckets: bucket is monotone in the value (sorting by value never decreases bucket)") {
+    val rows = PipelineOps.quantileBuckets(docs, "doc_id", "n_chars",
+        k = 8, exact = true)
+      .select("n_chars", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((v1, b1), (v2, b2)) =>
+        assert(b1 <= b2, s"bucket decreased: ($v1,$b1) -> ($v2,$b2)")
+        assert(v1 != v2 || b1 == b2, "equal values must share a bucket")
+      case _ =>
+    }
+  }
+
   test("quantileBuckets: near-uniform depths, sketch mode tracks exact, guards") {
     val exact = PipelineOps.quantileBuckets(docs, "doc_id", "n_chars",
       k = 8, exact = true)

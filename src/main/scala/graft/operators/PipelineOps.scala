@@ -295,6 +295,94 @@ object PipelineOps {
   }
 
   /**
+   * BPE merge-table training — the iterative closure of the single
+   * merge-selection step `q_bpe_pairs` demonstrates: `numMerges` rounds
+   * of (count adjacent symbol pairs weighted by word frequency → adopt
+   * the most frequent pair as a new symbol → re-segment). Returns the
+   * learned merge table (rank, left, right, merged, pair_freq) — the
+   * artifact a tokenizer ships.
+   *
+   * Scale shape: the corpus collapses ONCE to the (word, freq) table —
+   * a single corpus aggregation; training then iterates on that
+   * vocabulary-sized table, never re-touching the corpus (how real BPE
+   * trainers work, whether on full corpora or samples). Each round is
+   * one distributed weighted pair-count plus a 1-ROW argmax collect
+   * (driver state = the merge table, bounded by `numMerges` — the
+   * kmeans-centroid pattern); the merge itself is a fold-with-carry
+   * `aggregate` over the symbol array (leftmost-greedy, the standard
+   * BPE order), executed map-side — no UDF, no shuffle. Lineage is
+   * truncated with a localCheckpoint every 16 rounds so plan depth
+   * stays bounded. Ties break deterministically on (freq desc, left
+   * asc, right asc), so retraining reproduces the identical table.
+   */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      minPairFreq: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(minPairFreq >= 1, s"minPairFreq must be >= 1, got $minPairFreq")
+    val spark = df.sparkSession
+    var words = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_freq"))
+      .select(split(col("_w"), "").as("_syms"), col("_freq"))
+      .persist()
+    words.count() // materialize before the corpus-scan lineage is dropped
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var round = 0
+      var continue = true
+      while (round < numMerges && continue) {
+        val top = words
+          .select(col("_freq"), explode(zip_with(
+            slice(col("_syms"), lit(1), size(col("_syms")) - 1),
+            slice(col("_syms"), lit(2), size(col("_syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("_p"))
+          .groupBy(col("_p.l").as("_l"), col("_p.r").as("_r"))
+          .agg(sum(col("_freq")).as("_pf"))
+          .orderBy(col("_pf").desc, col("_l").asc, col("_r").asc)
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getAs[Long]("_pf") < minPairFreq) continue = false
+        else {
+          val l = top(0).getAs[String]("_l")
+          val r = top(0).getAs[String]("_r")
+          val pf = top(0).getAs[Long]("_pf")
+          merges += ((merges.size + 1, l, r, pf))
+          val m = l + r
+          // leftmost-greedy adjacent merge as a fold with carried symbol
+          val mergedSyms = aggregate(
+            col("_syms"),
+            struct(array().cast("array<string>").as("out"),
+              lit(null).cast("string").as("prev")),
+            (acc, x) =>
+              when(acc.getField("prev") === l && x === r,
+                struct(concat(acc.getField("out"), array(lit(m))).as("out"),
+                  lit(null).cast("string").as("prev")))
+              .when(acc.getField("prev").isNull,
+                struct(acc.getField("out").as("out"), x.as("prev")))
+              .otherwise(
+                struct(concat(acc.getField("out"), array(acc.getField("prev"))).as("out"),
+                  x.as("prev"))),
+            acc => when(acc.getField("prev").isNull, acc.getField("out"))
+              .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+          val next0 = words.select(mergedSyms.as("_syms"), col("_freq"))
+          // localCheckpoint (eager) truncates the k-round lineage every
+          // 16 merges so plan analysis stays O(1) per round; in between,
+          // persist+count materializes on top of the previous cache
+          val next =
+            if ((round + 1) % 16 == 0) next0.localCheckpoint()
+            else { val p = next0.persist(); p.count(); p }
+          words.unpersist(blocking = false)
+          words = next
+          round += 1
+        }
+      }
+    } finally words.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_freq"))
+  }
+
+  /**
    * Per-document novelty scoring — the information-gain curation signal:
    * the fraction of a document's distinct word `n`-grams that no
    * EARLIER document (lower id) contains. Boilerplate-heavy and

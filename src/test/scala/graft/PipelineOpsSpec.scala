@@ -209,6 +209,62 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "added", 4L -> "removed"), s"got $got")
   }
 
+  test("bpeTrain matches a reference BPE trainer merge-for-merge") {
+    import spark.implicits._
+    // reference implementation: overlapping pair counts weighted by word
+    // freq, argmax with (freq desc, left asc, right asc) ties, greedy
+    // leftmost adjacent merge — the standard (Sennrich) algorithm
+    def refBpe(wordFreq: Map[String, Long], rounds: Int,
+        minFreq: Long): Seq[(String, String, Long)] = {
+      var words = wordFreq.map { case (w, f) => (w.split("").toVector, f) }.toVector
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      for (_ <- 1 to rounds if !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- words; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= minFreq =>
+            out += ((l, r, c))
+            words = words.map { case (syms, f) =>
+              val b = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  b += (l + r); i += 2
+                } else { b += syms(i); i += 1 }
+              }
+              (b.result(), f)
+            }
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+    val corpus = Seq(
+      "low low low lower lower lowest",
+      "new newer newest new new",
+      "low new wide wider")
+      .toDF("text")
+    val wordFreq = corpus
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(wordFreq, rounds = 12, minFreq = 2L)
+    val got = PipelineOps.bpeTrain(corpus, "text", numMerges = 12, minPairFreq = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == want, s"\ngot:  ${got.toSeq}\nwant: $want")
+    assert(want.size >= 4, "corpus must be rich enough to learn several merges")
+    // learned merges must include the shared stems
+    assert(got.map(m => m._1 + m._2).exists(Set("lo", "low", "ne", "new")),
+      s"expected a stem merge in ${got.toSeq}")
+    intercept[IllegalArgumentException] {
+      PipelineOps.bpeTrain(corpus, "text", numMerges = 0)
+    }
+  }
+
   test("noveltyScore: hand-computed novelty, short docs absent, partition-independent") {
     import spark.implicits._
     // doc 1: shingles {a b c, b c d}; doc 2 repeats {a b c} and adds

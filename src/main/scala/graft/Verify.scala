@@ -34,6 +34,11 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name FAILED: ${e.toString.take(300)}")
           Some(name -> e.toString.take(500))
+        } finally {
+          // queries like q_bm25/q_tfidf/q_novelty pin persisted slivers by
+          // design; drop them between queries (as Bench does) so the ~92-query
+          // session doesn't accumulate cache pressure at larger SFs
+          spark.catalog.clearCache()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

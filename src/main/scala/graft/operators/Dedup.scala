@@ -43,9 +43,17 @@ object Dedup {
    * boilerplate page ships ONE candidate per map task (the former
    * window-over-text routed every copy of a hot duplicate through a
    * single task — the [[retainBest]] device, now shared).
+   *
+   * Contract: `idCol` must be an integral type — the tie-break negates
+   * the id (`max_by(id, struct(quality, -id))`), which fails analysis
+   * for string ids and is validated here with a clear error instead.
+   * (Long.MinValue has no negation, but ids are non-negative in every
+   * pipeline this library targets.) Callers migrating from the former
+   * window formulation with non-numeric ids should map ids to long first.
    */
   def exactBest(df: DataFrame, idCol: String, textCol: String,
-      qualityCol: String): DataFrame =
+      qualityCol: String): DataFrame = {
+    Checks.requireIntegralId("exactBest", idCol, df.schema(idCol).dataType)
     df.select(col(idCol), col(textCol), col(qualityCol))
       .groupBy(col(textCol))
       .agg(
@@ -54,6 +62,7 @@ object Dedup {
         max(col(qualityCol)).as("best_quality"),
         count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("best_quality"), col("n_copies"))
+  }
 
   /** id -> distinct shingle set. Tokenizes into its own projection first —
     * see [[TextFunctions.wordShinglesFromTokens]] for why inlining the

@@ -34,6 +34,11 @@ class DriverContractSpec extends AnyFunSuite {
     // graft.sources.EventTime absorbs; everything else must match exactly.
     import org.apache.spark.sql.types._
     val ts: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
+    // Only events.ts has a normalization choke point (graft.sources.EventTime)
+    // that absorbs a long<->timestamp encoding flip; o_orderdate/l_shipdate
+    // are consumed as timestamps directly, so a regeneration to int64 must
+    // FAIL here rather than pass the guard and break queries downstream.
+    val tsStrict: Set[DataType] = Set(TimestampType, TimestampNTZType)
     def exact(t: DataType): Set[DataType] = Set(t)
     val expected: Map[String, Seq[(String, Set[DataType])]] = Map(
       "region" -> Seq("r_regionkey" -> exact(IntegerType), "r_name" -> exact(StringType)),
@@ -49,13 +54,13 @@ class DriverContractSpec extends AnyFunSuite {
         "p_size" -> exact(IntegerType), "p_retailprice" -> exact(DoubleType)),
       "orders" -> Seq("o_orderkey" -> exact(LongType), "o_custkey" -> exact(LongType),
         "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
-        "o_orderdate" -> ts, "o_orderpriority" -> exact(StringType)),
+        "o_orderdate" -> tsStrict, "o_orderpriority" -> exact(StringType)),
       "lineitem" -> Seq("l_orderkey" -> exact(LongType), "l_partkey" -> exact(LongType),
         "l_suppkey" -> exact(LongType), "l_linenumber" -> exact(IntegerType),
         "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
         "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
         "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
-        "l_shipdate" -> ts),
+        "l_shipdate" -> tsStrict),
       "events" -> Seq("event_id" -> exact(LongType), "ts" -> ts,
         "user_id" -> exact(LongType), "event_type" -> exact(StringType),
         "value" -> exact(DoubleType), "props" -> exact(StringType)),
@@ -79,6 +84,23 @@ class DriverContractSpec extends AnyFunSuite {
     assert(drift.isEmpty,
       "testdata schema drifted — update EventTime/the affected queries AND " +
         "their DuckDB oracles in lockstep:\n" + drift.mkString("\n"))
+  }
+
+  test("testdata drift: documents.text is pure ASCII (mm_features oracle assumption)") {
+    import org.apache.spark.sql.functions._
+    // The mm_features DuckDB oracle equates characters with bytes
+    // (string_split + ascii(c) % 8, n = octet_length) — valid ONLY while
+    // documents.text is pure ASCII (char count == byte count, code point
+    // == byte). A testdata regeneration introducing non-ASCII text would
+    // silently diverge; fail loudly here instead.
+    val nonAscii = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(length(col("text")) =!= octet_length(col("text")) ||
+        col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text — the mm_features oracle " +
+        "(bytes==chars) and byte_entropy DuckDB fold must be rewritten over " +
+        "encode(text) bytes before trusting hash compares")
   }
 
   test("q_sketch_distinct: HLL estimates stay inside the rsd bound of exact") {

@@ -23,10 +23,14 @@ def canon(df):
     return df
 
 n_pass = n_fail = 0
-for name in sorted(set(sql) | set(glob.glob(f"{out_dir}/*/") and [])):
+out_names = {p.rstrip("/").rsplit("/", 1)[-1] for p in glob.glob(f"{out_dir}/*/")}
+for name in sorted(set(sql) | set(errors) | out_names):
     if name in errors:
         print(f"{name}: ERR {errors[name][:120]}")
         n_fail += 1
+        continue
+    if name not in sql:
+        print(f"{name}: NO_ORACLE (spark output present, no oracle SQL)")
         continue
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:

@@ -40,6 +40,18 @@ final case class AngleHint(p: Int) extends PartitionHint
  */
 object SkylineOps {
 
+  /** Default occupied-grid-cell cap for [[GridHint]]'s plan-time prune:
+    * 2^20 cells ≈ 8 MB of Long keys on the driver — far beyond any grid a
+    * sane hint produces (b <= 12 in practice ⇒ thousands of cells), small
+    * enough that the pre-pass collect can never OOM the driver. Override
+    * per session with `spark.graft.skyline.maxGridCells`. */
+  val DefaultMaxGridCells: Int = 1 << 20
+
+  private[operators] def configuredMaxGridCells(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.skyline.maxGridCells")
+      .map(_.toInt).getOrElse(DefaultMaxGridCells)
+
   /** Lossless dimension-value <-> double codecs per column type. Timestamps
     * go through microseconds (exact in a double up to year ~2255); dates
     * through epoch days. Integral/double types are exact below 2^53. */
@@ -325,7 +337,20 @@ object SkylineOps {
           // reference's geometric best-cell prune is unsound on sparse data.
           // Keys stay Long end-to-end: truncating to Int would corrupt the
           // kept-set for b^d > 2^31 and silently drop cells.
-          val occupied = keyed.select("_k").distinct().collect().map(_.getLong(0))
+          // The occupied-cell collect is bounded by b^d in every sane use
+          // (b <= 12), but b^d only has to fit a Long, so a pathological
+          // hint (say b=8, d=12) could pull an unbounded set onto the
+          // driver. limit(cap+1) bounds what the driver can ever hold and
+          // the overflow fails with the tuning knob named, same contract
+          // as the skyline buffer cap.
+          val cellCap = SkylineOps.configuredMaxGridCells(df.sparkSession)
+          val occupied = keyed.select("_k").distinct().limit(cellCap + 1)
+            .collect().map(_.getLong(0))
+          if (occupied.length > cellCap) throw new IllegalStateException(
+            s"GridHint($b) over ${dims.length} dims has more than $cellCap occupied " +
+              s"cells (spark.graft.skyline.maxGridCells): the plan-time prune would " +
+              s"collect an unbounded cell set onto the driver. Lower b, raise the " +
+              s"cap, or use NoHint/AngleHint (partial aggregation needs no grid).")
           val kept = SkylineCore.keptOccupiedKeys(minDir, b, occupied.toSeq)
           twoStage(keyed.filter(col("_k").isin(kept: _*)))
 

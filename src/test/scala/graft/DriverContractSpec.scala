@@ -103,6 +103,27 @@ class DriverContractSpec extends AnyFunSuite {
         "encode(text) bytes before trusting hash compares")
   }
 
+  test("probabilistic-operator gate queries: every gate boolean is earned (true)") {
+    // These 8 queries emit deterministic (count, boolean-gate) rows whose
+    // DuckDB oracles expect constant `true` — assert here that the Spark
+    // side actually earns them at sf0.001, so a recall regression fails
+    // this suite before it ever reaches the driver's hash compare.
+    val gated = Seq("dedup_minhash", "dedup_simhash", "dedup_semantic",
+      "dedup_cross", "sim_pairs_lsh", "ann_ivf", "ann_topk_q8",
+      "q_sketch_distinct")
+    val failures = gated.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val boolCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.BooleanType => f.name
+      }
+      assert(boolCols.nonEmpty, s"$name: gate query has no boolean gate columns")
+      df.collect().toSeq.flatMap(r => boolCols.toSeq.collect {
+        case c if !r.getAs[Boolean](c) => s"$name.$c is false (row $r)"
+      })
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("q_sketch_distinct: HLL estimates stay inside the rsd bound of exact") {
     import org.apache.spark.sql.functions._
     // the sketch query has no SQL oracle (HLL registers are

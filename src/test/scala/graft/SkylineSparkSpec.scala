@@ -64,6 +64,25 @@ class SkylineSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("grid-cell cap trips loudly when a pathological hint occupies too many cells") {
+    val df = randomDf(2000, 2, seed = 7)
+    val dims = Seq("x1" -> Min, "x2" -> Min)
+    // GridHint(9) over 2000 random 2-D points occupies far more than 8
+    // cells; with the cap forced down, the plan-time prune must refuse to
+    // collect the occupied-cell set instead of pulling it onto the driver
+    spark.conf.set("spark.graft.skyline.maxGridCells", "8")
+    try {
+      val e = intercept[IllegalStateException] {
+        df.skyline(dims, hint = GridHint(9)).collect()
+      }
+      assert(e.getMessage.contains("maxGridCells"))
+      assert(e.getMessage.contains("occupied"))
+    } finally spark.conf.unset("spark.graft.skyline.maxGridCells")
+    // and with the default cap the same plan is green and correct
+    assert(df.skyline(dims, hint = GridHint(9)).collect().map(_.toSeq).toSet ==
+      df.skyline(dims).collect().map(_.toSeq).toSet)
+  }
+
   test("buffer cap trips loudly when the frontier exceeds it, never silently") {
     import spark.implicits._
     // a perfect 2-D anti-chain: every point is on the frontier

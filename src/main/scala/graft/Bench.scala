@@ -34,6 +34,17 @@ object Bench {
     // of 3 defends the number. SPARK_GRAFT_RUNS=1 restores the old
     // single-shot behavior for quick local iteration.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // Sub-second queries are where the phantom swings live (r6: two
+    // queries read 5-20x slower on UNTOUCHED code in the driver session,
+    // then re-measured clean) — a short run is hostage to a single
+    // load burst, and median-of-3 still loses when 2 of 3 runs land in
+    // the burst. Queries whose median is under this threshold re-run to
+    // `extraRuns` total and report the median of ALL runs: the extra
+    // cost is bounded by the threshold itself (sub-second queries only),
+    // so the suite total barely moves while the tail gets 7 samples.
+    val subSecondThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_SUBSEC_THRESHOLD", "1.0").toDouble
+    val extraRuns = sys.env.getOrElse("SPARK_GRAFT_SUBSEC_RUNS", "7").toInt.max(runs)
     // SPARK_GRAFT_ONLY="a,b,c" restricts the suite — local iteration only
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only match {
@@ -54,18 +65,25 @@ object Bench {
           spark.catalog.clearCache()
         }
         var failure: Option[Throwable] = None
-        val times = (1 to runs).iterator.takeWhile(_ => failure.isEmpty).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case e: Throwable => failure = Some(e) }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache() // timed pair finders pin caches too
-          elapsed
-        }.toVector
+        def timedRuns(n: Int): Vector[Double] =
+          (1 to n).iterator.takeWhile(_ => failure.isEmpty).map { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case e: Throwable => failure = Some(e) }
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache() // timed pair finders pin caches too
+            elapsed
+          }.toVector
+        def median(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
+        val first = timedRuns(runs)
+        val times =
+          if (failure.isEmpty && median(first) < subSecondThreshold && extraRuns > runs)
+            first ++ timedRuns(extraRuns - runs)
+          else first
         failure match {
           case Some(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
             name -> Left("err")
-          case None => name -> Right(times.sorted.apply(times.size / 2))
+          case None => name -> Right(median(times))
         }
       }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000

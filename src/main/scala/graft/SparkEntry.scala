@@ -87,6 +87,15 @@ object SparkEntry {
         .as(recallGateName))
   }
 
+  /** Fixed BPE merge list for q_bpe_encode, applied in order — a literal
+    * (not trained) so the DuckDB oracle can share it verbatim and a
+    * testdata regeneration cannot invalidate it. Chained multi-level
+    * merges (t+h -> th+e, i+n -> in+g) exercise rank-order application. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t", "o" -> "u",
+    "i" -> "s", "in" -> "g")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     t(spark, "/root/testdata/sf0.001", "lineitem")
@@ -418,6 +427,19 @@ object SparkEntry {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n_occurrences").desc, col("token").asc)).cast("long"))
         .filter(col("rank") <= 1000)),
+    "q_bpe_encode" -> ((s, dir) =>
+      // tokenizer APPLY: encode every word with a fixed merge list (the
+      // literal below is shared verbatim with the DuckDB oracle, which
+      // re-runs the identical delimited-replace chain). Per-doc summary:
+      // word count, encoded token count, and the first word's encoding
+      // (content-bearing, order-anchored by min_by on position). The
+      // merge chain runs on the DISTINCT-word frame only; trained merge
+      // tables plug in via PipelineOps.collectMerges(bpeTrain(...)).
+      PipelineOps.bpeEncode(t(s, dir, "documents"), "doc_id", "text", bpeMerges)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_word_tokens")).as("n_tokens"),
+          min_by(col("enc"), col("pos")).as("enc_first"))),
     "q_bpe_pairs" -> ((s, dir) =>
       // tokenizer-training prep (one BPE merge-selection step): corpus
       // frequencies of ADJACENT token pairs, top-200 deterministically.
@@ -1399,6 +1421,28 @@ object SparkEntry {
            |    row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
            |  FROM c)
            |WHERE rank <= 1000""".stripMargin,
+      "q_bpe_encode" -> {
+        // the identical delimited-replace chain bpeEncode codegens,
+        // built from the same bpeMerges literal: chr(2)tok-chr(3) per
+        // symbol, one literal replace per merge in rank order
+        val chain = bpeMerges.foldLeft(
+          """regexp_replace(w, '(.)', chr(2) || '\1' || chr(3), 'g')""") {
+          case (acc, (l, r)) =>
+            s"replace($acc, chr(2) || '$l' || chr(3) || chr(2) || '$r' || chr(3), " +
+              s"chr(2) || '$l$r' || chr(3))"
+        }
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |w AS (SELECT doc_id, unnest(toks) AS w,
+           |             generate_subscripts(toks, 1) AS pos FROM t),
+           |e AS (SELECT doc_id, pos,
+           |        translate(replace($chain, chr(3) || chr(2), ' '),
+           |          chr(2) || chr(3), '') AS enc
+           |      FROM w)
+           |SELECT doc_id, count(*)::BIGINT AS n_words,
+           |  sum(len(string_split(enc, ' ')))::BIGINT AS n_tokens,
+           |  arg_min(enc, pos) AS enc_first
+           |FROM e GROUP BY doc_id""".stripMargin
+      },
       "q_bpe_pairs" ->
         s"""WITH p AS (SELECT unnest(list_transform(generate_series(1, len(t.toks) - 1),
            |             i -> t.toks[i] || ' ' || t.toks[i+1])) AS pair

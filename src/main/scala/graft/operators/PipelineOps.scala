@@ -382,6 +382,65 @@ object PipelineOps {
         concat(col("left"), col("right")).as("merged"), col("pair_freq"))
   }
 
+  /** Collect a trained merge table ([[bpeTrain]] output) into the ordered
+    * (left, right) list [[bpeEncode]] applies. Driver state is the merge
+    * table only — numMerges rows, the kmeans-centroid trade. */
+  def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy("rank").collect().toSeq
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+
+  /**
+   * Apply a BPE merge list corpus-wide — the tokenizer-APPLY closure of
+   * [[bpeTrain]]: each word's characters are merged by each
+   * (left, right) rule in rank order, leftmost-first and
+   * non-overlapping within a rule — exactly the trainer's internal merge
+   * semantics (gated merge-for-merge in the spec). Output one row per
+   * word occurrence: (`idCol`, pos, word, enc, n_word_tokens), with
+   * `enc` the encoded word as space-joined tokens.
+   *
+   * Shape at 100 TB: the merge chain runs once per DISTINCT word (the
+   * vocabulary-sized frame), never per occurrence — the corpus-sized
+   * exploded frame only equi-joins the encoded vocabulary back
+   * (AQE-skew-splittable on stopword hot words). The per-word encoding
+   * is a chain of codegen'd literal `replace` calls over a
+   * control-char-delimited symbol string (\u0002tok\u0003 per symbol): a
+   * pattern match consumes exactly two whole delimited tokens, so
+   * literal replace's leftmost-scan-resume-after semantics IS the greedy
+   * merge — no interpreted higher-order fold per row, and the identical
+   * chain is expressible in any engine with `replace` (the DuckDB
+   * oracle runs it verbatim).
+   *
+   * Contract: merge symbols must be non-empty, whitespace-free, and free
+   * of the \u0002/\u0003 delimiters (trained merges satisfy this by
+   * construction — symbols descend from whitespace-split tokens).
+   */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "empty merge list (train with bpeTrain first)")
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty, s"empty merge symbol in ($l, $r)")
+      require(!(l + r).exists(c => c.isWhitespace || c == '\u0002' || c == '\u0003'),
+        s"merge symbols must be whitespace/delimiter-free: ($l, $r)")
+    }
+    val exploded = df.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol))).as(Seq("_pos", "_w")))
+    val wrapped = regexp_replace(col("_w"), "(.)", "\u0002$1\u0003")
+    val mergedStr = merges.foldLeft(wrapped) { case (acc, (l, r)) =>
+      call_function("replace", acc,
+        lit("\u0002" + l + "\u0003\u0002" + r + "\u0003"),
+        lit("\u0002" + l + r + "\u0003"))
+    }
+    val enc = translate(
+      call_function("replace", mergedStr, lit("\u0003\u0002"), lit(" ")),
+      "\u0002\u0003", "")
+    val encoded = exploded.select(col("_w")).distinct()
+      .select(col("_w"), enc.as("_enc"))
+      .withColumn("_n", size(split(col("_enc"), " ")).cast("long"))
+    exploded.join(encoded, "_w")
+      .select(col(idCol), col("_pos").as("pos"), col("_w").as("word"),
+        col("_enc").as("enc"), col("_n").as("n_word_tokens"))
+  }
+
   /**
    * Per-document novelty scoring — the information-gain curation signal:
    * the fraction of a document's distinct word `n`-grams that no

@@ -1,0 +1,134 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Direction
+import graft.core.Direction.Min
+import graft.operators._
+import graft.operators.SkylineOps._
+
+/**
+ * The scale-grid evidence as a checked-in JSON artifact (the prose
+ * numbers from SURVEY §8, made machine-readable like BENCH_r{N}):
+ * the BASELINE.md uniform grid head-to-head, the d=2 hint variants,
+ * the d=10 n=10^7 correlated/anti-correlated rows, and the k-skyband
+ * heavy grid. Every entry records its outcome explicitly — `ok` with
+ * seconds+size, or `cap_trip` where the REQUIRED behavior on
+ * frontier-heavy data is the loud buffer-cap failure (never an OOM).
+ *
+ * Usage: runMain graft.tools.SkyBenchJson [outPath]
+ */
+object SkyBenchJson {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("SKYBENCH_r7.json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def uniform(n: Long, d: Int): DataFrame = {
+      val cols = (1 to d).map(i =>
+        floor(rand(seed = i) * 1e9).cast("long").as(s"x$i"))
+      spark.range(n).select(cols: _*)
+    }
+    // positively correlated: one latent score per row, dims = score +
+    // small noise — everything dominates/is dominated along the diagonal,
+    // so the frontier is tiny (the benign high-d shape)
+    def correlated(n: Long, d: Int): DataFrame = {
+      val base = (rand(seed = 999) * 1e9).as("_b")
+      val withBase = spark.range(n).select(base)
+      withBase.select((1 to d).map(i =>
+        floor(col("_b") * 0.9 + rand(seed = i) * 1e8).cast("long").as(s"x$i")): _*)
+    }
+    // anti-correlated: points near the plane sum(x_i) ~ const, where
+    // almost nothing dominates anything — frontier ~ n, THE 100 TB risk
+    def anti(n: Long, d: Int): DataFrame = {
+      val raw = (1 to d).map(i => rand(seed = 100 + i).as(s"u$i"))
+      val tot = (1 to d).map(i => col(s"u$i")).reduce(_ + _)
+      spark.range(n).select(raw: _*)
+        .select((1 to d).map(i => (col(s"u$i") / tot * 1e9).as(s"x$i")): _*)
+    }
+    def dims(d: Int): Seq[(String, Direction)] =
+      (1 to d).map(i => s"x$i" -> (Min: Direction))
+
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(name: String, n: Long, d: Int, kind: String, extra: String,
+        cap: Option[Int])(run: => Long): Unit = {
+      cap.foreach(c => spark.conf.set("spark.graft.skyline.maxBufferPoints", c.toString))
+      val t0 = System.nanoTime()
+      val res = try Right(run) catch {
+        case e: Exception if Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .exists(t => String.valueOf(t.getMessage).contains("maxBufferPoints")) =>
+          Left("cap_trip")
+      }
+      val dt = math.rint((System.nanoTime() - t0) / 1e9 * 100) / 100
+      cap.foreach(_ => spark.conf.unset("spark.graft.skyline.maxBufferPoints"))
+      val capJson = cap.map(c => s""","cap":$c""").getOrElse("")
+      val e = res match {
+        case Right(size) =>
+          s"""{"name":"$name","n":$n,"d":$d,"kind":"$kind"$extra$capJson,"outcome":"ok","seconds":$dt,"result_rows":$size}"""
+        case Left(tag) =>
+          s"""{"name":"$name","n":$n,"d":$d,"kind":"$kind"$extra$capJson,"outcome":"$tag","seconds":$dt}"""
+      }
+      entries += e
+      System.err.println(s"[skybench] $e")
+    }
+
+    // 1. BASELINE.md uniform grid (reference: 12-core YARN cluster +
+    // Kafka relay; here: one local[32] JVM on parquet-free generated data)
+    for ((n, d) <- Seq((100000L, 2), (100000L, 5), (100000L, 7),
+        (1000000L, 2), (1000000L, 5), (1000000L, 7),
+        (10000000L, 2), (10000000L, 3))) {
+      val df = uniform(n, d)
+      record("uniform", n, d, "skyline", "", None)(df.skyline(dims(d)).count())
+    }
+    // d=7 n=1e7: the reference's 47-minute MR_ANGLE point
+    record("uniform", 10000000L, 7, "skyline", ""","hint":"angle2"""", None)(
+      uniform(10000000L, 7).skyline(dims(7), hint = AngleHint(2)).count())
+
+    // 2. hint variants at n=1e7 d=2 (reference Table 1 hyperparameters)
+    val df2 = uniform(10000000L, 2)
+    for ((h, label) <- Seq(DimHint(12) -> "dim12", GridHint(7) -> "grid7",
+        AngleHint(12) -> "angle12")) {
+      record("uniform", 10000000L, 2, "skyline", s""","hint":"$label"""", None)(
+        df2.skyline(dims(2), hint = h, bounds = Some(Seq.fill(2)((0.0, 1e9)))).count())
+    }
+
+    // 3. d=10 at n=1e7: correlated completes (tiny frontier); the
+    // anti-correlated frontier approaches n, so the REQUIRED outcome
+    // under a consumer-sized cap is the loud trip — recorded as such
+    record("correlated", 10000000L, 10, "skyline", "", None)(
+      correlated(10000000L, 10).skyline(dims(10)).count())
+    record("anti", 100000L, 10, "skyline", "", None)(
+      anti(100000L, 10).skyline(dims(10)).count())
+    record("anti", 10000000L, 10, "skyline", "", Some(100000))(
+      anti(10000000L, 10).skyline(dims(10)).count())
+
+    // 4. k-skyband heavy grid (presort on — the auto heuristic at d >= 5)
+    val d7u = uniform(200000L, 7)
+    val d10a = anti(100000L, 10).limit(20000)
+    for (k <- Seq(2, 8)) {
+      record("uniform", 200000L, 7, "kskyband", s""","k":$k""", None)(
+        d7u.kSkyband(dims(7), k = k).count())
+      record("anti", 20000L, 10, "kskyband", s""","k":$k""", None)(
+        d10a.kSkyband(dims(10), k = k).count())
+    }
+    // the verdict-shape worst case under a consumer-sized cap
+    record("anti", 100000L, 10, "kskyband", ""","k":8""", Some(20000))(
+      anti(100000L, 10).kSkyband(dims(10), k = 8).count())
+
+    val json =
+      s"""{"artifact":"skybench","master":"local[32]","baseline":"BASELINE.md (12-core YARN cluster, Spark 3.3 + Kafka relay)",
+         |"entries":[
+         |${entries.mkString(",\n")}
+         |]}""".stripMargin
+    Files.writeString(Paths.get(outPath), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -265,6 +265,86 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncode applies merges leftmost-greedy like the reference encoder") {
+    import spark.implicits._
+    // reference apply: the same greedy loop the trainer spec uses —
+    // per rule in order, leftmost-first, non-overlapping
+    def refApply(w: String, merges: Seq[(String, String)]): Vector[String] = {
+      var syms = w.split("").toVector
+      for ((l, r) <- merges) {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms
+    }
+    // run-overlap cases (aaa/aaaa/aaaaa with a+a then aa+a), chained
+    // merges (t+h -> th+e), and single-char words
+    val merges = Seq("a" -> "a", "aa" -> "a", "t" -> "h", "th" -> "e", "e" -> "r")
+    val texts = Seq(
+      1L -> "aaa aaaa aaaaa the ther there thethe a",
+      2L -> "aa the her x")
+    val corpus = texts.toDF("id", "text")
+    val got = PipelineOps.bpeEncode(corpus, "id", "text", merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4))))
+      .toMap
+    for ((id, text) <- texts; (w, i) <- text.split(" ").zipWithIndex) {
+      val want = refApply(w, merges)
+      val (gw, genc, gn) = got((id, i))
+      assert(gw == w)
+      assert(genc == want.mkString(" "), s"word '$w': got '$genc', want '${want.mkString(" ")}'")
+      assert(gn == want.size.toLong, s"word '$w' token count")
+    }
+    assert(got.size == texts.map(_._2.split(" ").length).sum)
+    intercept[IllegalArgumentException] {
+      PipelineOps.bpeEncode(corpus, "id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps.bpeEncode(corpus, "id", "text", Seq("a" -> "b c"))
+    }
+  }
+
+  test("bpeEncode with trained merges reproduces the trainer's next pick (closure)") {
+    import spark.implicits._
+    // train k merges, encode the corpus with them, and the weighted top
+    // adjacent pair of the ENCODED corpus must equal the (k+1)-th merge
+    // the trainer itself picks — encode-side state == trainer-side state.
+    val corpus = Seq(
+      "low low low lower lower lowest",
+      "new newer newest new new",
+      "low new wide wider").toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val trained = PipelineOps.bpeTrain(corpus, "text", numMerges = 12, minPairFreq = 2L)
+      .orderBy("rank").collect()
+    assert(trained.length >= 4, "corpus must learn at least 4 merges")
+    val k = 3
+    val firstK = trained.take(k).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(PipelineOps.collectMerges(
+      PipelineOps.bpeTrain(corpus, "text", numMerges = k, minPairFreq = 2L))
+      == firstK, "collectMerges round-trips the trained table in rank order")
+    val enc = PipelineOps.bpeEncode(corpus, "id", "text", firstK)
+    val top = enc.select(split(col("enc"), " ").as("syms"))
+      .select(explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l").asc, col("r").asc)
+      .limit(1).collect()(0)
+    assert((top.getString(0), top.getString(1)) ==
+      ((trained(k).getString(1), trained(k).getString(2))),
+      s"encoded-state top pair ${(top.getString(0), top.getString(1))} != " +
+        s"trainer merge ${k + 1} ${(trained(k).getString(1), trained(k).getString(2))}")
+  }
+
   test("noveltyScore: hand-computed novelty, short docs absent, partition-independent") {
     import spark.implicits._
     // doc 1: shingles {a b c, b c d}; doc 2 repeats {a b c} and adds

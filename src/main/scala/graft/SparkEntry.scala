@@ -430,16 +430,16 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) =>
       // tokenizer APPLY: encode every word with a fixed merge list (the
       // literal below is shared verbatim with the DuckDB oracle, which
-      // re-runs the identical delimited-replace chain). Per-doc summary:
-      // word count, encoded token count, and the first word's encoding
-      // (content-bearing, order-anchored by min_by on position). The
-      // merge chain runs on the DISTINCT-word frame only; trained merge
-      // tables plug in via PipelineOps.collectMerges(bpeTrain(...)).
+      // re-runs the identical delimited-replace chain). Output at the
+      // per-word-occurrence grain — EVERY word's encoding hash-compares,
+      // and the plan stays aggregation-free (explode -> vocab join ->
+      // project; a per-doc min_by(enc, pos) roll-up would drag a string
+      // through the agg buffer and force a SortAggregate). pos aligns to
+      // DuckDB's 1-based generate_subscripts. Trained merge tables plug
+      // in via PipelineOps.collectMerges(bpeTrain(...)).
       PipelineOps.bpeEncode(t(s, dir, "documents"), "doc_id", "text", bpeMerges)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_word_tokens")).as("n_tokens"),
-          min_by(col("enc"), col("pos")).as("enc_first"))),
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("word"), col("enc"), col("n_word_tokens"))),
     "q_bpe_pairs" -> ((s, dir) =>
       // tokenizer-training prep (one BPE merge-selection step): corpus
       // frequencies of ADJACENT token pairs, top-200 deterministically.
@@ -490,6 +490,14 @@ object SparkEntry {
           n = 3, candidateThreshold = 0.5, maxDistance = 5)
         .select(col("id1"), col("id2"), col("jaccard"),
           col("edit_dist").cast("long").as("edit_dist"))),
+    "dedup_contain" -> ((s, dir) =>
+      // asymmetric containment: ordered pairs where >= 60% of id1's
+      // trigrams appear in id2 — subset/quote detection the symmetric
+      // Jaccard misses (a paragraph quoted in a long doc has near-zero
+      // Jaccard). Prefix filter probes the full inverted index with each
+      // doc's RAREST (1-t) shingle fraction; exact verify on the sliver.
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "dedup_best" -> ((s, dir) => {
@@ -1025,6 +1033,18 @@ object SparkEntry {
       PipelineOps.quantileBuckets(t(s, dir, "documents"), "doc_id",
           "n_chars", k = 8, exact = true)
         .select(col("doc_id"), col("n_chars"), col("bucket"))),
+    "q_winsorize" -> ((s, dir) =>
+      // per-group outlier clamping to the [p1, p99] percentiles: cuts
+      // reduce to two doubles per group and broadcast back; the clamp is
+      // map-side least/greatest — the corpus never shuffles. Exact mode
+      // for oracle parity; the sketch mode is the 100 TB path.
+      PipelineOps.winsorizeBy(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", pLo = 0.01, pHi = 0.99, exact = true)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_extendedprice_w"))),
     "q_mix_budget" -> ((s, dir) =>
       // mixture-to-budget: 10k char budget split 50/30/20 across three
       // sources; per-source totals exceed every allocation, so all
@@ -1433,15 +1453,13 @@ object SparkEntry {
         }
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |w AS (SELECT doc_id, unnest(toks) AS w,
-           |             generate_subscripts(toks, 1) AS pos FROM t),
-           |e AS (SELECT doc_id, pos,
-           |        translate(replace($chain, chr(3) || chr(2), ' '),
-           |          chr(2) || chr(3), '') AS enc
-           |      FROM w)
-           |SELECT doc_id, count(*)::BIGINT AS n_words,
-           |  sum(len(string_split(enc, ' ')))::BIGINT AS n_tokens,
-           |  arg_min(enc, pos) AS enc_first
-           |FROM e GROUP BY doc_id""".stripMargin
+           |             generate_subscripts(toks, 1) AS pos FROM t)
+           |SELECT doc_id, pos::BIGINT AS pos, w AS word,
+           |  translate(replace($chain, chr(3) || chr(2), ' '),
+           |    chr(2) || chr(3), '') AS enc,
+           |  len(string_split(translate(replace($chain, chr(3) || chr(2), ' '),
+           |    chr(2) || chr(3), ''), ' '))::BIGINT AS n_word_tokens
+           |FROM w""".stripMargin
       },
       "q_bpe_pairs" ->
         s"""WITH p AS (SELECT unnest(list_transform(generate_series(1, len(t.toks) - 1),
@@ -1492,6 +1510,17 @@ object SparkEntry {
       "dedup_jaccard" ->
         s"""WITH $jaccardCtes
            |SELECT id1, id2, jaccard FROM good""".stripMargin,
+      "dedup_contain" ->
+        s"""WITH t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
+           |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM tt),
+           |sz AS (SELECT doc_id, len(sh) AS sz FROM tt),
+           |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::DOUBLE AS inter
+           |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id1, id2, inter / s1.sz AS containment
+           |FROM pairs JOIN sz s1 ON s1.doc_id = id1
+           |WHERE inter / s1.sz >= 0.6""".stripMargin,
       "dedup_editdist" ->
         s"""WITH $jaccardCtes
            |SELECT id1, id2, jaccard,
@@ -1929,6 +1958,18 @@ object SparkEntry {
           |  list_sum(list_transform(c.cuts,
           |    x -> CASE WHEN n_chars::DOUBLE > x THEN 1 ELSE 0 END))::INT AS bucket
           |FROM documents, c""".stripMargin,
+      "q_winsorize" ->
+        // quantile_cont interpolates exactly like Spark percentile (the
+        // q_quantile_bins device); the clamp is one least/greatest of
+        // exact doubles on both engines
+        """WITH c AS (SELECT l_returnflag,
+          |    quantile_cont(l_extendedprice::DOUBLE, 0.01) AS lo,
+          |    quantile_cont(l_extendedprice::DOUBLE, 0.99) AS hi
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+          |  l.l_extendedprice,
+          |  least(greatest(l.l_extendedprice::DOUBLE, c.lo), c.hi) AS l_extendedprice_w
+          |FROM lineitem l JOIN c USING (l_returnflag)""".stripMargin,
       "q_mix_budget" ->
         // fraction = min(1, budget*w / units); threshold = floor(f*16^8)
         // as 8 lowercase hex chars — the md5 device with data-dependent

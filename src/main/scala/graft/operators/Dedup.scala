@@ -169,6 +169,62 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT pairs: one row per ORDERED pair (id1, id2)
+   * with C(1→2) = |sh1 ∩ sh2| / |sh1| >= `threshold` — "id1's content is
+   * (mostly) inside id2". The subset/quote-detection operator symmetric
+   * Jaccard structurally misses: a paragraph quoted inside a long
+   * document has high containment but near-zero Jaccard (the union is
+   * dominated by the long side). Both directions emit independently
+   * (A⊂B does not imply B⊂A).
+   *
+   * Prefix filtering adapts from [[jaccardPairs]]'s AllPairs machinery:
+   * C(1→2) >= t forces a shared shingle within id1's first
+   * |sh1| - ceil(t·|sh1|) + 1 shingles in ascending global-frequency
+   * order, with NO prefix bound on the contain-er side — so the probe
+   * prefix joins the FULL inverted index. That stays narrow because a
+   * prefix holds each document's (1-t) fraction RAREST shingles: a
+   * corpus-hot shingle almost never appears in any prefix, so candidate
+   * width is Σ_s df_prefix(s)·df(s) with df_prefix(s) small exactly
+   * where df(s) is large. The size filter |sh2| >= ceil(t·|sh1|)
+   * (intersection can't exceed |sh2|) prunes before the verify, which
+   * computes the exact containment on the candidate sliver only.
+   *
+   * EAGER like [[jaccardPairs]]: result materialized and persisted,
+   * internal shingle cache released — `unpersist()` when looping.
+   */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val docs = shingledHashed(df, idCol, textCol, n).cache()
+    val ex = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select(col("id").as("id1"), col("sz").as("sz1"), col("s"))
+    val index = ex.select(col("id").as("id2"), col("sz").as("sz2"), col("s"))
+    val cands = prefix.join(index, Seq("s"))
+      .filter(col("id1") =!= col("id2") &&
+        col("sz2") >= ceil(lit(threshold) * col("sz1")))
+      .select("id1", "id2")
+    val d1 = docs.select(col("id").as("id1"), col("sh").as("sh1"))
+    val d2 = docs.select(col("id").as("id2"), col("sh").as("sh2"))
+    val out = cands
+      .join(d1, "id1").join(d2, "id2")
+      .withColumn("containment",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("sh1"), col("sh2"))
+          .cast("double") / size(col("sh1")))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("containment"))
+      .distinct() // candidates arrive with duplicates, like verifyJaccard
+    materializeThenRelease(out, docs)
+  }
+
+  /**
    * Edit-distance verified near-dup pairs — the candidate-then-verify
    * composition for fuzzy dedup when the retention policy is phrased in
    * edits ("differ by at most k characters"), not set overlap: exact

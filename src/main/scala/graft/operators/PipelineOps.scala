@@ -566,6 +566,41 @@ object PipelineOps {
   }
 
   /**
+   * Winsorize a numeric column PER GROUP: clamp values below/above the
+   * group's [pLo, pHi] interpolated percentiles to the boundary — the
+   * standard outlier-taming step before loss-weighted sampling or
+   * feature standardization (a crawl's pathological 100 MB "document"
+   * stops dominating a mean; the clamped column appends as
+   * `<valueCol>_w`, originals untouched).
+   *
+   * Shape at 100 TB: per-group cut points reduce to a TWO-double row per
+   * group (mergeable percentile aggregate — `approx_percentile`'s
+   * fixed-memory sketch by default, the exact interpolated form when
+   * `exact` for oracle parity), broadcast back, clamp map-side with
+   * least/greatest — the corpus itself never shuffles.
+   */
+  def winsorizeBy(df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Double, pHi: Double, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(!df.columns.contains("_lo") && !df.columns.contains("_hi"),
+      "df already has a _lo/_hi column; rename it first")
+    val wCol = s"${valueCol}_w"
+    require(!df.columns.contains(wCol), s"df already has a '$wCol' column")
+    val v = col(valueCol).cast("double")
+    val cuts =
+      if (exact) df.groupBy(col(keyCol))
+        .agg(percentile(v, lit(pLo)).as("_lo"), percentile(v, lit(pHi)).as("_hi"))
+      else df.groupBy(col(keyCol))
+        .agg(approx_percentile(v, lit(pLo), lit(accuracy)).as("_lo"),
+          approx_percentile(v, lit(pHi), lit(accuracy)).as("_hi"))
+    df.join(broadcast(cuts), keyCol)
+      .withColumn(wCol, least(greatest(v, col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
+  /**
    * BM25 relevance of every document against a small query-term set —
    * the retrieval primitive for targeted corpus curation ("find docs
    * about X to upweight/inspect"). Lucene's non-negative idf variant:

@@ -16,6 +16,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$dir/documents.parquet")
   private def embs = spark.read.parquet(s"$dir/embeddings.parquet")
 
+  test("containmentPairs: brute-force equality, asymmetry, and quote detection") {
+    import spark.implicits._
+    // doc 20 is a paragraph QUOTED inside long doc 21: containment(20→21)
+    // is 1.0 while the Jaccard is far below any useful threshold — the
+    // case the operator exists for
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val long = ("x" + (1 to 40).map(i => s"w$i").mkString(" ", " ", " ") +
+      quote + (41 to 80).map(i => s"w$i").mkString(" ", " ", ""))
+    val corpus = Seq(
+      (20L, quote), (21L, long),
+      (22L, "alpha beta gamma delta epsilon eta"),
+      (23L, "one two three four five six seven"),
+      (24L, "one two three four five six seven")) // exact dup of 23
+    val df = corpus.toDF("doc_id", "text")
+    val t = 0.8
+    def shingles(s: String): Set[Seq[String]] =
+      s.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.toSeq).toSet
+    val sh = corpus.map { case (id, s) => id -> shingles(s) }.toMap
+    val want = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b && sa.nonEmpty
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= t
+    } yield (a, b)).toSet
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3, threshold = t)
+    val gotPairs = got.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == want, s"got $gotPairs want $want")
+    assert(gotPairs.contains((20L, 21L)), "quoted paragraph must be detected")
+    assert(!gotPairs.contains((21L, 20L)), "containment is asymmetric")
+    assert(gotPairs.contains((23L, 24L)) && gotPairs.contains((24L, 23L)),
+      "exact duplicates contain each other both ways")
+    // emitted containments are the exact ratios
+    got.collect().foreach { r =>
+      val c = sh(r.getLong(0)).intersect(sh(r.getLong(1))).size.toDouble /
+        sh(r.getLong(0)).size
+      assert(math.abs(r.getDouble(2) - c) < 1e-12)
+    }
+    got.unpersist()
+    // randomized brute-force equality on the real corpus sample
+    val sample = docs.limit(120).cache()
+    val real = Dedup.containmentPairs(sample, "doc_id", "text", n = 3, threshold = 0.5)
+    val rsh = sample.collect().map { r =>
+      r.getAs[Long]("doc_id") -> shingles(r.getAs[String]("text"))
+    }.toMap
+    val rwant = (for {
+      (a, sa) <- rsh.toSeq; (b, sb) <- rsh.toSeq
+      if a != b && sa.nonEmpty
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.5
+    } yield (a, b)).toSet
+    assert(real.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == rwant)
+    real.unpersist(); sample.unpersist()
+  }
+
   test("minhash LSH pairs: exact precision, near-total recall on planted near-dups") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id1", "id2").collect().map(_.toSeq).toSet

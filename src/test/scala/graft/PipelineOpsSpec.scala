@@ -265,6 +265,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorizeBy clamps to per-group interpolated percentiles; sketch mode agrees") {
+    import spark.implicits._
+    // group a: 1..100 -> p10/p90 interpolate to 10.9 and 90.1
+    // group b: constant except one huge outlier -> outlier clamps to hi
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 99).map(_ => ("b", 5.0)) :+ ("b", 1e9)).toDF("k", "v")
+    val got = PipelineOps.winsorizeBy(df, "k", "v", 0.1, 0.9, exact = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // read the interpolated cuts from the same aggregate the operator
+    // uses (p90 of 1..100 is 90.1 up to float representation — asserting
+    // a decimal literal would test the printer, not the clamp)
+    val Array(loA, hiA) = df.filter(col("k") === "a")
+      .agg(percentile(col("v"), lit(0.1)), percentile(col("v"), lit(0.9)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(loA - 10.9) < 1e-9 && math.abs(hiA - 90.1) < 1e-9)
+    val a = got.filter(_._1 == "a")
+    assert(a.forall { case (_, v, w) => w == math.min(math.max(v, loA), hiA) })
+    assert(a.count(_._3 == loA) == 10 && a.count(_._3 == hiA) == 10)
+    val b = got.filter(_._1 == "b")
+    // p90 of 99x5.0 + 1e9 interpolates between 5 and 5 -> 5.0; the
+    // outlier clamps down to it, everything else is untouched
+    assert(b.forall(_._3 == 5.0))
+    // original column is untouched
+    assert(got.count(_._2 == 1e9) == 1)
+    // sketch mode (the 100 TB path): approx_percentile returns an
+    // OBSERVED value at the rank, not an interpolation — read its cuts
+    // the same way and assert the identical clamp semantics around them
+    val Array(loS, hiS) = df.filter(col("k") === "a")
+      .agg(approx_percentile(col("v"), lit(0.1), lit(10000)),
+        approx_percentile(col("v"), lit(0.9), lit(10000)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(loS - 10.9) <= 1.0 && math.abs(hiS - 90.1) <= 1.0,
+      s"sketch cuts ($loS, $hiS) should land within one observation of exact")
+    val approx = PipelineOps.winsorizeBy(df, "k", "v", 0.1, 0.9)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(approx.filter(_._1 == "a").forall { case (_, v, w) =>
+      w == math.min(math.max(v, loS), hiS) })
+    assert(approx.filter(_._1 == "b").forall(_._3 == 5.0))
+    intercept[IllegalArgumentException] {
+      PipelineOps.winsorizeBy(df, "k", "v", 0.9, 0.1)
+    }
+  }
+
   test("bpeEncode applies merges leftmost-greedy like the reference encoder") {
     import spark.implicits._
     // reference apply: the same greedy loop the trainer spec uses —
@@ -308,6 +351,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       PipelineOps.bpeEncode(corpus, "id", "text", Seq("a" -> "b c"))
+    }
+  }
+
+  test("bpeEncode equals the reference encoder on random words and random merge lists") {
+    import spark.implicits._
+    // adversarial alphabet {a,b}: maximizes run-overlap and
+    // chained-merge interactions (aa, ab, aab...); merge lists are built
+    // progressively so later rules can reference earlier merged symbols,
+    // like real trained tables
+    def refApply(w: String, merges: Seq[(String, String)]): Vector[String] = {
+      var syms = w.split("").toVector
+      for ((l, r) <- merges) {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms
+    }
+    for (seed <- Seq(11L, 23L, 47L)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector.fill(60)(
+        (1 to (1 + rnd.nextInt(10))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString)
+      var symbols = Vector("a", "b")
+      val merges = Vector.newBuilder[(String, String)]
+      for (_ <- 1 to 6) {
+        val l = symbols(rnd.nextInt(symbols.length))
+        val r = symbols(rnd.nextInt(symbols.length))
+        merges += ((l, r))
+        symbols :+= (l + r)
+      }
+      val m = merges.result()
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+      val got = PipelineOps.bpeEncode(df, "id", "text", m)
+        .collect().map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4)))).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        val want = refApply(w, m)
+        assert(got(i.toLong)._1 == want.mkString(" "),
+          s"seed=$seed word='$w' merges=$m: got '${got(i.toLong)._1}', want '${want.mkString(" ")}'")
+        assert(got(i.toLong)._2 == want.size.toLong)
+      }
     }
   }
 

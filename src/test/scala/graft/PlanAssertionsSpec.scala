@@ -50,6 +50,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"small dimension joins must auto-broadcast without hints:\n$p")
   }
 
+  test("q_bpe_encode: aggregation-free join plan — no SortAggregate, no Window") {
+    // the encode chain must run on the DISTINCT-word frame (one
+    // partial/final hash aggregate) and join back; a per-doc roll-up
+    // carrying the encoded string through an agg buffer degrades to
+    // SortAggregate (strings are not hash-agg mutable-buffer types),
+    // and a window over doc_id would single-task hot documents
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("SortAggregate"), s"bpe encode must not sort-aggregate:\n$p")
+    assert(!p.contains("Window"), s"bpe encode must not use windows:\n$p")
+    assert(p.contains("HashAggregate"), s"vocab distinct must hash-aggregate:\n$p")
+  }
+
   test("skyline and top-k aggregates keep the partial/final split (map-side local results)") {
     val sky = plan("sky_li_2d")
     assert(sky.contains("partial_skyline"),

@@ -674,15 +674,17 @@ object SparkEntry {
       // sim_pairs computation, whose SQL the oracle re-runs for
       // n_exact). bits auto-size from the corpus count
       // (log2(n/targetBucketRows)) so bucket occupancy stays constant as
-      // n scales; 16 tables + 1-bit multi-probe recover recall at the
-      // moderate 0.3 threshold (measured 1.0 vs single-probe's 0.898 at
-      // identical signature cost). Precision 1.0 structurally (verified
-      // candidates); recall gated >= 0.9.
+      // n scales; 8 tables + 1-bit multi-probe recover recall at the
+      // moderate 0.3 threshold (measured 0.98-1.0 across sf0.001-sf0.1
+      // vs single-probe-16-table's 0.898, at half the signature cost —
+      // multi-probe buys the recall that table count otherwise would).
+      // Precision 1.0 structurally (verified candidates); recall gated
+      // >= 0.9.
       val e = t(s, dir, "embeddings")
       pairGate(
         Similarity.cosinePairs(e, "vec_id", "embedding", threshold = 0.3),
         Similarity.lshPairs(e, "vec_id", "embedding",
-          threshold = 0.3, dim = 64, tables = 16, targetBucketRows = 256,
+          threshold = 0.3, dim = 64, tables = 8, targetBucketRows = 256,
           multiProbe = true),
         "recall_ge_090", 0.9)
     }),
@@ -715,6 +717,14 @@ object SparkEntry {
       PipelineOps.assignSplits(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))),
+    "q_split_leakfree" -> ((s, dir) =>
+      // leakage-AWARE splits: the split is a pure md5 function of the
+      // near-dup CLUSTER id, so near-duplicates of a test doc can never
+      // land in train — the contamination a per-id split cannot prevent
+      PipelineOps.assignSplitsByCluster(t(s, dir, "documents"), "doc_id",
+          "text", Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1),
+          n = 3, threshold = 0.5)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("split"))),
     "q_mix_sources" -> ((s, dir) =>
       // dataset mixing: per-source keep fractions (upsample some sources,
       // drop the rest), deterministic via the same md5 device
@@ -1714,6 +1724,26 @@ object SparkEntry {
           |FROM (SELECT doc_id,
           |        substr(md5(doc_id::VARCHAR || ':graft'), 1, 8) AS h
           |      FROM documents)""".stripMargin,
+      "q_split_leakfree" ->
+        // the dedup_cluster recursive-CTE labeling + the q_split_assign
+        // md5 CASE device, keyed on the cluster label
+        s"""WITH RECURSIVE $jaccardCtes,
+           |edges AS (SELECT id1 AS a, id2 AS b FROM good
+           |          UNION ALL SELECT id2, id1 FROM good),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |labels AS (SELECT d.doc_id AS id,
+           |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |  GROUP BY d.doc_id)
+           |SELECT id AS doc_id, cluster_id,
+           |  CASE WHEN h < 'cccccccc' THEN 'train'
+           |       WHEN h < 'e6666666' THEN 'validation'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT id, cluster_id,
+           |        substr(md5(cluster_id::VARCHAR || ':graft'), 1, 8) AS h
+           |      FROM labels)""".stripMargin,
       "q_chunks" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |s AS (SELECT doc_id, toks,

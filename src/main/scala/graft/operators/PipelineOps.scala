@@ -88,6 +88,30 @@ object PipelineOps {
   }
 
   /**
+   * Leakage-AWARE train/val/test assignment: the split is decided per
+   * near-dup CLUSTER, not per document — the per-id [[assignSplits]]
+   * happily puts a near-duplicate of a test document into train, which
+   * is exactly the contamination an eval split exists to prevent. Here
+   * every member inherits its cluster's assignment (a pure md5 function
+   * of cluster_id), so near-duplicates move between splits TOGETHER and
+   * an id never drifts as the corpus grows (cluster ids are min-reachable
+   * ids — stable under growth unless a new doc bridges clusters, which
+   * is the correct re-assignment). Output: (id, cluster_id, split).
+   *
+   * Composes [[Dedup.clusters]] (pair graph + component labeling — the
+   * expensive part, runs once) with the md5-hex split device keyed on
+   * the cluster label. Same scale shape as both parents.
+   */
+  def assignSplitsByCluster(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], n: Int, threshold: Double,
+      salt: String = "graft"): DataFrame = {
+    val labels = Dedup.clusters(df, idCol, textCol, n, threshold)
+    try assignSplits(labels, "cluster_id", splits, salt)
+      .select(col("id"), col("cluster_id"), col("split"))
+    finally labels.unpersist(blocking = false)
+  }
+
+  /**
    * Deterministic stratified sampling — the dataset-mixing primitive: a
    * per-stratum keep fraction (e.g. upsample curated sources, downsample
    * crawl), applied with the same md5 device so mixes are reproducible.

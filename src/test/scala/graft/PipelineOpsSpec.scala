@@ -265,6 +265,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("assignSplitsByCluster: near-dup clusters never straddle splits") {
+    import spark.implicits._
+    // 30 singleton docs + one 3-member near-dup cluster + one exact pair
+    val base = (1 to 30).map(i =>
+      (i.toLong, s"unique document number $i with content token$i alpha beta gamma"))
+    val nd = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (102L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (103L, "the quick brown fox jumps over the lazy dog again and again"))
+    val ex = Seq(
+      (201L, "identical text body here for the pair check"),
+      (202L, "identical text body here for the pair check"))
+    val df = (base ++ nd ++ ex).toDF("doc_id", "text")
+    val got = PipelineOps.assignSplitsByCluster(df, "doc_id", "text",
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 35)
+    // every cluster maps to exactly one split — the leak-free property
+    got.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $c straddles splits: ${members.toSeq}")
+    }
+    // the planted near-dups actually form one cluster (101 reaches 103)
+    val ndClusters = got.filter(r => Set(101L, 102L, 103L)(r._1)).map(_._2).distinct
+    assert(ndClusters.length == 1, s"planted near-dups split into $ndClusters")
+    assert(got.filter(r => Set(201L, 202L)(r._1)).map(_._2).distinct.length == 1)
+    // singleton clusters get the plain per-id assignment (same device)
+    val singles = got.filter(r => r._1 <= 30 && r._2 == r._1)
+    val plain = PipelineOps.assignSplits(
+      df.filter(col("doc_id") <= 30), "doc_id",
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    singles.foreach { case (id, _, s) => assert(plain(id) == s) }
+  }
+
   test("winsorizeBy clamps to per-group interpolated percentiles; sketch mode agrees") {
     import spark.implicits._
     // group a: 1..100 -> p10/p90 interpolate to 10.9 and 90.1

@@ -893,6 +893,41 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    "stream_sketch_users" -> ((s, dir) => {
+      // streaming sketch monitoring: per-hour approximate distinct users
+      // via HLL++ INSIDE a watermarked window aggregate (exact distinct
+      // aggregation is unsupported in streaming — the sketch's mergeable
+      // registers are the only per-window distinct that streams). The
+      // drained estimates then gate against the BATCH exact distinct per
+      // window (cross-computed by the DuckDB oracle), 3*rsd tolerance —
+      // the q_sketch_distinct device lifted onto the streaming surface.
+      val schema = t(s, dir, "events").schema
+      val stream = EventTime.withTsUtc(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val agg = graft.streaming.EventStreams.windowedAgg(
+        stream, "ts_utc", watermarkDelay = "1 hour", windowDuration = "1 hour",
+        keyCols = Seq.empty,
+        aggs = Seq(approx_count_distinct(col("user_id")).as("_approx"),
+          count(lit(1)).as("n_events")))
+      val drained = graft.streaming.SkylineStreaming
+        .runOnce(agg, "stream_sketch_users_mem", statePartitions = Some(8))
+        .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+          col("_approx"), col("n_events"))
+      val exact = EventTime.withTsUtc(t(s, dir, "events"))
+        .groupBy(expr("unix_micros(date_trunc('hour', ts_utc)) div 3600000000")
+          .as("hour_bucket"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      // the 3*rsd bound is ASYMPTOTIC — hourly windows with a handful of
+      // users sit in HLL's sparse range where a hash collision shifts the
+      // estimate by ±1-2, far above 15% of 5; the absolute floor of 3
+      // covers that regime without weakening the bound where it matters
+      drained.join(exact, "hour_bucket")
+        .select(col("hour_bucket"), col("n_events"), col("exact_users"),
+          (abs(col("_approx") - col("exact_users")).cast("double")
+            <= greatest(lit(3.0), lit(0.15) * col("exact_users").cast("double")))
+            .as("within_3rsd"))
+    }),
+
     "stream_sessionize" -> ((s, dir) => {
       // streaming gap sessionization (session_window + watermark) — the
       // complete-mode drain equals the batch lag/running-sum
@@ -1303,6 +1338,16 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+      "stream_sketch_users" ->
+        // batch exact per hour cross-computed here; the streamed HLL
+        // estimate must land within 3*rsd of it (boolean earned by the
+        // Spark side) — the q_sketch_distinct gate device on the
+        // streaming surface
+        """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+          |  count(*) AS n_events,
+          |  count(DISTINCT user_id)::BIGINT AS exact_users,
+          |  true AS within_3rsd
+          |FROM events GROUP BY 1""".stripMargin,
       // the streaming windowed agg drains in complete mode, so its result
       // is exactly the batch hourly rollup (hour-aligned tumbling windows;
       // epoch-ns -> micros truncation never moves an event across an hour)

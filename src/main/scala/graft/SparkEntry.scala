@@ -1078,6 +1078,13 @@ object SparkEntry {
       PipelineOps.quantileBuckets(t(s, dir, "documents"), "doc_id",
           "n_chars", k = 8, exact = true)
         .select(col("doc_id"), col("n_chars"), col("bucket"))),
+    "q_profile" -> ((s, dir) =>
+      // per-column dataset statistics in ONE corpus scan (row/null/
+      // distinct counts + min/max, stacked to rows on the 1-row
+      // aggregate): the ingestion-time profiling step; exact distincts
+      // for parity, HLL registers as the 100 TB path
+      PipelineOps.profileNumeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))),
     "q_winsorize" -> ((s, dir) =>
       // per-group outlier clamping to the [p1, p99] percentiles: cuts
       // reduce to two doubles per group and broadcast back; the clamp is
@@ -2033,6 +2040,31 @@ object SparkEntry {
           |  list_sum(list_transform(c.cuts,
           |    x -> CASE WHEN n_chars::DOUBLE > x THEN 1 ELSE 0 END))::INT AS bucket
           |FROM documents, c""".stripMargin,
+      "q_profile" ->
+        """SELECT * FROM (
+          |  SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+          |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+          |    count(DISTINCT l_quantity)::BIGINT AS n_distinct,
+          |    min(l_quantity::DOUBLE) AS min_v, max(l_quantity::DOUBLE) AS max_v
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_extendedprice', count(*),
+          |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          |    count(DISTINCT l_extendedprice)::BIGINT,
+          |    min(l_extendedprice::DOUBLE), max(l_extendedprice::DOUBLE)
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_discount', count(*),
+          |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          |    count(DISTINCT l_discount)::BIGINT,
+          |    min(l_discount::DOUBLE), max(l_discount::DOUBLE)
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_partkey', count(*),
+          |    sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          |    count(DISTINCT l_partkey)::BIGINT,
+          |    min(l_partkey::DOUBLE), max(l_partkey::DOUBLE)
+          |  FROM lineitem)""".stripMargin,
       "q_winsorize" ->
         // quantile_cont interpolates exactly like Spark percentile (the
         // q_quantile_bins device); the clamp is one least/greatest of

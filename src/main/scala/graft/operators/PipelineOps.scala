@@ -590,6 +590,42 @@ object PipelineOps {
   }
 
   /**
+   * Numeric-column profiling — the dataset-statistics primitive every
+   * ingestion step runs first: per column, row/null/distinct counts and
+   * min/max, as ROWS (one per column) so downstream checks join on the
+   * column name. One corpus scan computes every column's aggregates in
+   * a single partial/final pass (no per-column jobs); the stack to rows
+   * happens on the 1-row aggregate result. Exact distincts by default
+   * for cross-engine parity — pass `exactDistinct = false` at 100 TB to
+   * swap in HLL registers (each exact distinct re-shuffles that
+   * column's values; the sketch ships fixed-size registers).
+   */
+  def profileNumeric(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    cols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"profileNumeric covers numeric columns; $c is ${df.schema(c).dataType}")
+    }
+    val aggs = cols.flatMap { c =>
+      val v = col(c)
+      Seq(count(lit(1)).as(s"_n_$c"),
+        sum(v.isNull.cast("long")).as(s"_nulls_$c"),
+        (if (exactDistinct) countDistinct(v) else approx_count_distinct(v))
+          .as(s"_dist_$c"),
+        min(v.cast("double")).as(s"_min_$c"),
+        max(v.cast("double")).as(s"_max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col(s"_n_$c").as("n_rows"),
+        col(s"_nulls_$c").as("n_nulls"), col(s"_dist_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_v"), col(s"_max_$c").as("max_v"))
+    }
+    one.select(explode(array(stacked: _*)).as("_p")).select(col("_p.*"))
+  }
+
+  /**
    * Winsorize a numeric column PER GROUP: clamp values below/above the
    * group's [pLo, pHi] interpolated percentiles to the boundary — the
    * standard outlier-taming step before loss-weighted sampling or

@@ -265,6 +265,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("profileNumeric: one-scan per-column stats with nulls, hand-computed") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Long)](
+      (1.0, 10L), (2.0, 10L), (2.0, null), (null, 30L), (3.0, 30L))
+      .toDF("a", "b")
+    val got = PipelineOps.profileNumeric(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("a") == ((5L, 1L, 3L, 1.0, 3.0)))
+    assert(got("b") == ((5L, 1L, 2L, 10.0, 30.0)))
+    // sketch mode agrees on tiny cardinalities
+    val approx = PipelineOps.profileNumeric(df, Seq("a", "b"), exactDistinct = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("a") == 3L && approx("b") == 2L)
+    intercept[IllegalArgumentException] {
+      PipelineOps.profileNumeric(df.withColumn("s", lit("x")), Seq("s"))
+    }
+  }
+
   test("assignSplitsByCluster: near-dup clusters never straddle splits") {
     import spark.implicits._
     // 30 singleton docs + one 3-member near-dup cluster + one exact pair

@@ -689,19 +689,21 @@ object SparkEntry {
         "recall_ge_090", 0.9)
     }),
     "ann_ivf" -> ((s, dir) => {
-      // IVF top-k gated on recall@10 vs the exact ranking. nprobe=8 of
-      // nlist=16 probes half the cells — the operating point where
-      // recall holds >= 0.8 on these UNIFORM random embeddings (the
-      // IVF-hostile distribution: no cluster structure for the cells to
-      // exploit; measured 0.848-0.87). Real embedding corpora cluster,
-      // where nprobe/nlist can drop an order of magnitude at equal
-      // recall.
+      // IVF top-k gated on recall@10 vs the exact ranking. UNIFORM
+      // random embeddings are the IVF-hostile distribution (no cluster
+      // structure for the cells to exploit), so recall needs a wide
+      // probe: nprobe=12 of nlist=16 measures 0.95-0.97 across
+      // sf0.001-0.1 at runtime indistinguishable from nprobe=8's
+      // 0.85 (fixed costs dominate at these corpus sizes) — gated
+      // >= 0.8 with a ~15-point margin against testdata regeneration.
+      // Real embedding corpora cluster, where nprobe/nlist drops an
+      // order of magnitude at equal recall.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 50)
       annGate(
         Similarity.topK(e, q, "vec_id", "embedding", k = 10),
         Similarity.ivfTopK(e, q, "vec_id", "embedding",
-          k = 10, dim = 64, nlist = 16, nprobe = 8),
+          k = 10, dim = 64, nlist = 16, nprobe = 12),
         q, "recall_ge_080", 0.8)
     }),
 
@@ -1085,6 +1087,21 @@ object SparkEntry {
       // for parity, HLL registers as the 100 TB path
       PipelineOps.profileNumeric(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))),
+    "q_tokenize_pack" -> ((s, dir) => {
+      // the end-to-end pretraining prep chain AS ONE PLAN: BPE-encode
+      // the corpus (vocab-sized merge chain, q_bpe_encode's literal),
+      // roll token counts up to documents (plain long hash aggregate),
+      // pack into 512-token sequences per source stream — tokenizer
+      // apply and sequence packing composing without materialization.
+      val docs = t(s, dir, "documents")
+      val counts = PipelineOps.bpeEncode(docs, "doc_id", "text", bpeMerges)
+        .groupBy(col("doc_id")).agg(sum(col("n_word_tokens")).as("bpe_tokens"))
+      val stream = docs.select(col("doc_id"), col("source")).join(counts, "doc_id")
+      PipelineOps.packSequences(stream, "source", "doc_id", "bpe_tokens",
+          maxTokens = 512)
+        .select(col("doc_id"), col("source"), col("bpe_tokens"),
+          col("seq_offset"), col("seq_id"))
+    }),
     "q_winsorize" -> ((s, dir) =>
       // per-group outlier clamping to the [p1, p99] percentiles: cuts
       // reduce to two doubles per group and broadcast back; the clamp is
@@ -1812,6 +1829,31 @@ object SparkEntry {
            |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
            |FROM c JOIN b ON c.s = b.s
            |GROUP BY c.doc_id""".stripMargin,
+      "q_tokenize_pack" -> {
+        // the q_bpe_encode replace chain rolled up per doc, feeding the
+        // q_pack_sequences window device
+        val chain = bpeMerges.foldLeft(
+          """regexp_replace(w, '(.)', chr(2) || '\1' || chr(3), 'g')""") {
+          case (acc, (l, r)) =>
+            s"replace($acc, chr(2) || '$l' || chr(3) || chr(2) || '$r' || chr(3), " +
+              s"chr(2) || '$l$r' || chr(3))"
+        }
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |d AS (SELECT doc_id,
+           |        sum(len(string_split(translate(replace($chain,
+           |          chr(3) || chr(2), ' '), chr(2) || chr(3), ''), ' ')))::BIGINT
+           |          AS bpe_tokens
+           |      FROM w GROUP BY doc_id),
+           |j AS (SELECT doc.doc_id, doc.source, d.bpe_tokens
+           |      FROM documents doc JOIN d USING (doc_id))
+           |SELECT doc_id, source, bpe_tokens,
+           |  COALESCE(sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS seq_offset,
+           |  (COALESCE(sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS seq_id
+           |FROM j""".stripMargin
+      },
       "q_pack_sequences" ->
         s"""WITH d AS (SELECT doc_id, source, len($toks)::BIGINT AS tok FROM documents)
            |SELECT doc_id, source,

@@ -415,6 +415,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
           sum(TextFunctions.subwordCountEstimate(col("text"))).as("total_subwords"))),
+    "q_heavy_hitters" -> ((s, dir) =>
+      // EXACT corpus heavy hitters (tokens >= 1/200 of all tokens)
+      // without a full token shuffle: bounded Misra-Gries candidate
+      // summary (native TypedImperativeAggregate) + filtered recount —
+      // the MG superset guarantee makes the recount lossless
+      PipelineOps.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("token")),
+        "token", supportDenom = 200, capacity = 256)),
     "q_vocab" -> ((s, dir) =>
       // vocabulary building (tokenizer-training prep): corpus token
       // frequencies with deterministic ranks. The global rank window runs
@@ -860,6 +869,29 @@ object SparkEntry {
         .groupBy(col("window_id"))
         .agg(count(lit(1)).as("n_purchases"),
           countDistinct(col("user_id")).as("n_users"))
+    }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // entity resolution: a clean catalog sample matched against a
+      // DIRTY catalog (deterministic char-level corruptions of part
+      // names — delete / substitute / unchanged by key mod 3) at edit
+      // distance <= 2. Candidates via the lossless positional q-gram
+      // prefix filter (ed-join), verify via banded Levenshtein; the
+      // oracle is the brute-force cross join, so equality proves the
+      // filter loses nothing.
+      val part = t(s, dir, "part")
+      val probe = part.filter(col("p_partkey") % 20 === 0)
+      val dirty = part.select(
+        (col("p_partkey") + lit(10000000L)).as("m_id"),
+        when(col("p_partkey") % 3 === 0,
+            concat(substring(col("p_name"), 1, 3), substring(col("p_name"), 5, 1000)))
+          .when(col("p_partkey") % 3 === 1,
+            concat(substring(col("p_name"), 1, 2), lit("q"),
+              substring(col("p_name"), 4, 1000)))
+          .otherwise(col("p_name")).as("m_name"))
+      FuzzyJoin.edJoin(probe, dirty, "p_partkey", "p_name", "m_id", "m_name",
+          maxDistance = 2, q = 2)
+        .select(col("id1").as("p_partkey"), col("id2").as("m_id"),
+          col("edit_dist"))
     }),
 
     // ----- structured-streaming parity (reference batch_job shape:
@@ -1512,6 +1544,11 @@ object SparkEntry {
            |  sum(list_aggregate(list_transform(t.toks, x -> 1 + (len(x) - 1) // 4), 'sum'))::BIGINT
            |    AS total_subwords
            |FROM (SELECT source, $toks AS toks FROM documents) t GROUP BY source""".stripMargin,
+      "q_heavy_hitters" ->
+        s"""WITH w AS (SELECT unnest($toks) AS token FROM documents),
+           |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM w)
+           |SELECT token, cnt FROM c, n WHERE cnt * 200 >= n""".stripMargin,
       "q_vocab" ->
         s"""WITH c AS (SELECT token, count(*) AS n_occurrences
            |  FROM (SELECT unnest($toks) AS token FROM documents) GROUP BY 1)
@@ -2020,6 +2057,18 @@ object SparkEntry {
           |       count(DISTINCT p.user_id) AS n_users
           |FROM p JOIN w ON p.pns BETWEEN w.w_lo AND w.w_hi
           |GROUP BY w.window_id""".stripMargin,
+      "q_fuzzy_join" ->
+        """WITH dirty AS (SELECT p_partkey + 10000000 AS m_id,
+          |  CASE WHEN p_partkey % 3 = 0
+          |         THEN substr(p_name, 1, 3) || substr(p_name, 5)
+          |       WHEN p_partkey % 3 = 1
+          |         THEN substr(p_name, 1, 2) || 'q' || substr(p_name, 4)
+          |       ELSE p_name END AS m_name FROM part),
+          |probe AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 20 = 0)
+          |SELECT probe.p_partkey, dirty.m_id,
+          |       levenshtein(probe.p_name, dirty.m_name) AS edit_dist
+          |FROM probe, dirty
+          |WHERE levenshtein(probe.p_name, dirty.m_name) <= 2""".stripMargin,
       "mm_decode" ->
         """SELECT doc_id,
           |  64 + octet_length(encode(text)) % 577 AS width,

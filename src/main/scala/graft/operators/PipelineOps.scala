@@ -1084,6 +1084,55 @@ object PipelineOps {
         definiteKeep.union(settled)
     }
 
+  /**
+   * EXACT heavy hitters over a (possibly astronomically large) token
+   * stream: every token whose count `cnt` satisfies
+   * `cnt * supportDenom >= N` (N = total non-null tokens), with its
+   * exact count. Two bounded-state passes, no full token shuffle:
+   *
+   *  1. a Misra-Gries summary ([[MisraGriesAggExpr]], O(capacity) state
+   *     per task, `capacity` entries per partition over the exchange)
+   *     produces a candidate set GUARANTEED to contain every token with
+   *     count > N/(capacity+1) — a superset of the answer whenever
+   *     `capacity >= supportDenom` (enforced);
+   *  2. a second scan recounts ONLY the candidates (map-side semi-join
+   *     against the broadcast ≤`capacity`-row candidate frame, then a
+   *     tiny groupBy), and the in-plan total-count frame supplies the
+   *     threshold.
+   *
+   * Contrast with `groupBy(token).count()`: that shuffles one row per
+   * corpus token (~10^13 rows at 100 TB) to answer a question whose
+   * output is a handful of rows. Here the exchange carries bounded
+   * summaries and the recount streams map-side. Everything is a pure
+   * plan — the candidate set never touches the driver.
+   *
+   * Reference scope: frequency analysis the reference has no operator
+   * for; standard MG guarantee (Misra & Gries 1982; merge step per
+   * Agarwal et al., PODS 2012).
+   */
+  def heavyHitters(tokens: DataFrame, tokenCol: String,
+      supportDenom: Int = 100, capacity: Int = 128): DataFrame = {
+    require(supportDenom >= 2, s"supportDenom must be >= 2, got $supportDenom")
+    require(capacity >= supportDenom,
+      s"capacity ($capacity) must be >= supportDenom ($supportDenom) for the " +
+        "MG superset guarantee (count >= N/supportDenom implies count > N/(capacity+1))")
+    val tok = col(tokenCol)
+    // one corpus scan: the MG summary and the total count in the same
+    // aggregate; the total rides along on each (≤ capacity) candidate
+    // row so the summary never computes twice
+    val cands = tokens.filter(tok.isNotNull)
+      .agg(FreqFunctions.misraGries(tok, capacity).as("_mg"),
+        count(tok).as("_n"))
+      .select(explode(col("_mg.token")).as(tokenCol), col("_n"))
+    // second scan: map-side broadcast filter to the candidates, tiny
+    // groupBy, in-plan threshold — exact by the MG superset guarantee
+    tokens.filter(tok.isNotNull)
+      .join(broadcast(cands), Seq(tokenCol))
+      .groupBy(tok).agg(count(lit(1)).as("cnt"), first(col("_n")).as("_n"))
+      .filter(col("cnt") * lit(supportDenom.toLong) >= col("_n"))
+      .select(tok, col("cnt"))
+  }
+
   /** Build the bloom bits over `small`'s non-null `smallKey` set (one
     * distributed aggregation, partial blooms OR-merged) and return the
     * might-contain predicate for `probe`, or None when the key set is

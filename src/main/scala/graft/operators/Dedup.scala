@@ -311,8 +311,18 @@ object Dedup {
   def retainBest(
       df: DataFrame, idCol: String, textCol: String, qualityCol: String,
       n: Int, threshold: Double, maxRounds: Int = 20,
-      driverMaxEdges: Int = 1000000): DataFrame = {
-    val labeled = clusters(df, idCol, textCol, n, threshold, maxRounds, driverMaxEdges)
+      driverMaxEdges: Int = 1000000): DataFrame =
+    retainBestOf(
+      clusters(df, idCol, textCol, n, threshold, maxRounds, driverMaxEdges),
+      df, idCol, qualityCol)
+
+  /** The argmax step of [[retainBest]] over a PRECOMPUTED labeling
+    * (id, cluster_id) — public so one materialized [[clusters]] result
+    * (or a parquet-parked copy of it) can feed retention, split, and
+    * survivor queries without re-running the pair graph, the most
+    * expensive pipeline in a dedup suite. */
+  def retainBestOf(labeled: DataFrame, df: DataFrame, idCol: String,
+      qualityCol: String): DataFrame = {
     val quality = df.select(col(idCol).cast("long").as("id"),
       col(qualityCol).as("_q"))
     labeled.join(quality, "id")

@@ -58,6 +58,14 @@ object FuzzyJoin {
    * @return (id1, id2, edit_dist) — every pair with edit distance
    *         <= `maxDistance`, exact. Ids are cast to long; null texts
    *         never match.
+   *
+   * EAGER, like [[Dedup.jaccardPairs]]: the prepared inputs and the
+   * positional gram index feed multiple plan branches (index build,
+   * frequency ranking, candidate probe, verify joins), so they are
+   * cached for the call's scope, the result is materialized while they
+   * are live, and the caches are released before returning. The
+   * returned qualifying-pair set stays PERSISTED — callers that loop
+   * should `unpersist()` each result when done with it.
    */
   def edJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftText: String, rightId: String, rightText: String,
@@ -68,18 +76,28 @@ object FuzzyJoin {
     val d = maxDistance
     val minSafeLen = q * (d + 1) // left len >= this makes the prefix bound binding
 
+    // cached: each side feeds its gram branch, a verify join, the short
+    // sliver, and the sliver-count guard — without the cache the full
+    // upstream lineage re-executes per branch (the r7 q_fuzzy_join cost:
+    // roughly half the 11.7 s was recomputation)
     val l = left.filter(col(leftText).isNotNull)
       .select(col(leftId).cast("long").as("id1"), col(leftText).as("t1"),
         length(col(leftText)).as("len1"))
+      .cache()
     val r = right.filter(col(rightText).isNotNull)
       .select(col(rightId).cast("long").as("id2"), col(rightText).as("t2"),
         length(col(rightText)).as("len2"))
+      .cache()
 
-    // full positional gram index over every right string that has grams
+    // full positional gram index over every right string that has grams;
+    // cached — it feeds BOTH the gram-frequency aggregate and the
+    // candidate probe join (two scans of an exploded O(total chars)
+    // frame without it)
     val rIdx = r.filter(col("len2") >= q)
       .select(col("id2"), col("len2"),
         explode(posGrams(col("t2"), col("len2"), q)).as("gp"))
       .select(col("id2"), col("len2"), col("gp.g").as("g"), col("gp.p").as("p2"))
+      .cache()
     val gramDf = rIdx.groupBy("g").agg(count(lit(1)).as("gdf"))
 
     // left prefixes: the d*q+1 rarest grams per left string (rarity =
@@ -110,26 +128,48 @@ object FuzzyJoin {
       .select(col("id1"), col("id2"), col("edit_dist"))
 
     // short-string fallback: |len1-len2| <= d confines both sides to a
-    // fixed length class; exact nested loop over the slivers only
-    val lShort = l.filter(col("len1") < minSafeLen)
-    val rShort = r.filter(col("len2") < minSafeLen + d)
-    val nLShort = lShort.count()
-    val nRShort = if (nLShort == 0L) 0L else rShort.count()
-    if (nLShort * nRShort > shortPairCap) {
+    // fixed length class; exact nested loop over the slivers only.
+    // Both sliver counts come from ONE aggregate job over the cached
+    // length projections (the r7 version ran two eager count() actions,
+    // each re-executing the full upstream lineage).
+    val sliverCounts = l.select(col("len1").as("_len"), lit(0).as("_side"))
+      .unionByName(r.select(col("len2").as("_len"), lit(1).as("_side")))
+      .agg(
+        sum(when(col("_side") === 0 && col("_len") < minSafeLen, 1L)
+          .otherwise(0L)).as("nl"),
+        sum(when(col("_side") === 1 && col("_len") < minSafeLen + d, 1L)
+          .otherwise(0L)).as("nr"))
+      .head()
+    val nLShort = sliverCounts.getLong(0)
+    val nRShort = sliverCounts.getLong(1)
+    // overflow-safe product guard: nLShort * nRShort can wrap negative
+    // past ~3e9 x 3e9 and silently bypass the cap
+    if (nLShort > 0L && nRShort > shortPairCap / nLShort) {
+      Seq(l, r, rIdx).foreach(_.unpersist(blocking = false))
       throw new IllegalArgumentException(
         s"fuzzy join short-string fallback would compare $nLShort x $nRShort " +
           s"pairs (> cap $shortPairCap): most strings are shorter than " +
           s"q*(maxDistance+1) = $minSafeLen chars — lower q (or raise " +
           "shortPairCap if the cross product is intended)")
     }
-    if (nLShort == 0L) verifiedLong
-    else {
-      val verifiedShort = lShort
-        .join(rShort, abs(col("len1") - col("len2")) <= d)
-        .withColumn("edit_dist", levenshtein(col("t1"), col("t2"), d))
-        .filter(col("edit_dist") >= 0)
-        .select(col("id1"), col("id2"), col("edit_dist"))
-      verifiedLong.unionByName(verifiedShort)
-    }
+    val out =
+      if (nLShort == 0L) verifiedLong
+      else {
+        val lShort = l.filter(col("len1") < minSafeLen)
+        val rShort = r.filter(col("len2") < minSafeLen + d)
+        val verifiedShort = lShort
+          .join(rShort, abs(col("len1") - col("len2")) <= d)
+          .withColumn("edit_dist", levenshtein(col("t1"), col("t2"), d))
+          .filter(col("edit_dist") >= 0)
+          .select(col("id1"), col("id2"), col("edit_dist"))
+        verifiedLong.unionByName(verifiedShort)
+      }
+    // materialize the qualifying pairs while the caches are live, then
+    // release them — the jaccardPairs materializeThenRelease discipline
+    val cached = out.persist()
+    try cached.count()
+    catch { case t: Throwable => cached.unpersist(blocking = false); throw t }
+    finally Seq(l, r, rIdx).foreach(_.unpersist(blocking = false))
+    cached
   }
 }

@@ -106,10 +106,18 @@ object PipelineOps {
       splits: Seq[(String, Double)], n: Int, threshold: Double,
       salt: String = "graft"): DataFrame = {
     val labels = Dedup.clusters(df, idCol, textCol, n, threshold)
-    try assignSplits(labels, "cluster_id", splits, salt)
-      .select(col("id"), col("cluster_id"), col("split"))
+    try assignSplitsByClusterLabels(labels, splits, salt)
     finally labels.unpersist(blocking = false)
   }
+
+  /** The split step of [[assignSplitsByCluster]] over a PRECOMPUTED
+    * labeling (id, cluster_id) — public so one materialized
+    * [[Dedup.clusters]] result can feed splits, retention, and survivor
+    * queries without re-running the pair graph. */
+  def assignSplitsByClusterLabels(labels: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame =
+    assignSplits(labels, "cluster_id", splits, salt)
+      .select(col("id"), col("cluster_id"), col("split"))
 
   /**
    * Deterministic stratified sampling — the dataset-mixing primitive: a
@@ -437,9 +445,23 @@ object PipelineOps {
    * Contract: merge symbols must be non-empty, whitespace-free, and free
    * of the \u0002/\u0003 delimiters (trained merges satisfy this by
    * construction — symbols descend from whitespace-split tokens).
+   *
+   * Merge-table size: every literal `replace` compiles into the SAME
+   * generated Java method, and Janino enforces the JVM's 64KB method
+   * bytecode limit -- a production-size merge table (32k merges) as a
+   * literal chain would fail codegen (or silently fall back to
+   * interpreted evaluation of a 32k-deep expression tree). Past
+   * `literalMergeCap` merges the encoder dispatches to a LOOP encoder
+   * over a broadcast merge table -- one sequential left-to-right pass
+   * per rule in rank order over the word's symbol array, the exact
+   * literal-`replace` semantics (leftmost match, resume after the
+   * replacement) -- still per DISTINCT word, so the per-occurrence
+   * corpus cost is unchanged. A per-word monotone symbol-presence set
+   * skips inapplicable rules in O(1): a 32k-rule table costs ~32k set
+   * probes per word, not 32k array passes.
    */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], literalMergeCap: Int = 512): DataFrame = {
     require(merges.nonEmpty, "empty merge list (train with bpeTrain first)")
     merges.foreach { case (l, r) =>
       require(l.nonEmpty && r.nonEmpty, s"empty merge symbol in ($l, $r)")
@@ -448,21 +470,59 @@ object PipelineOps {
     }
     val exploded = df.select(col(idCol),
       posexplode(graft.functions.TextFunctions.tokens(col(textCol))).as(Seq("_pos", "_w")))
-    val wrapped = regexp_replace(col("_w"), "(.)", "\u0002$1\u0003")
-    val mergedStr = merges.foldLeft(wrapped) { case (acc, (l, r)) =>
-      call_function("replace", acc,
-        lit("\u0002" + l + "\u0003\u0002" + r + "\u0003"),
-        lit("\u0002" + l + r + "\u0003"))
-    }
-    val enc = translate(
-      call_function("replace", mergedStr, lit("\u0003\u0002"), lit(" ")),
-      "\u0002\u0003", "")
+    val enc: org.apache.spark.sql.Column =
+      if (merges.size <= literalMergeCap) {
+        val wrapped = regexp_replace(col("_w"), "(.)", "\u0002$1\u0003")
+        val mergedStr = merges.foldLeft(wrapped) { case (acc, (l, r)) =>
+          call_function("replace", acc,
+            lit("\u0002" + l + "\u0003\u0002" + r + "\u0003"),
+            lit("\u0002" + l + r + "\u0003"))
+        }
+        translate(
+          call_function("replace", mergedStr, lit("\u0003\u0002"), lit(" ")),
+          "\u0002\u0003", "")
+      } else {
+        val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+        val encodeWord = udf { (w: String) => applyMergesSequential(w, bc.value) }
+        encodeWord(col("_w"))
+      }
     val encoded = exploded.select(col("_w")).distinct()
       .select(col("_w"), enc.as("_enc"))
       .withColumn("_n", size(split(col("_enc"), " ")).cast("long"))
     exploded.join(encoded, "_w")
       .select(col(idCol), col("_pos").as("pos"), col("_w").as("word"),
         col("_enc").as("enc"), col("_n").as("n_word_tokens"))
+  }
+
+  /** The loop form of the literal-`replace` merge chain: one
+    * left-to-right non-overlapping pass per rule in rank order, leftmost
+    * match first, scan resuming AFTER each replacement (a merged token
+    * is never the left element of another match within the same pass) --
+    * byte-for-byte the semantics of chained SQL `replace` over the
+    * delimited symbol string, validated by a parity property spec
+    * against an independent java.lang.String#replace reference. The
+    * `present` set only ever grows (stale entries are a sound
+    * may-contain filter), giving O(1) skip of the
+    * overwhelmingly-inapplicable rules in a production merge table. */
+  private[graft] def applyMergesSequential(
+      word: String, merges: Array[(String, String)]): String = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    val present = scala.collection.mutable.HashSet.empty[String]
+    syms.foreach(present += _)
+    merges.foreach { case (l, r) =>
+      if (present.contains(l) && present.contains(r)) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        var mergedAny = false
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; mergedAny = true; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        if (mergedAny) { syms = out.toArray; present += (l + r) }
+      }
+    }
+    syms.mkString(" ")
   }
 
   /**
@@ -1117,19 +1177,22 @@ object PipelineOps {
       s"capacity ($capacity) must be >= supportDenom ($supportDenom) for the " +
         "MG superset guarantee (count >= N/supportDenom implies count > N/(capacity+1))")
     val tok = col(tokenCol)
+    // project down to the token column first: internal names below must
+    // not collide with (or become ambiguous against) caller columns
+    val tokOnly = tokens.filter(tok.isNotNull).select(tok)
     // one corpus scan: the MG summary and the total count in the same
     // aggregate; the total rides along on each (≤ capacity) candidate
     // row so the summary never computes twice
-    val cands = tokens.filter(tok.isNotNull)
-      .agg(FreqFunctions.misraGries(tok, capacity).as("_mg"),
-        count(tok).as("_n"))
-      .select(explode(col("_mg.token")).as(tokenCol), col("_n"))
+    val cands = tokOnly
+      .agg(FreqFunctions.misraGries(tok, capacity).as("__hh_mg"),
+        count(tok).as("__hh_n"))
+      .select(explode(col("__hh_mg.token")).as(tokenCol), col("__hh_n"))
     // second scan: map-side broadcast filter to the candidates, tiny
     // groupBy, in-plan threshold — exact by the MG superset guarantee
-    tokens.filter(tok.isNotNull)
+    tokOnly
       .join(broadcast(cands), Seq(tokenCol))
-      .groupBy(tok).agg(count(lit(1)).as("cnt"), first(col("_n")).as("_n"))
-      .filter(col("cnt") * lit(supportDenom.toLong) >= col("_n"))
+      .groupBy(tok).agg(count(lit(1)).as("cnt"), first(col("__hh_n")).as("__hh_n"))
+      .filter(col("cnt") * lit(supportDenom.toLong) >= col("__hh_n"))
       .select(tok, col("cnt"))
   }
 

@@ -227,6 +227,175 @@ object SkylineOps {
       skyline(SkylineQuery.parse(query), hint)
 
     /**
+     * Bounded-memory EXACT skyline for frontier-heavy data — the
+     * completion path for inputs where the in-memory aggregate's buffer
+     * cap (`spark.graft.skyline.maxBufferPoints`) trips because the
+     * Pareto frontier itself approaches the input size (high-d or
+     * anti-correlated data; see SKYBENCH_r7.json's `cap_trip` outcome).
+     * The standard path holds the whole global frontier in ONE
+     * aggregation buffer; here no single buffer ever holds more than a
+     * window of it.
+     *
+     * Algorithm — an external sort-filter-skyline cascade (the monotone
+     * score of SFS, Chomicki et al. ICDE'03, + the window-and-temp-file
+     * discipline of the original external BNL, Börzsönyi et al.
+     * ICDE'01, expressed as Spark jobs instead of a single JVM's heap):
+     *
+     *  1. orient every dim so MIN is better; route NaN-carrying rows to
+     *     the output directly (NaN is incomparable under dominance —
+     *     never dominated, never dominating — exactly the in-memory
+     *     aggregate's treatment);
+     *  2. score each point E = Σ_i (v_i - lo_i)/(hi_i - lo_i). IEEE
+     *     add/sub/div are monotone, so p dominates q ⟹ E(p) <= E(q)
+     *     — possibly EQUAL under rounding, which is why every boundary
+     *     below is E-closed;
+     *  3. loop until no survivors: take eT = the `windowSize`-th
+     *     smallest E (a TakeOrdered over the score column only); the
+     *     HEAD block {E <= eT} contains every possible dominator of any
+     *     of its own points, so its frontier — computed with the
+     *     existing bounded aggregate — is a subset of the global
+     *     skyline: append it to the on-disk result, then broadcast it
+     *     against the strictly-greater tail as a nested-loop ANTI join
+     *     (dominance = conjunction of d column comparisons + one strict
+     *     disjunct — codegen-friendly, no HOFs), and recurse on the
+     *     filtered tail. Transitivity makes filtering against the head
+     *     FRONTIER (not the whole head) sufficient: a dominated
+     *     dominator implies a surviving one.
+     *
+     * Memory shape at 100 TB: the TakeOrdered carries 8-byte scores
+     * only; the head-frontier aggregate buffer is capped (trips loudly
+     * if one E-tie block's frontier alone exceeds it — raise the cap or
+     * the window); the broadcast is the head frontier; survivors and
+     * per-pass frontiers round-trip through parquet RUNS on disk (the
+     * external-BNL temp files — which also resets plan lineage each
+     * pass: a persist()-based cascade compounds the logical plan
+     * exponentially, since each pass references the previous one from
+     * both the head and tail branches, and ~16 passes OOM the DRIVER on
+     * plan strings alone — measured, hence this design). Survivors
+     * shrink by >= `windowSize` rows per pass, so passes <=
+     * ceil(candidates / windowSize). Time stays O(n·f) pair comparisons
+     * in the worst (frontier ≈ n) case — inherent to every exact
+     * BNL-family skyline; this path trades none of the standard path's
+     * speed when you don't need it, and turns its hard memory wall into
+     * disk when you do.
+     *
+     * On a multi-node cluster set `spark.graft.skyline.externalDir` to
+     * a SHARED filesystem URI (HDFS/S3); the default java temp dir is
+     * only correct where driver and executors share a filesystem
+     * (local mode).
+     *
+     * Reference scope: the reference has no completion story at all for
+     * frontier-heavy data (its single-node BNL simply exhausts memory);
+     * this is a beyond-reference operator.
+     */
+    def skylineExternal(
+        dims: Seq[(String, Direction)],
+        windowSize: Int = 1 << 16,
+        maxPasses: Int = 1 << 20): DataFrame = {
+      require(dims.nonEmpty, "empty dimension list")
+      require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+      val spark = df.sparkSession
+      val schema = df.schema
+      val types = dims.map { case (name, _) => schema(name).dataType }
+      val d = dims.length
+      val dim = (i: Int) => col(s"_d$i")
+      // oriented projection: every dim negated where MAX, so dominance
+      // is uniformly "componentwise <=, somewhere <". Exact duplicates
+      // collapse up front (the operator's set semantics).
+      val fwd = dims.zip(types).map { case ((name, dir), dt) =>
+        val v = toDouble(col(name), dt)
+        if (dir.isMin) v else -v
+      }
+      val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
+      val projected = df.filter(nonNull)
+        .select(fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+        .distinct()
+      val anyNaN = dims.indices.map(i => isnan(dim(i))).reduce(_ || _)
+      val clean = projected.filter(!anyNaN)
+
+      val baseDir = spark.conf.getOption("spark.graft.skyline.externalDir")
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft-skyext-").toString)
+      val runDir = s"$baseDir/skyext-${java.util.UUID.randomUUID}"
+      val resultDir = s"$runDir/result" // pass=N partition layout
+      val workDir = s"$runDir/work"
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def rm(p: String): Unit = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val f = hp.getFileSystem(hconf)
+        if (f.exists(hp)) f.delete(hp, true)
+      }
+
+      // pass=0 holds the schema (so an empty result reads back) and the
+      // NaN rows, which are skyline members by incomparability
+      clean.limit(0).write.mode("append").parquet(s"$resultDir/pass=0")
+      projected.filter(anyNaN).write.mode("append").parquet(s"$resultDir/pass=0")
+
+      val statsRow = clean.agg(
+        dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i)))).head,
+        dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i)))).tail: _*).head()
+      if (!statsRow.isNullAt(0)) {
+        val e = dims.indices.map { i =>
+          val lo = statsRow.getDouble(2 * i)
+          val hi = statsRow.getDouble(2 * i + 1)
+          if (hi > lo) (dim(i) - lit(lo)) / lit(hi - lo) else lit(0.0)
+        }.reduce(_ + _)
+        val cap = SkylineAggExpr.configuredCap(spark)
+        def sky(cols: Seq[Column]): Column = ColumnShim.column(
+          SkylineAggExpr(cols.map(ColumnShim.expression),
+            Array.fill(d)(true), cap).toAggregateExpression())
+        try {
+          var survPath = s"$workDir/surv_0"
+          clean.withColumn("_e", e).write.parquet(survPath)
+          var nLeft = spark.read.parquet(survPath).count()
+          var pass = 0
+          while (nLeft > 0) {
+            pass += 1
+            if (pass > maxPasses) throw new IllegalStateException(
+              s"skylineExternal did not finish within $maxPasses passes " +
+                s"($nLeft candidates left; windowSize=$windowSize) — raise " +
+                "maxPasses or windowSize")
+            val surv = spark.read.parquet(survPath)
+            // the windowSize-th smallest score; scores only cross the wire
+            val eT = surv.select(col("_e")).orderBy(col("_e").asc)
+              .limit(windowSize).agg(max(col("_e"))).head().getDouble(0)
+            // E-closed head: contains every possible dominator of its own
+            // points even when rounding collapses a strict dominance into
+            // an E-tie. Its frontier goes straight to this pass's result
+            // run; the tail anti-join reads it back — a constant-size
+            // plan per pass, no recomputation, no lineage growth.
+            val passDir = s"$resultDir/pass=$pass"
+            surv.filter(col("_e") <= eT)
+              .agg(sky(dims.indices.map(dim)).as("_sky"))
+              .select(explode(col("_sky")).as("_pt"))
+              .select(dims.indices.map(i =>
+                element_at(col("_pt"), i + 1).as(s"_d$i")): _*)
+              .write.parquet(passDir)
+            // dominance anti-join of the tail against the head frontier
+            val front = spark.read.parquet(passDir)
+              .select(dims.indices.map(i => dim(i).as(s"_w$i")): _*)
+            val allLe = dims.indices.map(i => col(s"_w$i") <= dim(i)).reduce(_ && _)
+            val oneLt = dims.indices.map(i => col(s"_w$i") < dim(i)).reduce(_ || _)
+            val nextPath = s"$workDir/surv_$pass"
+            surv.filter(col("_e") > eT)
+              .join(broadcast(front), allLe && oneLt, "left_anti")
+              .write.parquet(nextPath)
+            rm(survPath)
+            survPath = nextPath
+            nLeft = spark.read.parquet(nextPath).count()
+          }
+        } finally rm(workDir)
+      }
+
+      // read back (partition discovery adds the pass column — dropped by
+      // the dim selection), un-orient, restore names and types
+      spark.read.parquet(resultDir)
+        .select(dims.zip(types).zipWithIndex.map { case (((name, dir), dt), i) =>
+          val v = if (dir.isMin) col(s"_d$i") else -col(s"_d$i")
+          fromDouble(v, dt).as(name)
+        }: _*)
+    }
+
+    /**
      * Compute the skyline (Pareto frontier) of `df` over `dims`.
      *
      * @param dims   (column, direction) per skyline dimension

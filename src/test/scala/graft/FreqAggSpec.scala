@@ -136,4 +136,18 @@ class FreqAggSpec extends AnyFunSuite {
       PipelineOps.heavyHitters(df, "token", supportDenom = 100, capacity = 50)
     }
   }
+
+  test("heavyHitters: caller columns named _n (or anything else) cannot collide") {
+    import spark.implicits._
+    // regression (ADVICE r7): the internal total-count column was named
+    // "_n"; a caller frame already carrying "_n" made the post-join
+    // aggregate ambiguous and the plan failed to analyze
+    val df = (Seq.fill(30)("hot") ++ (0 until 20).map(i => s"t$i"))
+      .toDF("token")
+      .withColumn("_n", lit(99))
+      .withColumn("__hh_n", lit(-1)) // and the replacement name itself
+    val got = PipelineOps.heavyHitters(df, "token", supportDenom = 2, capacity = 8)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("hot", 30L)))
+  }
 }

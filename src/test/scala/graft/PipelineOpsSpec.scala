@@ -453,6 +453,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncode loop path (past literalMergeCap) equals the literal path") {
+    import spark.implicits._
+    // force the non-codegen loop encoder with literalMergeCap = 0 and
+    // assert byte-identical output vs the literal replace-chain path on
+    // the adversarial {a,b} harness
+    for (seed <- Seq(5L, 17L)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector.fill(50)(
+        (1 to (1 + rnd.nextInt(12))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString)
+      var symbols = Vector("a", "b")
+      val merges = Vector.newBuilder[(String, String)]
+      for (_ <- 1 to 8) {
+        val l = symbols(rnd.nextInt(symbols.length))
+        val r = symbols(rnd.nextInt(symbols.length))
+        merges += ((l, r))
+        symbols :+= (l + r)
+      }
+      val m = merges.result()
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+      def run(cap: Int) = PipelineOps.bpeEncode(df, "id", "text", m, literalMergeCap = cap)
+        .collect().map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4)))).toMap
+      assert(run(0) == run(512), s"seed=$seed: loop path diverged from literal path")
+    }
+  }
+
+  test("bpeEncode loop path at 1k merges matches an independent String.replace reference") {
+    import spark.implicits._
+    // production-size merge table: 1000 progressively-built rules — far
+    // past any literal-chain codegen budget — applied on the loop path.
+    // The reference is java.lang.String#replace over the same delimited
+    // symbol string the literal SQL path uses (identical leftmost-scan,
+    // resume-after-replacement semantics), computed driver-side: a
+    // genuinely independent implementation of the merge chain.
+    def refEncode(word: String, merges: Seq[(String, String)]): String = {
+      var s = word.map(c => "\u0002" + c + "\u0003").mkString
+      for ((l, r) <- merges)
+        s = s.replace("\u0002" + l + "\u0003\u0002" + r + "\u0003",
+          "\u0002" + l + r + "\u0003")
+      s.replace("\u0003\u0002", " ").replace("\u0002", "").replace("\u0003", "")
+    }
+    val rnd = new scala.util.Random(101L)
+    val words = Vector.fill(80)(
+      (1 to (2 + rnd.nextInt(14))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString)
+    var symbols = Vector("a", "b")
+    val merges = Vector.newBuilder[(String, String)]
+    for (_ <- 1 to 1000) {
+      val l = symbols(rnd.nextInt(symbols.length))
+      val r = symbols(rnd.nextInt(symbols.length))
+      merges += ((l, r))
+      symbols :+= (l + r)
+    }
+    val m = merges.result()
+    assert(m.size == 1000)
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val got = PipelineOps.bpeEncode(df, "id", "text", m) // auto-dispatch: 1000 > 512
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == refEncode(w, m),
+        s"word='$w': got '${got(i.toLong)}', want '${refEncode(w, m)}'")
+    }
+  }
+
   test("bpeEncode with trained merges reproduces the trainer's next pick (closure)") {
     import spark.implicits._
     // train k merges, encode the corpus with them, and the weighted top

@@ -174,6 +174,15 @@ object SparkEntry {
       t(s, dir, "lineitem").skyline(SkylineQueryDims.li2d, hint = GridHint(4))),
     "sky_hint_angle" -> ((s, dir) =>
       t(s, dir, "lineitem").skyline(SkylineQueryDims.li2d, hint = AngleHint(8))),
+    "sky_li_2d_external" -> ((s, dir) =>
+      // the bounded-memory EXTERNAL cascade (parquet-run SFS windows —
+      // the completion path for frontier-heavy data where the in-memory
+      // aggregate's buffer cap trips) on the same query as sky_li_2d:
+      // identical result by construction, same oracle. windowSize is
+      // kept small so even the sf0.01 driver gate exercises multiple
+      // cascade passes, not a degenerate single-window run.
+      t(s, dir, "lineitem").skylineExternal(
+        SkylineQueryDims.li2d, windowSize = 1 << 14)),
 
     // ----- relational surface (SURVEY §2.2/2.3: agg, joins, window, sort,
     // set ops, rollup — Spark built-ins, Catalyst-optimized) -------------
@@ -745,6 +754,53 @@ object SparkEntry {
           k = 10, dim = 64, nlist = 16, nprobe = 12),
         q, "recall_ge_080", 0.8)
     }),
+    "q_pca_embed" -> ((s, dir) => {
+      // PCA reduction of the embedding table — the preprocessing step of
+      // SemDeDup-style semantic dedup and reduced-dimension ANN: ONE
+      // Gram-matrix aggregate (d(d+1)/2 doubles cross the exchange,
+      // never the corpus), a driver-side Jacobi eigensolve on the 64x64
+      // covariance, and a map-side codegen'd projection kernel. Gate row
+      // (all deterministic; integral anchors cross-computed by the
+      // oracle, booleans EARNED Spark-side):
+      //  - var_frac_ge_kd: top-k eigenvalue mass >= k/d of total
+      //    variance — a guaranteed invariant of a CORRECT descending
+      //    eigensolve (top-k can never fall below the uniform share;
+      //    measured 0.16-0.20 vs the 0.125 floor), flips if the solver
+      //    or the Gram statistics break;
+      //  - components_orthonormal: pairwise component dots within 1e-8
+      //    of the identity;
+      //  - proj_var_matches: the DISTRIBUTED per-coordinate variance of
+      //    the projected corpus equals the fitted eigenvalues — proves
+      //    the map-side kernel actually applied the fitted axes.
+      val k = 8
+      val e = t(s, dir, "embeddings")
+      val model = Similarity.pcaFit(e, "embedding", k)
+      val proj = Similarity.pcaProject(e, "vec_id", "embedding", model)
+      val orthoOk = {
+        val c = model.components
+        val devs = for (i <- c.indices; j <- i until c.length) yield {
+          val dot = c(i).zip(c(j)).map { case (a, b) => a * b }.sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0))
+        }
+        devs.max < 1e-8
+      }
+      val varFracOk =
+        model.capturedVariance >= (k.toDouble / model.dim) * model.totalVariance - 1e-9
+      val tol = 1e-6 * math.max(model.totalVariance, 1e-12)
+      val projVarOk = proj.filter(col("proj").isNotNull)
+        .select((0 until k).map(j =>
+          var_pop(element_at(col("proj"), j + 1)).as(s"_v$j")): _*)
+        .select((0 until k).map(j =>
+          (abs(col(s"_v$j") - lit(model.eigenvalues(j))) <= lit(tol)).as(s"_ok$j")): _*)
+        .select((0 until k).map(c => col(s"_ok$c")).reduce(_ && _).as("_all"))
+      val anchors = e.agg(count(col("embedding")).as("n_vectors"))
+      anchors.crossJoin(projVarOk).select(
+        col("n_vectors"),
+        lit(model.dim).cast("long").as("dim"),
+        lit(varFracOk).as("var_frac_ge_kd"),
+        lit(orthoOk).as("components_orthonormal"),
+        col("_all").as("proj_var_matches"))
+    }),
 
     // ----- pipeline ops: reproducible sampling + sequence packing -------
     "q_sample_hash" -> ((s, dir) =>
@@ -1272,6 +1328,7 @@ object SparkEntry {
       "sky_hint_dim" -> li2dOracle,
       "sky_hint_grid" -> li2dOracle,
       "sky_hint_angle" -> li2dOracle,
+      "sky_li_2d_external" -> li2dOracle,
       "sky_part_minmax" -> sky2d("part", "p_retailprice", "p_size", min1 = true, min2 = false),
       "sky_band_by_brand" ->
         """WITH d AS (SELECT DISTINCT p_brand, p_retailprice, p_size FROM part),
@@ -1821,6 +1878,16 @@ object SparkEntry {
            |SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
            |  count(*)::BIGINT AS n_exact_rows, true AS recall_ge_080
            |FROM ranked WHERE rank <= 10""".stripMargin,
+      // PCA gate: integral anchors (vector count, width) cross-computed
+      // from the raw table; the three booleans are constant true here
+      // and must be EARNED by the Spark side (eigensolve invariant,
+      // orthonormality, distributed projected-variance == eigenvalues).
+      "q_pca_embed" ->
+        """SELECT count(embedding)::BIGINT AS n_vectors,
+          |  max(len(embedding))::BIGINT AS dim,
+          |  true AS var_frac_ge_kd, true AS components_orthonormal,
+          |  true AS proj_var_matches
+          |FROM embeddings""".stripMargin,
       "ann_topk_q8" ->
         s"""$dotPairs,
            |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv

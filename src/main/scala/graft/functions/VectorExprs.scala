@@ -190,6 +190,100 @@ case class SquaredNorm(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * Affine projection of a vector onto `k` axes in one pass:
+ * `out[c] = sum_j v[j] * mat[c][j] - offset[c]` — the map-side apply
+ * step of a PCA/whitening fit (mat = component rows, offset = the
+ * centering term `mat . mean`, folded into one subtraction per output
+ * coordinate so the input vector is never materialized centered). The
+ * matrix rides along as a referenced object like
+ * [[graft.functions.CentroidDistances]]'s centroids: identical codegen
+ * source whatever the fitted values.
+ *
+ * Length contract (same as the other vector kernels): a vector whose
+ * length differs from `dim` projects to NULL — a silently-truncated
+ * projection would be a wrong-but-plausible embedding. Null elements
+ * null the result.
+ */
+case class MatrixProject(child: Expression, matFlat: Array[Double],
+    offsets: Array[Double], k: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(matFlat.length == k * dim, "projection matrix shape mismatch")
+  require(offsets.length == k, "offset shape mismatch")
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "matrix_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"matrix_project requires array<float|double> input, got $other")
+  }
+
+  @transient private lazy val eType = VecGen.elemType(child.dataType)
+  @transient private lazy val elemNullable = VecGen.elemsNullable(child.dataType)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    if (elemNullable) {
+      var j = 0
+      while (j < dim) { if (arr.isNullAt(j)) return null; j += 1 }
+    }
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += VecGen.getEval(arr, j, eType) * matFlat(base + j); j += 1 }
+      out(c) = s - offsets(c)
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("mat", matFlat, "double[]")
+    val offRef = ctx.addReferenceObj("off", offsets, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val out = ctx.freshName("out")
+      val nullGuard = if (elemNullable) {
+        s"""if (!${ev.isNull}) {
+           |  for (int $j = 0; $j < $dim; $j++) {
+           |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  }
+           |}""".stripMargin
+      } else ""
+      s"""
+         |if ($a.numElements() != $dim) { ${ev.isNull} = true; }
+         |$nullGuard
+         |if (!${ev.isNull}) {
+         |  double[] $out = new double[$k];
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    int $base = $c * $dim;
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $s += ${VecGen.get(a, j, eType)} * $matRef[$base + $j];
+         |    }
+         |    $out[$c] = $s - $offRef[$c];
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatrixProject =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def e(c: Column): Expression = ColumnShim.expression(c)
 
@@ -201,4 +295,11 @@ object VectorFunctions {
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(squaredNorm(a))
+
+  /** Column API for [[MatrixProject]] — project a fp vector onto the
+    * rows of `mat` with per-row affine offsets. */
+  def matrixProject(vec: Column, mat: Array[Array[Double]],
+      offsets: Array[Double]): Column =
+    ColumnShim.column(MatrixProject(e(vec), mat.flatten, offsets,
+      mat.length, mat.head.length))
 }

@@ -455,4 +455,168 @@ object Similarity {
       .withColumn("vn", l2Norm(col("v")))
     new IvfIndex(centroids, indexed, idType)
   }
+
+  // ------------------------------------------------------------------
+  // PCA: dimensionality reduction for embedding pipelines (the
+  // preprocessing step of SemDeDup-style semantic dedup and of
+  // reduced-dimension ANN indexes). Fit = ONE distributed pass
+  // ([[VectorGramAggExpr]]: d(d+1)/2 doubles cross the exchange, never
+  // the corpus) + a driver-side Jacobi eigensolve on the d x d
+  // covariance (d is the embedding width — 64 here, microseconds);
+  // apply = a map-side codegen'd affine kernel
+  // ([[graft.functions.MatrixProject]]), no shuffle at all.
+  // ------------------------------------------------------------------
+
+  /** A fitted PCA basis: `components` are orthonormal rows (k x d,
+    * descending eigenvalue order, sign-fixed so each row's
+    * largest-magnitude entry is positive — eigenvectors are only defined
+    * up to sign and the fix makes fits deterministic), `eigenvalues`
+    * their population variances, `totalVariance` the covariance trace. */
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double],
+      totalVariance: Double,
+      nRows: Long) {
+    def k: Int = components.length
+    def dim: Int = mean.length
+    /** Variance mass captured by the k retained components. */
+    def capturedVariance: Double = eigenvalues.sum
+  }
+
+  /**
+   * Fit a k-component PCA over `vecCol` (array<float|double>, fixed
+   * width). Null vectors and vectors with null elements are skipped
+   * (the [[VectorGramAggExpr]] contract); ragged widths fail loudly.
+   */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val row = df.agg(VectorAggFunctions.vectorGram(nativeVec(df, vecCol)).as("_g"))
+      .head().getStruct(0)
+    require(row != null, "pcaFit: no usable vectors (all null or null-element)")
+    val n = row.getLong(0)
+    val sums = row.getSeq[Double](1).toArray
+    val gram = row.getSeq[Double](2).toArray
+    val d = sums.length
+    require(k <= d, s"k=$k exceeds the vector width d=$d")
+    val mean = sums.map(_ / n)
+    // covariance from the sufficient statistics: C = G/n - mu mu^T
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = gram(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val totalVar = (0 until d).map(i => cov(i)(i)).sum
+    val (evals, evecs) = jacobiEigen(cov)
+    // deterministic sign: largest-|entry| positive (first index on ties)
+    val fixed = evecs.map { v =>
+      var bi = 0
+      var ba = 0.0
+      var ii = 0
+      while (ii < v.length) {
+        val a = math.abs(v(ii))
+        if (a > ba) { ba = a; bi = ii }
+        ii += 1
+      }
+      if (v(bi) < 0) v.map(-_) else v
+    }
+    PcaModel(mean, fixed.take(k), evals.take(k), totalVar, n)
+  }
+
+  /** Project `vecCol` onto a fitted basis: output (`idCol`, proj
+    * array<double> of length model.k). Malformed vectors (wrong width,
+    * null elements) project to null — the kernels' length contract. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    // centering folded into one offset per axis: (v - mu).c = v.c - mu.c
+    val offsets = model.components.map(c =>
+      c.zip(model.mean).map { case (a, b) => a * b }.sum)
+    df.select(col(idCol),
+      graft.functions.VectorFunctions.matrixProject(
+        nativeVec(df, vecCol), model.components, offsets).as("proj"))
+  }
+
+  /**
+   * Cyclic Jacobi eigensolver for a symmetric matrix (Golub & Van Loan
+   * §8.5 — the standard rotation method; unconditionally convergent on
+   * symmetric input). Returns (eigenvalues descending, matching
+   * eigenvectors as ROWS). Driver-side by design: the input is the
+   * d x d covariance of an embedding width, never data-sized.
+   */
+  private[graft] def jacobiEigen(
+      a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = a.map(_.clone())
+    // v: columns accumulate the eigenvectors
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += m(i)(j) * m(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    val frob = math.sqrt(m.map(r => r.map(x => x * x).sum).sum)
+    val eps = math.max(frob, 1e-300) * 1e-14
+    var sweep = 0
+    while (sweep < 100 && math.sqrt(offDiag()) > eps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = m(p)(q)
+          if (apq != 0.0) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val tt = math.signum(theta) match {
+              case 0.0 => 1.0
+              case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val s = tt * c
+            // columns p,q of m
+            var i = 0
+            while (i < d) {
+              val mip = m(i)(p); val miq = m(i)(q)
+              m(i)(p) = c * mip - s * miq
+              m(i)(q) = s * mip + c * miq
+              i += 1
+            }
+            // rows p,q of m
+            var j = 0
+            while (j < d) {
+              val mpj = m(p)(j); val mqj = m(q)(j)
+              m(p)(j) = c * mpj - s * mqj
+              m(q)(j) = s * mpj + c * mqj
+              j += 1
+            }
+            // accumulate rotations into v's columns
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val pairs = (0 until d)
+      .map(j => (m(j)(j), Array.tabulate(d)(i => v(i)(j))))
+      .sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
 }

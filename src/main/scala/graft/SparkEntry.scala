@@ -801,12 +801,55 @@ object SparkEntry {
         lit(orthoOk).as("components_orthonormal"),
         col("_all").as("proj_var_matches"))
     }),
+    "q_whiten_embed" -> ((s, dir) => {
+      // PCA whitening gate: whiten the embedding table onto k axes, then
+      // prove — DISTRIBUTEDLY, with the same one-pass vector_gram
+      // aggregate the fit used — that the whitened covariance is the
+      // identity and the whitened mean is zero. Anchors cross-computed
+      // by the oracle; booleans EARNED (a broken scaling, offset fold,
+      // or eigensolve flips them). The identity check reads ONE row of
+      // k(k+1)/2 doubles on the driver — bounded stats, never data.
+      val k = 8
+      val e = t(s, dir, "embeddings")
+      val model = Similarity.pcaFit(e, "embedding", k)
+      val white = Similarity.pcaWhiten(e, "vec_id", "embedding", model)
+      val g = white.filter(col("white").isNotNull)
+        .agg(VectorAggFunctions.vectorGram(col("white")).as("_g"))
+        .head().getStruct(0)
+      val n = g.getLong(0)
+      val sums = g.getSeq[Double](1)
+      val gram = g.getSeq[Double](2)
+      val meanZero = sums.forall(sv => math.abs(sv / n) < 1e-8)
+      var covOk = true
+      var ti = 0
+      for (i <- 0 until k; j <- i until k) {
+        val c = gram(ti) / n - (sums(i) / n) * (sums(j) / n)
+        val want = if (i == j) 1.0 else 0.0
+        covOk &&= math.abs(c - want) < 1e-6
+        ti += 1
+      }
+      e.agg(count(col("embedding")).as("n_vectors")).select(
+        col("n_vectors"),
+        lit(n).as("n_whitened"),
+        lit(k.toLong).as("k"),
+        lit(covOk).as("whitened_cov_identity"),
+        lit(meanZero).as("whitened_mean_zero"))
+    }),
 
     // ----- pipeline ops: reproducible sampling + sequence packing -------
     "q_sample_hash" -> ((s, dir) =>
       // deterministic Bernoulli split: pure function of (doc_id, salt),
       // identical across runs/engines — NOT df.sample's per-run reroll
       PipelineOps.hashSample(t(s, dir, "documents"), "doc_id", fraction = 0.2)
+        .select(col("doc_id"), col("source"))),
+    "q_sample_stratified" -> ((s, dir) =>
+      // EXACT-k per stratum (balanced eval sets): bottom-k md5 priority
+      // per source via the bounded heap aggregate — never a per-stratum
+      // row_number window (a crawl source can be most of the corpus).
+      // The fixed-width hex priority makes the selection reproducible by
+      // the DuckDB oracle with a plain ORDER BY substr(md5..), id.
+      PipelineOps.sampleKPerStratum(t(s, dir, "documents"),
+          "doc_id", "source", k = 25)
         .select(col("doc_id"), col("source"))),
     "q_split_assign" -> ((s, dir) =>
       // leakage-free train/val/test assignment: pure function of
@@ -1888,6 +1931,18 @@ object SparkEntry {
           |  true AS var_frac_ge_kd, true AS components_orthonormal,
           |  true AS proj_var_matches
           |FROM embeddings""".stripMargin,
+      // whitening gate: n_whitened cross-computes the kernel's length
+      // contract (non-null vectors with no null elements); the identity /
+      // zero-mean booleans are earned Spark-side from the distributed
+      // vector_gram of the whitened output
+      "q_whiten_embed" ->
+        """SELECT count(embedding)::BIGINT AS n_vectors,
+          |  (count(*) FILTER (WHERE embedding IS NOT NULL AND
+          |     len(list_filter(embedding, x -> x IS NULL)) = 0))::BIGINT
+          |    AS n_whitened,
+          |  8::BIGINT AS k,
+          |  true AS whitened_cov_identity, true AS whitened_mean_zero
+          |FROM embeddings""".stripMargin,
       "ann_topk_q8" ->
         s"""$dotPairs,
            |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv
@@ -1912,6 +1967,17 @@ object SparkEntry {
       "q_sample_hash" ->
         """SELECT doc_id, source FROM documents
           |WHERE substr(md5(doc_id::VARCHAR || ':graft'), 1, 8) < '33333333'""".stripMargin,
+      // exact-k stratified sample: the fixed-width hex priority orders
+      // identically as a string here and as the 52-bit numeric the Spark
+      // heap aggregate compares; ties (a priority collision) break to the
+      // lower id on both sides
+      "q_sample_stratified" ->
+        """WITH ranked AS (
+          |  SELECT doc_id, source, row_number() OVER (
+          |    PARTITION BY source
+          |    ORDER BY substr(md5(doc_id::VARCHAR || ':graft'), 1, 13), doc_id
+          |  ) AS rn FROM documents)
+          |SELECT doc_id, source FROM ranked WHERE rn <= 25""".stripMargin,
       "q_mix_sources" ->
         """SELECT source, count(*) AS n_kept FROM documents
           |WHERE substr(md5(doc_id::VARCHAR || ':graft'), 1, 8) <

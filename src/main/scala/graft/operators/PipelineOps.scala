@@ -137,6 +137,52 @@ object PipelineOps {
   }
 
   /**
+   * Deterministic EXACT-COUNT stratified sample: the k rows per stratum
+   * whose md5 priority is smallest — the balanced-eval-set device
+   * ([[hashSampleBy]] draws a Bernoulli FRACTION per stratum, so actual
+   * counts vary; eval sets need exactly k per source). A pure function
+   * of (key, salt): stable across runs, partitionings, and engines, and
+   * changing `salt` draws an independent sample.
+   *
+   * Priority = the first 13 hex chars of md5(key ":" salt), compared
+   * numerically. 13 hex digits = 52 bits, exactly representable in the
+   * double the heap aggregate compares — and fixed-width lowercase hex
+   * compares identically as a string, which is what lets an external
+   * engine (the DuckDB oracle, or any re-implementation) reproduce the
+   * selection with a plain `ORDER BY substr(md5(..),1,13), key`.
+   *
+   * 100 TB shape: per-stratum bottom-k via the bounded heap aggregate
+   * ([[TopKAggExpr]], `largest = false`) — partial size-k heaps map-side,
+   * only k-entry buffers cross the exchange — NEVER a
+   * `row_number().over(partitionBy(stratum))`, which funnels an entire
+   * stratum (a crawl source can be most of the corpus) through one task.
+   * The picked ids (k × #strata rows) broadcast back onto the corpus as
+   * a semi-join to recover full rows.
+   *
+   * Contract: `keyCol` must be integral (the heap carries long ids) and
+   * unique per row — the tie-break and the join-back key.
+   */
+  def sampleKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+      k: Int, salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyType = df.schema(keyCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(keyType.simpleString),
+      s"sampleKPerStratum requires an integral key column, got $keyType " +
+        "(pre-map ids to long)")
+    val priority = conv(
+      substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt))
+        .cast(BinaryType)), 1, 13), 16, 10).cast("long").cast("double")
+    val picked = df
+      .select(col(strataCol).as("__st"), col(keyCol).cast("long").as("__id"),
+        priority.as("__p"))
+      .groupBy(col("__st"))
+      .agg(TopKFunctions.topKByScore(col("__p"), col("__id"), k, largest = false)
+        .as("__top"))
+      .select(explode(col("__top.id")).as("__id"))
+    df.join(broadcast(picked), col(keyCol).cast("long") === col("__id"), "left_semi")
+  }
+
+  /**
    * Concat-and-chunk sequence packing (the GPT-pretraining layout):
    * documents are laid end-to-end in deterministic (`streamCol`,
    * `orderCol`) order and chunked into fixed `maxTokens` windows; a

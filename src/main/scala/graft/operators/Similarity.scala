@@ -544,6 +544,41 @@ object Similarity {
   }
 
   /**
+   * PCA whitening: project onto the fitted axes AND rescale each to unit
+   * population variance — the standard preprocessing step before
+   * cosine/dot-product similarity when raw embedding coordinates have
+   * wildly different variances (the dominant axes would otherwise drown
+   * the rest of the space; SemDeDup-style pipelines whiten for exactly
+   * this reason). Output (`idCol`, `white` array<double> of length
+   * model.k) with covariance ≡ the identity — verified distributedly by
+   * the `q_whiten_embed` gate via the same one-pass [[VectorGramAggExpr]]
+   * the fit used.
+   *
+   * Same execution shape as [[pcaProject]]: the scaling folds into the
+   * projection matrix driver-side (rows divided by sqrt(eigenvalue)), so
+   * apply stays ONE map-side codegen'd kernel, zero shuffle. Rejects
+   * near-zero eigenvalues loudly (relative to the trace): whitening a
+   * degenerate axis would divide by ~0 and amplify float noise into
+   * garbage coordinates — drop k below the effective rank instead.
+   */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel, relEps: Double = 1e-12): DataFrame = {
+    val floor = relEps * math.max(model.totalVariance, java.lang.Double.MIN_NORMAL)
+    model.eigenvalues.zipWithIndex.foreach { case (ev, i) =>
+      require(ev > floor,
+        s"pcaWhiten: component $i has near-zero variance ($ev <= $floor) — " +
+          "the data is rank-deficient at this k; refit with smaller k") }
+    val scaled = model.components.zip(model.eigenvalues).map {
+      case (c, ev) => val s = 1.0 / math.sqrt(ev); c.map(_ * s)
+    }
+    val offsets = scaled.map(c =>
+      c.zip(model.mean).map { case (a, b) => a * b }.sum)
+    df.select(col(idCol),
+      graft.functions.VectorFunctions.matrixProject(
+        nativeVec(df, vecCol), scaled, offsets).as("white"))
+  }
+
+  /**
    * Cyclic Jacobi eigensolver for a symmetric matrix (Golub & Van Loan
    * §8.5 — the standard rotation method; unconditionally convergent on
    * symmetric input). Returns (eigenvalues descending, matching

@@ -110,7 +110,8 @@ class DriverContractSpec extends AnyFunSuite {
     // this suite before it ever reaches the driver's hash compare.
     val gated = Seq("dedup_minhash", "dedup_simhash", "dedup_semantic",
       "dedup_cross", "sim_pairs_lsh", "ann_ivf", "ann_topk_q8",
-      "q_sketch_distinct", "stream_sketch_users", "q_pca_embed")
+      "q_sketch_distinct", "stream_sketch_users", "q_pca_embed",
+      "q_whiten_embed")
     val failures = gated.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val boolCols = df.schema.fields.collect {

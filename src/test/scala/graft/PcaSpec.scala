@@ -85,6 +85,41 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaWhiten: identity covariance, zero mean, rank-deficiency rejection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    // anisotropic cloud: axis variances differ by 100x, so whitening has
+    // real work to do
+    val pts = Vector.fill(300)(Array(
+      rnd.nextGaussian() * 10 + 3.0, rnd.nextGaussian() * 1 - 1.0,
+      rnd.nextGaussian() * 0.5))
+    val df = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "vec")
+    val model = Similarity.pcaFit(df, "vec", k = 3)
+    val rows = Similarity.pcaWhiten(df, "id", "vec", model)
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    val n = rows.length
+    val k = 3
+    // population covariance of the whitened output == identity
+    val mean = Array.tabulate(k)(j => rows.map(_(j)).sum / n)
+    for (i <- 0 until k; j <- 0 until k) {
+      val c = rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(c - want) < 1e-9, s"cov($i,$j)=$c")
+    }
+    mean.foreach(m => assert(math.abs(m) < 1e-9, "whitened mean is zero"))
+    // rank-deficient data (a constant third axis) must be rejected loudly
+    val flat = Vector.fill(50)(Array(rnd.nextGaussian(), rnd.nextGaussian(), 7.0))
+    val fdf = flat.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "vec")
+    val fmodel = Similarity.pcaFit(fdf, "vec", k = 3)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pcaWhiten(fdf, "id", "vec", fmodel)
+    }
+    assert(ex.getMessage.contains("rank-deficient"))
+    // ...but whitening within the effective rank is fine
+    Similarity.pcaWhiten(fdf, "id", "vec",
+      Similarity.pcaFit(fdf, "vec", k = 2)).collect()
+  }
+
   test("float vectors, null handling, and malformed-length rows") {
     import spark.implicits._
     val rows = Seq(

@@ -45,6 +45,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!bySource.contains("src1"), "fraction 0.0 must drop all rows")
   }
 
+  test("sampleKPerStratum: exactly k per stratum, matches the window-rank reference") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    val got = PipelineOps.sampleKPerStratum(docs, "doc_id", "source", k)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // reference: the row_number-window form over the SAME hex priority —
+    // the shape the operator exists to avoid at scale, exact at test scale
+    val pr = substring(md5(concat(col("doc_id").cast("string"), lit(":graft"))
+      .cast("binary")), 1, 13)
+    val want = docs.withColumn("_p", pr)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("_p"), col("doc_id"))))
+      .filter(col("_rn") <= k).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    val strata = docs.select("source").distinct().count()
+    assert(got.size == strata * k, s"exactly $k rows per each of $strata strata")
+    // partition-independent (deterministic across layouts)
+    val again = PipelineOps.sampleKPerStratum(docs.repartition(7), "doc_id", "source", k)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got)
+    // independent redraw under a different salt
+    val other = PipelineOps.sampleKPerStratum(docs, "doc_id", "source", k, salt = "eval2")
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(other.size == got.size && other != got)
+    // non-integral key rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      PipelineOps.sampleKPerStratum(docs, "text", "source", 3)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("packSequences: offsets are exclusive prefix sums; chunk ids follow offsets") {
     import spark.implicits._
     val df = Seq(

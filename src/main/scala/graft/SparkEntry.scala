@@ -536,6 +536,13 @@ object SparkEntry {
           n = 3, candidateThreshold = 0.5, maxDistance = 5)
         .select(col("id1"), col("id2"), col("jaccard"),
           col("edit_dist").cast("long").as("edit_dist"))),
+    "dedup_passages" -> ((s, dir) =>
+      // exact substring (passage) dedup: maximal per-doc spans of
+      // 8-token grams that occur in >= 2 distinct documents — the
+      // Lee et al. ExactSubstr operator; invisible to whole-doc and
+      // Jaccard dedup when the passage is a small slice of each doc
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"))),
     "dedup_contain" -> ((s, dir) =>
       // asymmetric containment: ordered pairs where >= 60% of id1's
       // trigrams appear in id2 — subset/quote detection the symmetric
@@ -1775,6 +1782,28 @@ object SparkEntry {
            |FROM good JOIN documents d1 ON id1 = d1.doc_id
            |          JOIN documents d2 ON id2 = d2.doc_id
            |WHERE levenshtein(d1.text, d2.text) <= 5""".stripMargin,
+      // exact substring dedup: positional 8-gram strings (the Spark side
+      // compares xxhash64 of the same strings), cross-doc >= 2 filter,
+      // then the identical equal-length interval merge (gap > n starts a
+      // new island) per document
+      "dedup_passages" ->
+        s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+           |grams AS (
+           |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+           |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+           |dup AS (SELECT g FROM grams GROUP BY g
+           |        HAVING count(DISTINCT doc_id) >= 2),
+           |marked AS (SELECT doc_id, pos FROM grams
+           |           WHERE g IN (SELECT g FROM dup)),
+           |isl AS (SELECT doc_id, pos,
+           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+           |      THEN 1 ELSE 0 END AS nw
+           |  FROM marked),
+           |grp AS (SELECT doc_id, pos,
+           |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g2 FROM isl)
+           |SELECT doc_id, min(pos)::BIGINT AS span_start,
+           |  (max(pos) + 7)::BIGINT AS span_end
+           |FROM grp GROUP BY doc_id, g2""".stripMargin,
       "dedup_cluster" ->
         // connected components over the qualifying pair graph via a
         // recursive reachability CTE; cluster id = min reachable doc id.

@@ -268,6 +268,67 @@ object Dedup {
   }
 
   /**
+   * Exact SUBSTRING (passage) dedup — cross-document repeated n-token
+   * passages, merged to maximal spans per document: the "duplicated
+   * training-data passages" operator (Lee et al., "Deduplicating
+   * Training Data Makes Language Models Better", ACL'22 — their
+   * suffix-array ExactSubstr pass, re-expressed as Spark jobs): a
+   * memorization-prone boilerplate passage shared by many documents is
+   * invisible to whole-document dedup (the documents differ) and to
+   * near-dup Jaccard (the passage may be a small fraction of each doc).
+   * Output: (id, span_start, span_end) — 0-based token positions,
+   * inclusive, covering every token that participates in an n-gram
+   * occurring in >= `minDocs` DISTINCT documents. Overlapping and
+   * adjacent duplicated n-grams merge into one span (an interval merge:
+   * all intervals have equal length n, so "next start <= prev start + n"
+   * is exactly overlap-or-adjacency) — the spans are what a pipeline
+   * cuts or down-weights.
+   *
+   * Semantics choice (documented deviation from suffix-array tools):
+   * duplication is CROSS-document only — a passage repeated within one
+   * document but appearing nowhere else is repetition (scored by
+   * `text_repetition`), not contamination.
+   *
+   * 100 TB shape: positional n-grams are O(total tokens) rows of
+   * (long hash, id, pos) — the same cost class as the shingle pass every
+   * other dedup operator here already pays; the >= minDocs filter is a
+   * partial-aggregatable count-distinct on the gram hash (a hot
+   * boilerplate gram pre-combines map-side), and the span merge windows
+   * per DOCUMENT — bounded by one document's length, never a corpus-wide
+   * or per-gram partition. Grams are compared by xxhash64 (the
+   * [[shingledHashed]] collision caveat: ~(distinct grams)^2 / 2^65 —
+   * negligible, and a collision only over-marks a span).
+   */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-doc duplication), got $minDocs")
+    // token array materialized in its own projection first — see
+    // wordShinglesFromTokens' O(len^2) re-tokenization caveat
+    val sh = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), TextFunctions.wordShinglesFromTokens(col("_toks"), n).as("_sh"))
+    val grams = sh
+      .select(col("id"), posexplode(col("_sh")).as(Seq("pos", "_g")))
+      .select(col("id"), col("pos").cast("long").as("pos"), xxhash64(col("_g")).as("_h"))
+    val dup = grams.groupBy(col("_h"))
+      .agg(countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"))
+    val marked = grams.join(dup, Seq("_h"), "left_semi").select(col("id"), col("pos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    marked
+      .withColumn("_new",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("_grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /**
    * Near-duplicate CLUSTERS: connected components over the verified
    * near-dup pair graph, labeling every document with the smallest
    * doc id reachable from it — the canonical survivor of its cluster.

@@ -16,6 +16,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$dir/documents.parquet")
   private def embs = spark.read.parquet(s"$dir/embeddings.parquet")
 
+  test("duplicatedSpans: planted passages, interval merge, cross-doc-only semantics") {
+    import spark.implicits._
+    val n = 3
+    // shared passage "p1..p5" planted mid-doc in docs 1 and 2 (different
+    // surroundings); doc 3 repeats "r1 r2 r3" WITHIN itself only; doc 4
+    // shares nothing; docs 5/6 share TWO passages separated by a gap
+    // bigger than n (two spans), and one pair of adjacent passages
+    // (merged into one span)
+    val pass = "p1 p2 p3 p4 p5"
+    val corpus = Seq(
+      (1L, s"a1 a2 $pass a3 a4"),
+      (2L, s"b1 b2 b3 $pass b4"),
+      (3L, "r1 r2 r3 c1 c2 c3 r1 r2 r3"),
+      (4L, "d1 d2 d3 d4 d5 d6 d7"),
+      (5L, "q1 q2 q3 e1 e2 e3 e4 s1 s2 s3 s4 s5 s6"),
+      (6L, "q1 q2 q3 f1 f2 f3 f4 s1 s2 s3 s4 s5 s6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force reference: all positional n-grams, cross-doc dup set,
+    // interval merge with gap > n starting a new span
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val allGrams = rows.flatMap { case (id, ts) =>
+      ts.sliding(n).zipWithIndex.filter(_._1.size == n)
+        .map { case (g, i) => (id, i.toLong, g.mkString(" ")) } }
+    val dupSet = allGrams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = allGrams.filter(g => dupSet(g._3)).groupBy(_._1).flatMap { case (id, gs) =>
+      val ps = gs.map(_._2).sorted
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (p <- ps) {
+        if (spans.nonEmpty && p <= spans.last._2 + 1) {
+          val l = spans.remove(spans.length - 1); spans += ((l._1, math.max(l._2, p + n - 1)))
+        } else spans += ((p, p + n - 1))
+      }
+      spans.map { case (a, b) => (id, a, b) }
+    }.toSet
+    assert(got == want)
+    // the semantics the operator promises, asserted directly:
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 2L), "planted passage found")
+    assert(!got.exists(_._1 == 3L), "within-doc repetition is NOT cross-doc duplication")
+    assert(!got.exists(_._1 == 4L), "unique doc untouched")
+    assert(got.count(_._1 == 5L) == 2 && got.count(_._1 == 6L) == 2,
+      "two separated shared passages stay two spans")
+  }
+
   test("containmentPairs: brute-force equality, asymmetry, and quote detection") {
     import spark.implicits._
     // doc 20 is a paragraph QUOTED inside long doc 21: containment(20→21)

@@ -543,6 +543,16 @@ object SparkEntry {
       // Jaccard dedup when the passage is a small slice of each doc
       Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"))),
+    "q_passage_clean" -> ((s, dir) => {
+      // the spans CONSUMED: documents rewritten with the duplicated
+      // passages cut out (restricted to the docs that were actually
+      // cut — the interesting rows; fully-covered docs come out empty)
+      val docs = t(s, dir, "documents")
+      val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8)
+      Dedup.cutSpans(docs, "doc_id", "text", spans)
+        .filter(col("n_removed") > 0)
+        .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
+    }),
     "dedup_contain" -> ((s, dir) =>
       // asymmetric containment: ordered pairs where >= 60% of id1's
       // trigrams appear in id2 — subset/quote detection the symmetric
@@ -1804,6 +1814,46 @@ object SparkEntry {
            |SELECT doc_id, min(pos)::BIGINT AS span_start,
            |  (max(pos) + 7)::BIGINT AS span_end
            |FROM grp GROUP BY doc_id, g2""".stripMargin,
+      // the span consumer: same spans CTE chain, then rebuild each cut
+      // document from the tokens OUTSIDE its spans (surviving tokens
+      // joined by single spaces — the Spark side's documented
+      // normalization); fully-covered docs come out as '' via the
+      // left-join coalesce (their kept set is empty)
+      "q_passage_clean" ->
+        s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+           |grams AS (
+           |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+           |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+           |dup AS (SELECT g FROM grams GROUP BY g
+           |        HAVING count(DISTINCT doc_id) >= 2),
+           |marked AS (SELECT doc_id, pos FROM grams
+           |           WHERE g IN (SELECT g FROM dup)),
+           |isl AS (SELECT doc_id, pos,
+           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+           |      THEN 1 ELSE 0 END AS nw
+           |  FROM marked),
+           |grp AS (SELECT doc_id, pos,
+           |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g2 FROM isl),
+           |spansq AS (SELECT doc_id, min(pos) AS span_start,
+           |    max(pos) + 7 AS span_end
+           |  FROM grp GROUP BY doc_id, g2),
+           |cutdocs AS (SELECT DISTINCT doc_id FROM spansq),
+           |toksu AS (
+           |  SELECT toks.doc_id, t[i] AS tok, i
+           |  FROM toks JOIN cutdocs ON toks.doc_id = cutdocs.doc_id,
+           |       unnest(generate_series(1, len(t))) u(i)),
+           |kept AS (SELECT doc_id, tok, i FROM toksu tu
+           |  WHERE NOT EXISTS (SELECT 1 FROM spansq s
+           |    WHERE s.doc_id = tu.doc_id
+           |      AND tu.i - 1 BETWEEN s.span_start AND s.span_end)),
+           |agg AS (SELECT doc_id,
+           |    array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+           |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+           |SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           |  (len(toks.t) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+           |FROM cutdocs c
+           |JOIN toks ON toks.doc_id = c.doc_id
+           |LEFT JOIN agg a ON a.doc_id = c.doc_id""".stripMargin,
       "dedup_cluster" ->
         // connected components over the qualifying pair graph via a
         // recursive reachability CTE; cluster id = min reachable doc id.

@@ -329,6 +329,49 @@ object Dedup {
   }
 
   /**
+   * The CONSUMER of [[duplicatedSpans]]: rewrite each document with the
+   * flagged token spans removed — the actual dedup application (cut the
+   * memorization-prone duplicated passages, keep the unique remainder).
+   * `spans` is (id, span_start, span_end) as produced by
+   * [[duplicatedSpans]] (0-based inclusive token positions; any
+   * overlapping set works). Output: (id, clean_text, n_removed).
+   *
+   * Whitespace contract: a document WITH spans is rebuilt from its
+   * surviving tokens joined by single spaces (runs of whitespace
+   * collapse — the same normalization every tokenizing operator here
+   * applies); a document with NO spans keeps its original text
+   * byte-for-byte and never pays tokenization. A fully-covered document
+   * yields the empty string with n_removed = its token count.
+   *
+   * 100 TB shape: spans collect_list per DOCUMENT (bounded by one doc's
+   * length — a doc has at most len/1 spans), one equi-join on the doc id
+   * against the corpus, and the token filter is a per-row lambda over
+   * (tokens × that doc's spans) — no shuffle beyond the one join, and
+   * only documents that actually have spans evaluate it (CaseWhen
+   * branches lazily).
+   */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("id").as("__cut_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("__spans"))
+    val joined = df.join(sp, col(idCol) === col("__cut_id"), "left")
+    val toks = TextFunctions.tokens(col(textCol))
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__spans"), r =>
+        i.cast("long") >= r.getField("s") && i.cast("long") <= r.getField("e")))
+    joined
+      .withColumn("__kept", when(col("__spans").isNotNull, kept))
+      .select(
+        col(idCol).as("id"),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", col("__kept"))).as("clean_text"),
+        when(col("__spans").isNull, lit(0L))
+          .otherwise(size(toks).cast("long") - size(col("__kept")).cast("long"))
+          .as("n_removed"))
+  }
+
+  /**
    * Near-duplicate CLUSTERS: connected components over the verified
    * near-dup pair graph, labeling every document with the smallest
    * doc id reachable from it — the canonical survivor of its cluster.

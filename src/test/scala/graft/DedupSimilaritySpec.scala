@@ -59,6 +59,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 4L), "unique doc untouched")
     assert(got.count(_._1 == 5L) == 2 && got.count(_._1 == 6L) == 2,
       "two separated shared passages stay two spans")
+
+    // the consumer: cut the spans back out of the corpus
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", n)
+    val cut = Dedup.cutSpans(corpus, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(cut.size == 6, "every document comes back")
+    // untouched docs keep their original text verbatim, zero removed
+    assert(cut(3L) == (("r1 r2 r3 c1 c2 c3 r1 r2 r3", 0L)))
+    assert(cut(4L) == (("d1 d2 d3 d4 d5 d6 d7", 0L)))
+    // cut docs: exactly the span tokens removed, remainder in order
+    assert(cut(1L) == (("a1 a2 a3 a4", 5L)))
+    assert(cut(2L) == (("b1 b2 b3 b4", 5L)))
+    assert(cut(5L) == (("e1 e2 e3 e4", 9L)))
+    assert(cut(6L) == (("f1 f2 f3 f4", 9L)))
+    // a fully-covered document comes out empty, not missing
+    val pair = Seq((10L, pass), (11L, pass)).toDF("doc_id", "text")
+    val fullSpans = Dedup.duplicatedSpans(pair, "doc_id", "text", n)
+    val fullCut = Dedup.cutSpans(pair, "doc_id", "text", fullSpans)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(fullCut(10L) == (("", 5L)) && fullCut(11L) == (("", 5L)))
   }
 
   test("containmentPairs: brute-force equality, asymmetry, and quote detection") {

@@ -304,10 +304,18 @@ object Dedup {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-doc duplication), got $minDocs")
     // token array materialized in its own projection first — see
-    // wordShinglesFromTokens' O(len^2) re-tokenization caveat
+    // wordShinglesFromTokens' O(len^2) re-tokenization caveat. The
+    // shingle frame is persisted for the call scope: it feeds TWO
+    // consumers (the dup-count aggregate and the marked-position probe),
+    // and a persist boundary also stops InferFiltersFromGenerate +
+    // pushdown from substituting the whole tokenize-and-shingle
+    // expression into a scan-level `size(..) > 0` filter (observed in
+    // the plan before this: the expression duplicated ~16x per row at
+    // the scan).
     val sh = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("id"), TextFunctions.wordShinglesFromTokens(col("_toks"), n).as("_sh"))
+      .persist()
     val grams = sh
       .select(col("id"), posexplode(col("_sh")).as(Seq("pos", "_g")))
       .select(col("id"), col("pos").cast("long").as("pos"), xxhash64(col("_g")).as("_h"))
@@ -317,7 +325,7 @@ object Dedup {
       .select(col("_h"))
     val marked = grams.join(dup, Seq("_h"), "left_semi").select(col("id"), col("pos"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    marked
+    val spans = marked
       .withColumn("_new",
         when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
       .withColumn("_grp", sum(col("_new"))
@@ -326,6 +334,7 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(n - 1).cast("long")).as("span_end"))
       .select(col("id"), col("span_start"), col("span_end"))
+    materializeThenRelease(spans, sh)
   }
 
   /**

@@ -131,6 +131,9 @@ object GraftFunctions {
     "vector_avg" ->
       arity("vector_avg", 1)(
         exprs => VectorAvgAggExpr(exprs.head).toAggregateExpression()),
+    "vector_gram" ->
+      arity("vector_gram", 1)(
+        exprs => VectorGramAggExpr(exprs.head).toAggregateExpression()),
     "interleave_bits" ->
       arity("interleave_bits", 2)(exprs => {
         val d = exprs(1) match {

@@ -181,4 +181,39 @@ class PlanAssertionsSpec extends AnyFunSuite {
       p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("min")),
       s"first-occurrence pick must be a partial-able min aggregate:\n$p")
   }
+
+  test("q_sample_stratified ranks with the bounded heap aggregate and broadcasts the picks") {
+    // the scale claims: (a) never a row_number window partitioned by
+    // stratum (a crawl source can be most of the corpus in one task);
+    // (b) the k-per-stratum pick set joins back as a BROADCAST semi-join
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("Window"), s"no per-stratum window allowed:\n$p")
+    assert(p.contains("topk_agg"), s"ranking must be the bounded topk aggregate:\n$p")
+    assert(p.contains("partial_topk_agg"),
+      s"heap aggregate must keep its partial/final split (map-side heaps):\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"pick-set join-back must be a broadcast semi-join:\n$p")
+  }
+
+  test("dedup_passages: gram dedup is a partial-able aggregate; the only window is per-document") {
+    val p = plan("dedup_passages")
+    // the >= minDocs filter must pre-combine map-side (partial count
+    // distinct on the gram hash), not funnel per-gram rows into windows
+    assert(p.contains("partial_count(distinct") || p.contains("partial_count(DISTINCT") ||
+      p.toLowerCase.contains("partial_count(distinct"),
+      s"gram doc-count must be a partial-able distinct aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins in the gram pipeline:\n$p")
+    // exactly the one interval-merge window, partitioned by the doc id
+    // (bounded by one document's length — never per-gram or global)
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty && windowSpecs.forall(_.contains("id#")),
+      s"the only window must partition by the doc id:\n$p")
+    // the shingle frame is cached for the call scope: both consumers
+    // (dup aggregate + probe) read the cache, and the persist boundary
+    // stops pushdown from substituting the tokenize+shingle expression
+    // into a scan-level generate filter (it duplicated ~16x before)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the shingle frame must be cached, not recomputed per consumer:\n$p")
+  }
 }

@@ -64,6 +64,17 @@ class VectorAggSpec extends AnyFunSuite {
     assert(rows == Map(0 -> Seq(2.0, 4.0), 1 -> Seq(7.0, 9.0)))
   }
 
+  test("SQL surface: vector_gram returns the one-pass covariance sufficient statistics") {
+    import spark.implicits._
+    graft.operators.GraftFunctions.register(spark)
+    Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).toDF("v").createOrReplaceTempView("gram_in")
+    val r = spark.sql("SELECT vector_gram(v) AS g FROM gram_in").head().getStruct(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[Double](1) == Seq(4.0, 6.0))
+    // upper triangle row-major: [1*1+3*3, 1*2+3*4, 2*2+4*4]
+    assert(r.getSeq[Double](2) == Seq(10.0, 14.0, 20.0))
+  }
+
   test("vectorAvg reads float arrays natively (the embeddings column type)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = e.groupBy("label").agg(vectorAvg(col("embedding")).as("m"))

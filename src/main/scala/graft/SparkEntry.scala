@@ -1186,6 +1186,45 @@ object SparkEntry {
       graft.streaming.SkylineStreaming.runOnce(agg, "stream_blocklist_mem",
         statePartitions = Some(8))
     }),
+    "stream_dedup_ingest" -> ((s, dir) => {
+      // ONLINE dedup-at-ingestion: odd doc_ids arrive as the ingest
+      // STREAM, even ids are the authoritative reference corpus indexed
+      // ONCE (MinhashIndex: banded LSH buckets + shingles, persisted).
+      // The probe is stateless per micro-batch — map-side signature,
+      // band explode, two stream-static joins, exact-Jaccard verify —
+      // and the only state is the duplicate-insensitive per-doc
+      // best-match max. Gate: flagged ingest docs vs the batch exact
+      // cross-matched odd-id set (anchor cross-computed by the oracle;
+      // subset = structural precision EARNED, recall >= 0.9 EARNED —
+      // the same contract as dedup_cross, measured 1.0)
+      val d = t(s, dir, "documents")
+      val schema = d.schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 === 1)
+      val index = Dedup.buildMinhashIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+      try {
+        val flagged = Dedup.flagNearDupsAgainst(index, stream, "doc_id", "text", 0.5)
+        val drained = graft.streaming.SkylineStreaming.runOnce(
+          flagged, "stream_dedup_ingest_mem", statePartitions = Some(8))
+        val got = drained.select(col("id").cast("long").as("id")).distinct()
+        val exactOdd = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+          .filter(col("id1") % 2 =!= col("id2") % 2)
+          .select(when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
+            .cast("long").as("id"))
+          .distinct()
+        val nE = exactOdd.agg(count(lit(1)).as("n_exact_flagged"))
+        val nA = got.agg(count(lit(1)).as("_na"))
+        val nI = got.join(exactOdd, Seq("id")).agg(count(lit(1)).as("_ni"))
+        nE.crossJoin(nA).crossJoin(nI).select(
+          col("n_exact_flagged"),
+          (col("_na") === col("_ni")).as("subset_of_exact"),
+          (col("n_exact_flagged") === 0 ||
+            col("_ni").cast("double") >= lit(0.9) * col("n_exact_flagged").cast("double"))
+            .as("recall_ge_090"))
+      } finally index.unpersist()
+    }),
     "stream_join_attrib" -> ((s, dir) => {
       // watermarked stream-stream interval join: each purchase matched to
       // the same user's views/clicks in the preceding hour. Inner matches
@@ -1965,6 +2004,16 @@ object SparkEntry {
            |SELECT count(*)::BIGINT AS n_exact, true AS subset_of_exact,
            |  true AS recall_ge_090 FROM good
            |WHERE (id1 % 2) <> (id2 % 2)""".stripMargin,
+      // streaming ingestion dedup gate: the anchor is the count of
+      // DISTINCT odd (ingest-side) ids with an exact cross match; the
+      // booleans are earned by the drained stream (subset = structural
+      // precision of the verify, recall from the banded probe)
+      "stream_dedup_ingest" ->
+        s"""WITH $jaccardCtes
+           |SELECT count(DISTINCT CASE WHEN (id1 % 2) = 1 THEN id1 ELSE id2 END)::BIGINT
+           |    AS n_exact_flagged,
+           |  true AS subset_of_exact, true AS recall_ge_090
+           |FROM good WHERE (id1 % 2) <> (id2 % 2)""".stripMargin,
       "dedup_simhash" ->
         s"""SELECT count(*)::BIGINT AS n_docs_signed,
            |  true AS banded_equals_brute

@@ -749,6 +749,98 @@ object Dedup {
   }
 
   /**
+   * A build-once MinHash+LSH index of a reference corpus, for
+   * probe-many dedup AT INGESTION: `buckets` is the banded LSH bucket
+   * table (band, bh, ref_id), `shingles` the sorted hashed shingle sets
+   * (ref_id, ref_sh) the exact-Jaccard verify reads. Both persisted —
+   * `unpersist()` when done. At 100 TB the two frames are the artifact
+   * worth writing to parquet (bucketed by `bh` / `ref_id` via
+   * [[graft.sources.Layout]]) so every ingestion batch probes
+   * zero-build.
+   */
+  final case class MinhashIndex private[operators] (
+      buckets: DataFrame, shingles: DataFrame,
+      n: Int, numPerm: Int, bands: Int) {
+    def unpersist(): Unit = {
+      buckets.unpersist(blocking = false)
+      shingles.unpersist(blocking = false)
+    }
+  }
+
+  /** Build a [[MinhashIndex]] over the reference corpus (one pass:
+    * shingle cache feeds both frames, released after both materialize). */
+  def buildMinhashIndex(reference: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int = 64, bands: Int = 16): MinhashIndex = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val rdocs = shingledHashed(reference, idCol, textCol, n).cache()
+    val sh = rdocs.select(col("id").as("ref_id"), col("sh").as("ref_sh")).persist()
+    val buckets = bandedBuckets(rdocs, numPerm, bands)
+      .select(col("band"), col("bh"), col("id").as("ref_id")).persist()
+    try { sh.count(); buckets.count() }
+    catch { case t: Throwable =>
+      sh.unpersist(blocking = false); buckets.unpersist(blocking = false); throw t }
+    finally rdocs.unpersist(blocking = false)
+    MinhashIndex(buckets, sh, n, numPerm, bands)
+  }
+
+  /**
+   * Flag near-duplicates of `incoming` against a prebuilt
+   * [[MinhashIndex]] — and `incoming` may be a STREAMING DataFrame: the
+   * whole plan is stateless per micro-batch (map-side shingle + minhash
+   * signature, band explode, two stream-static joins against the
+   * persisted index, codegen'd exact-Jaccard verify) except the final
+   * per-document best-match aggregate, which is duplicate-insensitive
+   * (`max(struct(jaccard, ref_id))` — a pair surfacing from several
+   * bands changes nothing), so no distinct/dropDuplicates state is ever
+   * needed. Output: (id, dup_of, jaccard) — the best verified reference
+   * match per incoming document with J >= threshold; unmatched
+   * documents emit nothing (they are the keep set).
+   *
+   * This is online dedup-at-ingestion: index once, probe every batch.
+   * Same recall contract as [[minhashPairsAgainst]] (probabilistic via
+   * banding, precision exact via the verify). The incoming shingle set
+   * rides through the band explode (bands x duplication WITHIN a
+   * micro-batch projection) because a stream cannot self-join its own
+   * shingles back — the batch operators join the cached frame instead;
+   * at the default 16 bands this is bounded and map-side only.
+   *
+   * Batch callers get identical semantics (the plan is the same); the
+   * streaming drain runs complete-mode over the per-doc aggregate —
+   * production ingestion would run update mode with a watermark on the
+   * arrival time so state drains continuously.
+   */
+  def flagNearDupsAgainst(index: MinhashIndex, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val r = index.numPerm / index.bands
+    val probe = incoming
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("id"),
+        TextFunctions.shingleSetFromTokens(col("_toks"), index.n).as("_shs"))
+      .select(col("id"),
+        array_sort(array_distinct(transform(col("_shs"), s => xxhash64(s)))).as("sh"))
+      .select(col("id"), col("sh"),
+        graft.functions.HashFunctions.minhashSignature(col("sh"), index.numPerm).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("id"), col("sh"), posexplode(
+        array((0 until index.bands).map(j =>
+          xxhash64(lit(j) +: (0 until r).map(k =>
+            element_at(col("mh"), j * r + k + 1)): _*)): _*)).as(Seq("band", "bh")))
+    probe
+      .join(index.buckets, Seq("band", "bh"))
+      .join(index.shingles, Seq("ref_id"))
+      .withColumn("_inter",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("sh"), col("ref_sh"))
+          .cast("double"))
+      .withColumn("_j",
+        col("_inter") / (size(col("sh")) + size(col("ref_sh")) - col("_inter")))
+      .filter(col("_j") >= threshold)
+      .groupBy(col("id"))
+      .agg(max(struct(col("_j").as("j"), col("ref_id").as("ref"))).as("_best"))
+      .select(col("id"), col("_best.ref").as("dup_of"),
+        round(col("_best.j"), 4).as("jaccard"))
+  }
+
+  /**
    * SimHash near-duplicate pairs with Hamming distance <= `maxHamming`.
    * 64-bit SimHash over the distinct token set (Charikar, STOC'02; the
    * banded search follows Manku et al., WWW'07): split the 64 bits into

@@ -33,6 +33,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("flagNearDupsAgainst: streaming drain equals the batch probe; matches verify exactly") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val index = Dedup.buildMinhashIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+    try {
+      val batch = Dedup.flagNearDupsAgainst(
+          index, d.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val stream = spark.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 === 1)
+      val streamed = SkylineStreaming.runOnce(
+          Dedup.flagNearDupsAgainst(index, stream, "doc_id", "text", 0.5),
+          "flag_neardups_test", statePartitions = Some(8))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch && batch.nonEmpty,
+        s"stream/batch parity: ${streamed.size} vs ${batch.size}")
+      // precision is structural: every flagged pair verifies exactly
+      val texts = d.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      def shingles(t: String): Set[Seq[String]] =
+        t.split("\\s+").filter(_.nonEmpty).toSeq.sliding(3).filter(_.size == 3).map(_.toSeq).toSet
+      batch.foreach { case (id, ref, j) =>
+        val (a, b) = (shingles(texts(id)), shingles(texts(ref)))
+        val exact = a.intersect(b).size.toDouble / a.union(b).size
+        assert(math.abs(j - exact) < 5e-5 && exact >= 0.5, s"pair ($id,$ref): $j vs $exact")
+      }
+    } finally index.unpersist()
+  }
+
   test("incremental micro-batches: complete-mode skyline refines to the union") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-stream-in").toFile

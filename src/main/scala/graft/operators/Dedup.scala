@@ -765,6 +765,36 @@ object Dedup {
       buckets.unpersist(blocking = false)
       shingles.unpersist(blocking = false)
     }
+
+    /** Snapshot the index to storage: bucket and shingle frames as
+      * parquet plus a 1-row meta table pinning (n, numPerm, bands) — a
+      * probe against a reloaded index is only correct with the exact
+      * same shingling and banding, so the parameters travel WITH the
+      * data ([[Dedup.loadMinhashIndex]] is the inverse). Build cost is
+      * paid once per corpus snapshot, not per ingestion session. For
+      * zero-exchange probes at scale, write the two frames through
+      * [[graft.sources.Layout.writeBucketed]] on (bh) / (ref_id)
+      * instead — catalog bucketing carries the co-location metadata a
+      * plain path write cannot. */
+    def save(path: String): Unit = {
+      buckets.write.mode("overwrite").parquet(s"$path/buckets")
+      shingles.write.mode("overwrite").parquet(s"$path/shingles")
+      val spark = buckets.sparkSession
+      import spark.implicits._
+      Seq((n, numPerm, bands)).toDF("n", "num_perm", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Reload a [[MinhashIndex]] snapshot written by [[MinhashIndex.save]]
+    * (frames persisted on load — `unpersist()` when done). */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    MinhashIndex(
+      spark.read.parquet(s"$path/buckets").persist(),
+      spark.read.parquet(s"$path/shingles").persist(),
+      meta.getInt(0), meta.getInt(1), meta.getInt(2))
   }
 
   /** Build a [[MinhashIndex]] over the reference corpus (one pass:

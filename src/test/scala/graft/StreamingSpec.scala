@@ -62,6 +62,18 @@ class StreamingSpec extends AnyFunSuite {
         val exact = a.intersect(b).size.toDouble / a.union(b).size
         assert(math.abs(j - exact) < 5e-5 && exact >= 0.5, s"pair ($id,$ref): $j vs $exact")
       }
+      // snapshot round-trip: a reloaded index probes identically
+      val snap = Files.createTempDirectory("graft-mhidx").toString
+      index.save(snap)
+      val reloaded = graft.operators.Dedup.loadMinhashIndex(spark, snap)
+      try {
+        assert((reloaded.n, reloaded.numPerm, reloaded.bands) ==
+          (index.n, index.numPerm, index.bands), "params travel with the snapshot")
+        val reprobed = Dedup.flagNearDupsAgainst(
+            reloaded, d.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(reprobed == batch)
+      } finally reloaded.unpersist()
     } finally index.unpersist()
   }
 

@@ -330,6 +330,14 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
           percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"))),
+    "q_outliers_mad" -> ((s, dir) =>
+      // robust per-group outlier stats: median/MAD z-score — one
+      // extreme value cannot drag the threshold the way mean/stddev's
+      // would. The multiplier literal is computed ONCE in Scala and
+      // interpolated into the oracle so both engines compare against
+      // the bit-identical double
+      PipelineOps.robustOutliers(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag", k = 3.0)),
     "q_events_hourly" -> ((s, dir) =>
       // events.ts normalized to nanos-since-epoch long (eventsNs);
       // bucket by integer hour for an engine-neutral window aggregation.
@@ -1576,6 +1584,18 @@ object SparkEntry {
           |  quantile_cont(l_quantity, 0.5) AS p50_qty,
           |  quantile_cont(l_extendedprice, 0.95) AS p95_price
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "q_outliers_mad" ->
+        s"""WITH base AS (SELECT l_returnflag AS g,
+           |    l_extendedprice::DOUBLE AS x FROM lineitem),
+           |med AS (SELECT g, quantile_cont(x, 0.5) AS med FROM base GROUP BY g),
+           |wm AS (SELECT base.g, x, med FROM base JOIN med USING (g)),
+           |mad AS (SELECT g, quantile_cont(abs(x - med), 0.5) AS mad
+           |        FROM wm GROUP BY g)
+           |SELECT wm.g AS l_returnflag, min(wm.med) AS med, min(mad.mad) AS mad,
+           |  count(*)::BIGINT AS n_rows,
+           |  sum((abs(x - wm.med) > mad.mad * ${3.0 * 1.4826})::BIGINT)::BIGINT
+           |    AS n_outliers
+           |FROM wm JOIN mad USING (g) GROUP BY wm.g""".stripMargin,
       "q_events_hourly" ->
         """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
           |  count(*) AS n_events,

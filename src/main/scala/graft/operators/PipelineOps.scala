@@ -137,6 +137,45 @@ object PipelineOps {
   }
 
   /**
+   * Robust per-group outlier statistics — median/MAD z-score (the
+   * heavy-tail-safe alternative to mean/stddev, which one extreme value
+   * drags arbitrarily; winsorize's quantile cousin for FLAGGING instead
+   * of clamping): per group, the median, the median absolute deviation,
+   * and the count of values with |x - med| > k * 1.4826 * MAD (1.4826
+   * scales MAD to sigma-equivalent under normality, so `k` reads as a
+   * z-score). Output: (group, med, mad, n_rows, n_outliers).
+   *
+   * Exact medians by design (the DuckDB-parity contract — both sides
+   * are quantile_cont interpolation); exact percentile buffers a
+   * group's values in its aggregation buffer, so at 100 TB swap
+   * `percentile` for `approx_percentile` — same plan shape, bounded
+   * buffers, documented error. Three aggregate passes are inherent
+   * (median, then MAD needs the median, then the flag count needs
+   * both); each group-stat frame is ONE row per group and broadcasts
+   * back, so the corpus never shuffles — it is scanned three times,
+   * which a `.cache()` of the projected (g, x) sliver amortizes when
+   * it fits.
+   */
+  def robustOutliers(df: DataFrame, valueCol: String, byCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(col(byCol).as("g"), col(valueCol).cast("double").as("x"))
+    val med = base.groupBy(col("g"))
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val withMed = base.join(broadcast(med), "g")
+    val mad = withMed.groupBy(col("g"))
+      .agg(percentile(abs(col("x") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        count(lit(1)).as("n_rows"),
+        sum((abs(col("x") - col("med")) > col("mad") * lit(k * 1.4826))
+          .cast("long")).as("n_outliers"))
+      .select(col("g").as(byCol), col("med"), col("mad"),
+        col("n_rows"), col("n_outliers"))
+  }
+
+  /**
    * Deterministic EXACT-COUNT stratified sample: the k rows per stratum
    * whose md5 priority is smallest — the balanced-eval-set device
    * ([[hashSampleBy]] draws a Bernoulli FRACTION per stratum, so actual

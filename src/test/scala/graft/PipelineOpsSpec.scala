@@ -45,6 +45,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!bySource.contains("src1"), "fraction 0.0 must drop all rows")
   }
 
+  test("robustOutliers: matches driver-computed median/MAD flags; immune to the outlier itself") {
+    import spark.implicits._
+    // group a: tight cluster + one wild point; group b: no outliers
+    val a = Seq(10.0, 11.0, 12.0, 10.5, 11.5, 1000.0).map(("a", _))
+    val b = Seq(5.0, 6.0, 7.0, 8.0).map(("b", _))
+    val df = (a ++ b).toDF("g", "v")
+    val got = PipelineOps.robustOutliers(df, "v", "g", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    def medOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    for ((g, xs) <- Seq("a" -> a.map(_._2), "b" -> b.map(_._2))) {
+      val m = medOf(xs)
+      val mad = medOf(xs.map(x => math.abs(x - m)))
+      val nOut = xs.count(x => math.abs(x - m) > mad * (3.0 * 1.4826))
+      val (gm, gmad, gn, gout) = got(g)
+      assert(math.abs(gm - m) < 1e-12 && math.abs(gmad - mad) < 1e-12)
+      assert(gn == xs.size && gout == nOut, s"group $g: $gout vs $nOut")
+    }
+    // the defining property: the 1000.0 point is flagged, and a
+    // mean/stddev rule would NOT flag it here (it drags sigma so far
+    // that |1000 - mean| < 3 sigma) — the reason MAD exists
+    assert(got("a")._4 == 1L && got("b")._4 == 0L)
+    val xs = a.map(_._2)
+    val mean = xs.sum / xs.size
+    val sigma = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.size)
+    assert(math.abs(1000.0 - mean) < 3 * sigma,
+      "sanity: the classic z-score misses this outlier")
+  }
+
   test("sampleKPerStratum: exactly k per stratum, matches the window-rank reference") {
     import org.apache.spark.sql.expressions.Window
     val k = 7

@@ -1117,6 +1117,49 @@ object SparkEntry {
             .as("within_3rsd"))
     }),
 
+    "stream_heavy_hitters" -> ((s, dir) => {
+      // streaming heavy hitters: the mergeable Misra-Gries summary
+      // INSIDE a watermarked window aggregate (exact per-key counts
+      // would need a second streaming aggregation level — unsupported;
+      // the MG buffer is the bounded-state alternative, O(capacity) per
+      // window crossing the state store). Gate: MG's containment
+      // guarantee — every user with true count > N/(capacity+1) in a
+      // window MUST appear in that window's summary (Agarwal et al.,
+      // mergeable summaries: the guarantee survives the micro-batch
+      // merges) — checked per window against the batch exact counts,
+      // with anchors the DuckDB oracle cross-computes.
+      val cap = 16
+      val schema = t(s, dir, "events").schema
+      val stream = EventTime.withTsUtc(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val agg = graft.streaming.EventStreams.windowedAgg(
+        stream, "ts_utc", watermarkDelay = "1 hour", windowDuration = "1 hour",
+        keyCols = Seq.empty,
+        aggs = Seq(
+          FreqFunctions.misraGries(col("user_id").cast("string"), cap).as("_mg"),
+          count(lit(1)).as("n_events")))
+      val drained = graft.streaming.SkylineStreaming
+        .runOnce(agg, "stream_heavy_hitters_mem", statePartitions = Some(8))
+        .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+          col("_mg.token").as("_toks"), col("n_events"))
+      val exact = EventTime.withTsUtc(t(s, dir, "events"))
+        .groupBy(expr("unix_micros(date_trunc('hour', ts_utc)) div 3600000000")
+          .as("hour_bucket"), col("user_id"))
+        .agg(count(lit(1)).as("n_user"))
+      // per window: the exact heavy set (count > N/(cap+1)) and whether
+      // every member appears among the drained summary's tokens
+      drained.join(exact, Seq("hour_bucket"), "left")
+        .withColumn("_isheavy",
+          (col("n_user") * lit(cap + 1) > col("n_events")).cast("long"))
+        .withColumn("_present",
+          (col("_isheavy") === 1 &&
+            array_contains(col("_toks"), col("user_id").cast("string"))).cast("long"))
+        .groupBy(col("hour_bucket"))
+        .agg(first(col("n_events")).as("n_events"),
+          sum(col("_isheavy")).as("n_heavy_exact"),
+          (sum(col("_isheavy")) === sum(col("_present"))).as("all_heavy_present"))
+    }),
+
     "stream_sessionize" -> ((s, dir) => {
       // streaming gap sessionization (session_window + watermark) — the
       // complete-mode drain equals the batch lag/running-sum
@@ -1623,6 +1666,21 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+      // streaming heavy hitters gate: per-hour totals and the exact
+      // heavy set size (count > N/(capacity+1), capacity 16) anchored
+      // here; the containment boolean is earned by the drained
+      // Misra-Gries summaries
+      "stream_heavy_hitters" ->
+        """WITH ev AS (SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+          |    user_id FROM events),
+          |tot AS (SELECT hour_bucket, count(*) AS n_events FROM ev GROUP BY 1),
+          |per AS (SELECT hour_bucket, user_id, count(*) AS n_user
+          |        FROM ev GROUP BY 1, 2)
+          |SELECT tot.hour_bucket, tot.n_events,
+          |  sum((per.n_user * 17 > tot.n_events)::BIGINT)::BIGINT AS n_heavy_exact,
+          |  true AS all_heavy_present
+          |FROM tot JOIN per USING (hour_bucket)
+          |GROUP BY tot.hour_bucket, tot.n_events""".stripMargin,
 
       "stream_sessionize" ->
         """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tu,

@@ -111,7 +111,7 @@ class DriverContractSpec extends AnyFunSuite {
     val gated = Seq("dedup_minhash", "dedup_simhash", "dedup_semantic",
       "dedup_cross", "sim_pairs_lsh", "ann_ivf", "ann_topk_q8",
       "q_sketch_distinct", "stream_sketch_users", "q_pca_embed",
-      "q_whiten_embed", "stream_dedup_ingest")
+      "q_whiten_embed", "stream_dedup_ingest", "stream_heavy_hitters")
     val failures = gated.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val boolCols = df.schema.fields.collect {

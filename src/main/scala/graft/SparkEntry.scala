@@ -914,6 +914,23 @@ object SparkEntry {
         "doc_id", "text", n = 3)
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
+    "stream_contamination" -> ((s, dir) => {
+      // decontamination AT INGESTION: the eval set's shingle hashes are
+      // a static broadcast; every arriving doc's shared-shingle count
+      // aggregates per doc id (plain count — the per-doc shingle set is
+      // already distinct, which is what makes the same operator legal
+      // on a stream). Drains to EXACTLY the batch q_contamination rows,
+      // so the same exact DuckDB oracle hash-gates it.
+      val docs = t(s, dir, "documents")
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 50 =!= 0)
+      val flagged = PipelineOps.contamination(
+        stream, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
+      graft.streaming.SkylineStreaming.runOnce(
+          flagged, "stream_contamination_mem", statePartitions = Some(8))
+        .select(col("id").as("doc_id"), col("n_shared"))
+    }),
     "q_pack_sequences" -> ((s, dir) =>
       // GPT-style concat-and-chunk packing: per-source token streams
       // chunked at 512; seq_offset = first-token offset in the stream
@@ -2230,6 +2247,15 @@ object SparkEntry {
            |  least(64, len(toks) - st)::INT AS n_chunk_tokens
            |FROM s""".stripMargin,
       "q_contamination" ->
+        s"""WITH t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
+           |c AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 != 0),
+           |b AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 50 = 0)
+           |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+           |FROM c JOIN b ON c.s = b.s
+           |GROUP BY c.doc_id""".stripMargin,
+      // the streaming drain is row-identical to the batch operator, so
+      // the same exact oracle gates it
+      "stream_contamination" ->
         s"""WITH t AS (SELECT doc_id, $shingles3 AS sh FROM documents),
            |c AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 != 0),
            |b AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 50 = 0)

@@ -940,8 +940,14 @@ object PipelineOps {
     }
     val c = shingleHashes(corpus, withId = true)
     val b = shingleHashes(bench, withId = false).select("s").distinct()
+    // count, not count_distinct: a document's shingle SET is already
+    // distinct (shingleSetFromTokens), so its joined (id, s) rows are
+    // unique and the two aggregates are equal — and plain count makes
+    // this operator legal on a STREAMING corpus (distinct aggregates
+    // are unsupported in streaming; the benchmark side stays a static
+    // broadcast), which is what stream_contamination runs
     c.join(broadcast(b), "s")
-      .groupBy("id").agg(count_distinct(col("s")).as("n_shared"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
   }
 
   /**

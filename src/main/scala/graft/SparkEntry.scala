@@ -330,6 +330,14 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
           percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"))),
+    "q_drift_psi" -> ((s, dir) =>
+      // distribution drift monitor: PSI of doc length between the two
+      // snapshot halves over the baseline's deciles — one row per bin,
+      // each psi term independently rounded (no cross-bin float chain)
+      PipelineOps.psiDrift(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "n_chars", bins = 10)),
     "q_outliers_mad" -> ((s, dir) =>
       // robust per-group outlier stats: median/MAD z-score — one
       // extreme value cannot drag the threshold the way mean/stddev's
@@ -1644,6 +1652,25 @@ object SparkEntry {
           |  quantile_cont(l_quantity, 0.5) AS p50_qty,
           |  quantile_cont(l_extendedprice, 0.95) AS p95_price
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "q_drift_psi" ->
+        """WITH a AS (SELECT n_chars::DOUBLE AS x FROM documents WHERE doc_id % 2 = 0),
+          |b AS (SELECT n_chars::DOUBLE AS x FROM documents WHERE doc_id % 2 = 1),
+          |e AS (SELECT list_transform(
+          |    quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+          |    v -> round(v, 6)) AS edges FROM a),
+          |ba AS (SELECT len(list_filter(e.edges, v -> x > v)) AS bin FROM a, e),
+          |bb AS (SELECT len(list_filter(e.edges, v -> x > v)) AS bin FROM b, e),
+          |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+          |ca AS (SELECT bin, count(*) AS n_a FROM ba GROUP BY 1),
+          |cb AS (SELECT bin, count(*) AS n_b FROM bb GROUP BY 1),
+          |j AS (SELECT bins.bin, coalesce(ca.n_a, 0) AS n_a,
+          |        coalesce(cb.n_b, 0) AS n_b
+          |      FROM bins LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+          |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+          |SELECT j.bin::INT AS bin, j.n_a::BIGINT AS n_a, j.n_b::BIGINT AS n_b,
+          |  round((j.n_b / t.tb - j.n_a / t.ta) *
+          |    ln((j.n_b / t.tb + 1e-6) / (j.n_a / t.ta + 1e-6)), 6) AS psi_term
+          |FROM j, t""".stripMargin,
       "q_outliers_mad" ->
         s"""WITH base AS (SELECT l_returnflag AS g,
            |    l_extendedprice::DOUBLE AS x FROM lineitem),

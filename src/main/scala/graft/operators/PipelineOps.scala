@@ -137,6 +137,65 @@ object PipelineOps {
   }
 
   /**
+   * Distribution drift between two corpus snapshots — Population
+   * Stability Index over baseline deciles: bin edges are snapshot A's
+   * quantiles (so A's mass is ~uniform by construction), both snapshots
+   * bin against those edges, and each bin contributes
+   * (pB − pA) · ln((pB+ε)/(pA+ε)) — the standard drift monitor for "did
+   * the crawl's length/quality/score distribution move since the last
+   * build" (PSI > 0.2 is the conventional re-examine threshold; the ε
+   * keeps empty bins finite). Output: one row per bin —
+   * (bin, n_a, n_b, psi_term), the total being the caller's sum.
+   *
+   * Engine-parity devices (the oracle recomputes everything from raw
+   * data): edges are exact quantiles ROUNDED to 6 decimals before
+   * binning (both engines interpolate identically — the q_percentile
+   * parity — and the rounding absorbs any summation-order ulp); the bin
+   * of x is the INDICATOR SUM Σ(x > edge_i), which is order-free; each
+   * psi term rounds to 6 decimals independently, so no cross-bin float
+   * accumulation exists anywhere.
+   *
+   * 100 TB shape: one exact-quantile aggregate over A (driver gets
+   * bins−1 doubles; swap `percentile` → `approx_percentile` at scale),
+   * then ONE scan of each snapshot with a literal CASE-free indicator
+   * chain and a bins-sized aggregate. Nothing but bin counts cross the
+   * exchange.
+   */
+  def psiDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val rawEdges = dfA
+      .agg(percentile(col(valueCol).cast("double"),
+        typedLit(probs.toArray)).as("_e"))
+      .head().getSeq[Double](0)
+    val edges = rawEdges.map(x => math.rint(x * 1e6) / 1e6)
+    def binOf(c: Column): Column =
+      edges.map(e => (c > lit(e)).cast("int")).reduce(_ + _)
+    def binCounts(df: DataFrame, as: String): DataFrame =
+      df.select(binOf(col(valueCol).cast("double")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val allBins = (0 until bins).toDF("bin")
+    val joined = allBins
+      .join(binCounts(dfA, "n_a"), Seq("bin"), "left")
+      .join(binCounts(dfB, "n_b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totA = sum(col("n_a")).over(Window.partitionBy())
+    val totB = sum(col("n_b")).over(Window.partitionBy())
+    joined
+      .withColumn("_pa", col("n_a").cast("double") / totA)
+      .withColumn("_pb", col("n_b").cast("double") / totB)
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round((col("_pb") - col("_pa")) *
+          log((col("_pb") + lit(eps)) / (col("_pa") + lit(eps))), 6)
+          .as("psi_term"))
+  }
+
+  /**
    * Robust per-group outlier statistics — median/MAD z-score (the
    * heavy-tail-safe alternative to mean/stddev, which one extreme value
    * drags arbitrarily; winsorize's quantile cousin for FLAGGING instead

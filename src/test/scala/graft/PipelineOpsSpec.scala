@@ -45,6 +45,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!bySource.contains("src1"), "fraction 0.0 must drop all rows")
   }
 
+  test("psiDrift: zero on identical snapshots, positive under a planted shift, bins partition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val aVals = Seq.fill(2000)(rnd.nextGaussian() * 10 + 100.0)
+    val bSame = aVals.map(identity)
+    val bShift = aVals.map(_ + 8.0) // ~0.8 sigma shift: clearly drifted
+    def df(xs: Seq[Double]) = xs.toDF("v")
+    val same = PipelineOps.psiDrift(df(aVals), df(bSame), "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(same.length == 10 && same.map(_._1).sorted.toSeq == (0 until 10))
+    assert(same.map(_._2).sum == 2000 && same.map(_._3).sum == 2000,
+      "bins partition both snapshots")
+    // identical snapshots: every term ~0 (only the eps regularizer moves it)
+    assert(math.abs(same.map(_._4).sum) < 1e-4)
+    // baseline deciles: A's mass is ~uniform per bin by construction
+    assert(same.forall(t => t._2 >= 150 && t._2 <= 250), same.map(_._2).toSeq.toString)
+    val drift = PipelineOps.psiDrift(df(aVals), df(bShift), "v")
+      .collect().map(_.getDouble(3)).sum
+    assert(drift > 0.2, s"a 0.8-sigma shift must exceed the conventional 0.2 threshold, got $drift")
+  }
+
   test("robustOutliers: matches driver-computed median/MAD flags; immune to the outlier itself") {
     import spark.implicits._
     // group a: tight cluster + one wild point; group b: no outliers

@@ -1185,6 +1185,51 @@ object SparkEntry {
           (sum(col("_isheavy")) === sum(col("_present"))).as("all_heavy_present"))
     }),
 
+    "stream_drift_psi" -> ((s, dir) => {
+      // streaming drift alarm: per-hour PSI of the event-value
+      // distribution against the WHOLE corpus baseline. Edges are the
+      // baseline deciles (static, rounded — psiBinEdges); binning is the
+      // order-free indicator sum, map-side in the stream; the windowed
+      // (window, bin) counts are the ONLY state; psi terms compute
+      // post-drain on the tiny (windows x bins) frame with the same
+      // independently-rounded device as q_drift_psi, so the oracle
+      // hash-gates EXACTLY from raw events.
+      val bins = 10
+      val x = dec("value").cast("double")
+      val batchEv = EventTime.withTsUtc(t(s, dir, "events")).withColumn("_x", x)
+      val edges = PipelineOps.psiBinEdges(batchEv, "_x", bins)
+      val schema = t(s, dir, "events").schema
+      val stream = EventTime.withTsUtc(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .withColumn("_bin", PipelineOps.psiBin(x, edges))
+      val agg = graft.streaming.EventStreams.windowedAgg(
+        stream, "ts_utc", watermarkDelay = "1 hour", windowDuration = "1 hour",
+        keyCols = Seq("_bin"), aggs = Seq(count(lit(1)).as("_n")))
+      val drained = graft.streaming.SkylineStreaming
+        .runOnce(agg, "stream_drift_psi_mem", statePartitions = Some(8))
+        .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+          col("_bin").as("bin"), col("_n"))
+      // baseline fractions from the batch corpus (10 rows); windows x
+      // bins grid so empty bins carry their psi mass
+      val base = batchEv.select(PipelineOps.psiBin(col("_x"), edges).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("_nb"))
+      val baseTot = base.agg(sum(col("_nb")).as("_tb"))
+      val grid = drained.select(col("hour_bucket")).distinct()
+        .crossJoin(s.range(bins).select(col("id").cast("int").as("bin")))
+      val winTot = drained.groupBy(col("hour_bucket")).agg(sum(col("_n")).as("_tw"))
+      grid
+        .join(drained, Seq("hour_bucket", "bin"), "left")
+        .join(broadcast(base), Seq("bin"), "left")
+        .join(broadcast(winTot), Seq("hour_bucket"))
+        .crossJoin(broadcast(baseTot))
+        .select(col("hour_bucket"), col("bin"),
+          coalesce(col("_n"), lit(0L)).as("n_window"),
+          round((coalesce(col("_n"), lit(0L)).cast("double") / col("_tw")
+              - coalesce(col("_nb"), lit(0L)).cast("double") / col("_tb")) *
+            log((coalesce(col("_n"), lit(0L)).cast("double") / col("_tw") + lit(1e-6)) /
+              (coalesce(col("_nb"), lit(0L)).cast("double") / col("_tb") + lit(1e-6))), 6)
+            .as("psi_term"))
+    }),
     "stream_sessionize" -> ((s, dir) => {
       // streaming gap sessionization (session_window + watermark) — the
       // complete-mode drain equals the batch lag/running-sum
@@ -1710,6 +1755,32 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+      // streaming drift: the whole computation recomputed from raw
+      // events — same rounded decile edges, indicator-sum bins, and
+      // independently-rounded psi terms as q_drift_psi, on the
+      // (window x bin) grid so empty bins carry their psi mass
+      "stream_drift_psi" ->
+        """WITH ev AS (SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+          |    CAST(value AS DECIMAL(18,2))::DOUBLE AS x FROM events),
+          |e AS (SELECT list_transform(
+          |    quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+          |    v -> round(v, 6)) AS edges FROM ev),
+          |bx AS (SELECT hour_bucket, len(list_filter(e.edges, v -> x > v)) AS bin
+          |       FROM ev, e),
+          |base AS (SELECT bin, count(*) AS nb FROM bx GROUP BY 1),
+          |bt AS (SELECT sum(nb) AS tb FROM base),
+          |win AS (SELECT hour_bucket, bin, count(*) AS n FROM bx GROUP BY 1, 2),
+          |wt AS (SELECT hour_bucket, sum(n) AS tw FROM win GROUP BY 1),
+          |grid AS (SELECT w.hour_bucket, g.bin
+          |         FROM wt w, (SELECT unnest(generate_series(0, 9)) AS bin) g)
+          |SELECT grid.hour_bucket, grid.bin::INT AS bin,
+          |  coalesce(win.n, 0)::BIGINT AS n_window,
+          |  round((coalesce(win.n, 0) / wt.tw - coalesce(base.nb, 0) / bt.tb) *
+          |    ln((coalesce(win.n, 0) / wt.tw + 1e-6) /
+          |        (coalesce(base.nb, 0) / bt.tb + 1e-6)), 6) AS psi_term
+          |FROM grid LEFT JOIN win USING (hour_bucket, bin)
+          |LEFT JOIN base USING (bin)
+          |JOIN wt USING (hour_bucket), bt""".stripMargin,
       // streaming heavy hitters gate: per-hour totals and the exact
       // heavy set size (count > N/(capacity+1), capacity 16) anchored
       // here; the containment boolean is earned by the drained

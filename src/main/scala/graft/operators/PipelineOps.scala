@@ -161,17 +161,30 @@ object PipelineOps {
    * chain and a bins-sized aggregate. Nothing but bin counts cross the
    * exchange.
    */
-  def psiDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
-      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+  /** The baseline's quantile bin edges, ROUNDED to 6 decimals — the
+    * engine-parity device [[psiDrift]] and the streaming drift monitor
+    * share (both engines interpolate quantiles identically, and the
+    * rounding absorbs any summation-order ulp before values compare
+    * against the edges). bins−1 doubles on the driver. */
+  def psiBinEdges(df: DataFrame, valueCol: String, bins: Int): Seq[Double] = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val probs = (1 until bins).map(_.toDouble / bins)
-    val rawEdges = dfA
-      .agg(percentile(col(valueCol).cast("double"),
+    df.agg(percentile(col(valueCol).cast("double"),
         typedLit(probs.toArray)).as("_e"))
       .head().getSeq[Double](0)
-    val edges = rawEdges.map(x => math.rint(x * 1e6) / 1e6)
-    def binOf(c: Column): Column =
-      edges.map(e => (c > lit(e)).cast("int")).reduce(_ + _)
+      .map(x => math.rint(x * 1e6) / 1e6)
+  }
+
+  /** Bin index of `c` against literal `edges`: the order-free indicator
+    * sum Σ(c > edge) — map-side, streaming-legal, and reproducible by
+    * any engine from the same edge literals. */
+  def psiBin(c: Column, edges: Seq[Double]): Column =
+    edges.map(e => (c > lit(e)).cast("int")).reduce(_ + _)
+
+  def psiDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val edges = psiBinEdges(dfA, valueCol, bins)
+    def binOf(c: Column): Column = psiBin(c, edges)
     def binCounts(df: DataFrame, as: String): DataFrame =
       df.select(binOf(col(valueCol).cast("double")).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(as))

@@ -85,6 +85,40 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("matrixProject interpreted path agrees with codegen (and with a driver fold)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.matrixProject
+    val mat = Array(Array(1.0, 2.0, -1.0), Array(0.5, 0.0, 3.0))
+    val off = Array(0.25, -2.0)
+    val rows = Seq(
+      Array(1.0, 1.0, 1.0),
+      Array(-2.0, 0.5, 4.0),
+      Array(9.0),                        // wrong width -> null
+      null.asInstanceOf[Array[Double]])  // null vector -> null
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    def run(): Map[Long, Option[Seq[Double]]] =
+      df.select(col("id"), matrixProject(col("v"), mat, off).as("p"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1).toSeq))).toMap
+    val cg = run()
+    rows.take(2).zipWithIndex.foreach { case (v, i) =>
+      val want = mat.zip(off).map { case (row, o) =>
+        row.zip(v).map { case (a, b) => a * b }.sum - o }
+      assert(cg(i.toLong).get == want.toSeq, s"row $i")
+    }
+    assert(cg(2L).isEmpty && cg(3L).isEmpty, "length contract")
+    val conf = spark.conf
+    val oldWs = conf.get("spark.sql.codegen.wholeStage")
+    val oldFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == cg, "interpreted == codegen")
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWs)
+      conf.set("spark.sql.codegen.factoryMode", oldFm)
+    }
+  }
+
   test("pcaWhiten: identity covariance, zero mean, rank-deficiency rejection") {
     import spark.implicits._
     val rnd = new scala.util.Random(11L)

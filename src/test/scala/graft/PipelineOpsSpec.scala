@@ -131,6 +131,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       PipelineOps.sampleKPerStratum(docs, "text", "source", 3)
     }
     assert(ex.getMessage.contains("integral"))
+    // k larger than every stratum: the whole corpus comes back
+    val n = docs.count()
+    assert(PipelineOps.sampleKPerStratum(docs, "doc_id", "source",
+      k = n.toInt + 10).count() == n)
   }
 
   test("packSequences: offsets are exclusive prefix sums; chunk ids follow offsets") {

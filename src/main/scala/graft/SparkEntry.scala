@@ -906,6 +906,22 @@ object SparkEntry {
         fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultFraction = 0.1)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))),
+    "stream_mix_sources" -> ((s, dir) => {
+      // the mixing device IN-STREAM: hashSampleBy is a pure md5 filter
+      // (no state, no reroll), so the identical operator runs on the
+      // ingest stream and drains EXACTLY the batch counts — the
+      // determinism claim ("same keys kept on any engine, any
+      // partitioning, batch or stream") gated by the same exact oracle
+      val docs = t(s, dir, "documents")
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val kept = PipelineOps.hashSampleBy(stream, "doc_id", "source",
+        fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      graft.streaming.SkylineStreaming.runOnce(kept, "stream_mix_sources_mem",
+        statePartitions = Some(8))
+    }),
     "q_chunks" -> ((s, dir) =>
       // retrieval-prep chunking: 64-token windows, 16-token overlap
       PipelineOps.chunkDocuments(t(s, dir, "documents"), "text",
@@ -2300,6 +2316,13 @@ object SparkEntry {
           |  ) AS rn FROM documents)
           |SELECT doc_id, source FROM ranked WHERE rn <= 25""".stripMargin,
       "q_mix_sources" ->
+        """SELECT source, count(*) AS n_kept FROM documents
+          |WHERE substr(md5(doc_id::VARCHAR || ':graft'), 1, 8) <
+          |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
+          |    WHEN 'src2' THEN '40000000' ELSE '19999999' END
+          |GROUP BY source""".stripMargin,
+      // the streaming drain is row-identical to the batch mixing device
+      "stream_mix_sources" ->
         """SELECT source, count(*) AS n_kept FROM documents
           |WHERE substr(md5(doc_id::VARCHAR || ':graft'), 1, 8) <
           |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'

@@ -39,10 +39,29 @@ object SparkEntry {
     * [[Dedup.clusters]] directly every time: it benchmarks the operator,
     * not the composite. */
   private val clusterMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Double), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Double), String]
+
+  /** Content fingerprint of a parquet path (file or directory of part
+    * files): every part's (name, size, mtime). Part of the memo key so
+    * an in-place regeneration of documents.parquet (the repo's history
+    * records the driver doing exactly that) invalidates the parked
+    * labeling instead of silently serving stale clusters to the
+    * correctness gates. */
+  private def contentFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val f = new java.io.File(path)
+    if (!f.exists()) s"absent:$path"
+    else walk(f).map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      .mkString(";")
+  }
+
   private def memoClusterLabels(s: SparkSession, dir: String,
       n: Int, threshold: Double): DataFrame = {
-    val key = (new java.io.File(dir).getCanonicalPath, n, threshold)
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val key = (canonical, contentFingerprint(s"$canonical/documents.parquet"),
+      n, threshold)
     val path = clusterMemo.getOrElseUpdate(key, {
       val out = java.nio.file.Files.createTempDirectory("graft-clusters-")
         .resolve("labels").toString
@@ -1484,6 +1503,76 @@ object SparkEntry {
       PipelineOps.noveltyScore(t(s, dir, "documents"), "doc_id", "text",
         n = 3)),
   )
+
+  /** Operator-only timing variants for the gate-dominated queries, so
+    * [[graft.Bench]] can report the OPERATOR's cost separately from the
+    * correctness-gate harness (exact-counterpart recompute, brute-force
+    * verify side) that dominates the full query's number — the gate is
+    * test scaffolding that a production run never executes, and folding
+    * it into one figure masks operator regressions behind harness cost.
+    *
+    * Contract: `opOnly(name)(spark, dir)` performs any AMORTIZED setup
+    * (e.g. the ingestion index built once per corpus snapshot, not per
+    * batch) and returns a thunk; the thunk is the timed region and must
+    * run the operator's full per-call work. Bench emits `op_sec` per
+    * sample and `gate_sec = full_median - op_median`. Every key here
+    * must also be in [[queries]] (spec-asserted). */
+  def opOnly: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+    "dedup_minhash" -> ((s, dir) => { () =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }),
+    "dedup_cross" -> ((s, dir) => { () =>
+      val d = t(s, dir, "documents")
+      Dedup.minhashPairsAgainst(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    }),
+    "dedup_simhash" -> ((s, dir) => { () =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+    }),
+    "dedup_semantic" -> ((s, dir) => { () =>
+      // same augmented input as the gated query, so op and full time
+      // the identical corpus
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val aug = e.union(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Dedup.semanticPairs(aug, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, nlist = 16)
+    }),
+    "sim_pairs_lsh" -> ((s, dir) => { () =>
+      Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, tables = 8, targetBucketRows = 256,
+        multiProbe = true)
+    }),
+    "stream_dedup_ingest" -> ((s, dir) => {
+      // setup = the reference index, built once per corpus snapshot in
+      // production; the timed thunk is one ingestion probe + drain
+      val d = t(s, dir, "documents")
+      val schema = d.schema
+      val index = Dedup.buildMinhashIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+      () => {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") % 2 === 1)
+        val flagged = Dedup.flagNearDupsAgainst(index, stream, "doc_id", "text", 0.5)
+        graft.streaming.SkylineStreaming.runOnce(
+          flagged, "stream_dedup_ingest_op", statePartitions = Some(8))
+      }
+    }),
+  )
+
+  /** Queries whose result derives from the session-memoized cluster
+    * labeling ([[memoClusterLabels]]): after the first caller their
+    * bench figure times a parquet read of the parked labeling, not the
+    * pair-graph pipeline — flagged `derived` in the bench artifact so
+    * cross-round comparisons don't read them as operator numbers
+    * (`dedup_cluster` itself recomputes every call and stays the
+    * operator benchmark). */
+  val compositeDerived: Set[String] =
+    Set("q_dedup_retain", "q_retain_best", "q_split_leakfree")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The probabilistic-candidate operators

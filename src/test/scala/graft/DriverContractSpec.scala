@@ -17,6 +17,23 @@ class DriverContractSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracle entries without queries: $dangling")
   }
 
+  test("every opOnly / compositeDerived key has a matching queries entry") {
+    val danglingOp = SparkEntry.opOnly.keySet -- SparkEntry.queries.keySet
+    assert(danglingOp.isEmpty, s"opOnly entries without queries: $danglingOp")
+    val danglingDerived = SparkEntry.compositeDerived -- SparkEntry.queries.keySet
+    assert(danglingDerived.isEmpty,
+      s"compositeDerived entries without queries: $danglingDerived")
+  }
+
+  test("opOnly thunks run at sf0.001 and return the operator's shape") {
+    val failures = SparkEntry.opOnly.flatMap { case (name, mk) =>
+      try { mk(spark, "/root/testdata/sf0.001")().count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(150)}") }
+      finally spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("all queries execute at sf0.001 (schema + plan sanity, count >= 0)") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count(); None }

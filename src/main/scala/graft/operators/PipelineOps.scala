@@ -172,7 +172,31 @@ object PipelineOps {
     df.agg(percentile(col(valueCol).cast("double"),
         typedLit(probs.toArray)).as("_e"))
       .head().getSeq[Double](0)
-      .map(x => math.rint(x * 1e6) / 1e6)
+      .map(round6HalfAwayFromZero)
+  }
+
+  /** round(x, 6) with the EXACT semantics of SQL round on doubles
+    * (DuckDB/C `std::round(x * 1e6) / 1e6`): half-away-from-zero on the
+    * SCALED BINARY value. Neither of the plausible alternatives matches
+    * it on ties, and a quantile edge landing on one would move a bin
+    * boundary between engines: `math.rint` is half-to-EVEN on the scaled
+    * double (rint(0.5) = 0 where SQL gives 1), and decimal-exact
+    * rounding (BigDecimal HALF_UP) sees the full binary expansion, where
+    * the scaled tie usually isn't a decimal tie at all (the double
+    * nearest 5e-7 is 4.9999…e-7, so decimal rounding gives 0 where
+    * round(5e-7 * 1e6) = round(0.5) = 1e-6 — verified against DuckDB,
+    * incl. the away-from-zero negative ties round(-5e-7,6) = -1e-6 and
+    * round(-2.5,0) = -3). Non-tie values take `rint`, which is
+    * correctly-rounded nearest — identical to C round there. */
+  private[graft] def round6HalfAwayFromZero(x: Double): Double = {
+    if (x.isNaN || x.isInfinite) x
+    else {
+      val s = x * 1e6
+      val fl = math.floor(s)
+      val r = if (s - fl == 0.5) { if (s > 0) fl + 1.0 else fl }
+        else math.rint(s)
+      r / 1e6
+    }
   }
 
   /** Bin index of `c` against literal `edges`: the order-free indicator

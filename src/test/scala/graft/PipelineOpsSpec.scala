@@ -66,6 +66,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(drift > 0.2, s"a 0.8-sigma shift must exceed the conventional 0.2 threshold, got $drift")
   }
 
+  test("round6HalfAwayFromZero matches SQL round-on-double semantics (DuckDB-verified vectors)") {
+    // vectors cross-checked against DuckDB round(v::DOUBLE, 6): ties on
+    // the SCALED double go away from zero (incl. negatives), non-ties
+    // are correctly-rounded nearest — NOT rint (half-to-even: would give
+    // 0.0 for 5e-7) and NOT decimal-exact rounding (BigDecimal HALF_UP
+    // sees 4.9999…e-7 and would also give 0.0)
+    val cases = Seq(
+      5e-7 -> 1e-6, -5e-7 -> -1e-6,
+      1.5e-6 -> 2e-6, -1.5e-6 -> -2e-6, 2.5e-6 -> 3e-6,
+      1.0000005 -> 1.000001, 0.1234565 -> 0.123457,
+      2.5 -> 2.5, 123456.5 -> 123456.5, 0.0 -> 0.0)
+    cases.foreach { case (in, want) =>
+      val got = PipelineOps.round6HalfAwayFromZero(in)
+      assert(got == want, s"round6($in): got $got want $want")
+    }
+    assert(PipelineOps.round6HalfAwayFromZero(Double.NaN).isNaN)
+    assert(PipelineOps.round6HalfAwayFromZero(Double.PositiveInfinity).isPosInfinity)
+  }
+
   test("robustOutliers: matches driver-computed median/MAD flags; immune to the outlier itself") {
     import spark.implicits._
     // group a: tight cluster + one wild point; group b: no outliers

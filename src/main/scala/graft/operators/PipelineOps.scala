@@ -518,18 +518,29 @@ object PipelineOps {
    * Scale shape: the corpus collapses ONCE to the (word, freq) table —
    * a single corpus aggregation; training then iterates on that
    * vocabulary-sized table, never re-touching the corpus (how real BPE
-   * trainers work, whether on full corpora or samples). Each round is
-   * one distributed weighted pair-count plus a 1-ROW argmax collect
+   * trainers work, whether on full corpora or samples). When the table
+   * fits `driverVocabCap` rows it is collected ONCE and training
+   * finishes DRIVER-LOCAL with incrementally-maintained pair counts —
+   * what real BPE trainers do, and the only shape that survives a
+   * production vocabulary: the distributed loop launches one Spark job
+   * per merge, and 32k sequential job launches are a scheduler wall
+   * regardless of data size (a vocabulary is a few million rows — a
+   * driver-trivial collect — while the corpus it came from is the
+   * 100 TB part that stays distributed in the ONE aggregation above).
+   * Past the cap (or with `driverVocabCap = 0`) each round is one
+   * distributed weighted pair-count plus a 1-ROW argmax collect
    * (driver state = the merge table, bounded by `numMerges` — the
    * kmeans-centroid pattern); the merge itself is a fold-with-carry
    * `aggregate` over the symbol array (leftmost-greedy, the standard
    * BPE order), executed map-side — no UDF, no shuffle. Lineage is
    * truncated with a localCheckpoint every 16 rounds so plan depth
    * stays bounded. Ties break deterministically on (freq desc, left
-   * asc, right asc), so retraining reproduces the identical table.
+   * asc, right asc) with BINARY (UTF-8 code-point) string order on
+   * both paths, so retraining reproduces the identical table
+   * (merge-for-merge parity spec-gated).
    */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-      minPairFreq: Long = 2L): DataFrame = {
+      minPairFreq: Long = 2L, driverVocabCap: Long = 4000000L): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(minPairFreq >= 1, s"minPairFreq must be >= 1, got $minPairFreq")
     val spark = df.sparkSession
@@ -538,7 +549,18 @@ object PipelineOps {
       .groupBy(col("_w")).agg(count(lit(1)).as("_freq"))
       .select(split(col("_w"), "").as("_syms"), col("_freq"))
       .persist()
-    words.count() // materialize before the corpus-scan lineage is dropped
+    val vocabN = words.count() // materialize before the corpus-scan lineage is dropped
+    if (vocabN > 0 && vocabN <= driverVocabCap) {
+      val rows =
+        try words.collect() finally words.unpersist(blocking = false)
+      val local = trainBpeLocal(
+        rows.map(r => (r.getSeq[String](0).toArray, r.getLong(1))),
+        numMerges, minPairFreq)
+      import spark.implicits._
+      return local.toDF("rank", "left", "right", "pair_freq")
+        .select(col("rank"), col("left"), col("right"),
+          concat(col("left"), col("right")).as("merged"), col("pair_freq"))
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var round = 0
@@ -593,6 +615,115 @@ object PipelineOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
       .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_freq"))
+  }
+
+  /** Driver-local BPE training over the collected (symbols, freq)
+    * vocabulary — the finishing path of [[bpeTrain]], byte-for-byte the
+    * distributed loop's semantics (merge-for-merge parity spec-gated):
+    * overlapping adjacent pair counts weighted by word freq, argmax
+    * ties on (freq desc, left asc, right asc), leftmost-greedy
+    * non-overlapping merge. Pair counts are maintained INCREMENTALLY
+    * (only words containing the merged pair recount — the standard fast
+    * trainer), with a pair → word-index occurrence map whose entries
+    * are a may-contain superset (stale entries re-verified on use).
+    * Returns (rank, left, right, pair_freq). */
+  private[graft] def trainBpeLocal(
+      words0: Array[(Array[String], Long)], numMerges: Int,
+      minPairFreq: Long): Seq[(Int, String, String, Long)] = {
+    // Tie-break comparison must equal the distributed path's ORDER BY
+    // on strings, which is Spark's UTF8String binary order = UTF-8
+    // byte-wise = code-point order. Scala's String < is UTF-16
+    // code-unit order — it disagrees on supplementary-plane characters
+    // (emoji), which real corpora contain.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val syms = words0.map(_._1)
+    val freq = words0.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def bump(p: (String, String), by: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + by
+      if (c <= 0L) counts.remove(p) else counts(p) = c
+    }
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        bump(p, freq(wi))
+        occ.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var continue = true
+    while (out.size < numMerges && continue) {
+      // deterministic argmax regardless of hash iteration order
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (p, c) =>
+        if (best == null || c > bestC ||
+            (c == bestC && (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2))))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null || bestC < minPairFreq) continue = false
+      else {
+        val (l, r) = best
+        out += ((out.size + 1, l, r, bestC))
+        val m = l + r
+        occ.get(best).foreach(_.toArray.foreach { w =>
+          val old = syms(w)
+          var has = false
+          var i = 0
+          while (i < old.length - 1 && !has) {
+            has = old(i) == l && old(i + 1) == r
+            i += 1
+          }
+          if (has) { // occ entries are stale-safe may-contains
+            val f = freq(w)
+            var j = 0
+            while (j < old.length - 1) { bump((old(j), old(j + 1)), -f); j += 1 }
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            var k = 0
+            while (k < old.length) {
+              if (k + 1 < old.length && old(k) == l && old(k + 1) == r) {
+                b += m; k += 2
+              } else { b += old(k); k += 1 }
+            }
+            val nw = b.toArray
+            syms(w) = nw
+            var j2 = 0
+            while (j2 < nw.length - 1) {
+              val p = (nw(j2), nw(j2 + 1))
+              bump(p, f)
+              occ.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += w
+              j2 += 1
+            }
+          }
+        })
+        // a single leftmost pass removes every (l, r) adjacency (a
+        // skipped overlap leaves (merged, r), never (l, r)), so the
+        // count is now zero on both paths; drop the bookkeeping
+        occ.remove(best)
+        counts.remove(best)
+      }
+    }
+    out.toSeq
   }
 
   /** Collect a trained merge table ([[bpeTrain]] output) into the ordered

@@ -376,6 +376,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain: driver-local finishing path equals the distributed loop merge-for-merge") {
+    import spark.implicits._
+    // a random corpus rich in repeated stems so many rounds have real
+    // tie-break pressure; 40 merges exercises incremental count
+    // maintenance well past the first trivial rounds
+    val rnd = new scala.util.Random(13L)
+    val stems = Seq("lo", "new", "wide", "high", "ab", "abc", "zz")
+    val sufs = Seq("", "w", "er", "est", "s", "aa")
+    val corpus = Seq.fill(120)(
+      Seq.fill(1 + rnd.nextInt(8))(
+        stems(rnd.nextInt(stems.length)) + sufs(rnd.nextInt(sufs.length)))
+        .mkString(" ")).toDF("text")
+    def table(vocabCap: Long) =
+      PipelineOps.bpeTrain(corpus, "text", numMerges = 40, minPairFreq = 2L,
+          driverVocabCap = vocabCap)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val local = table(vocabCap = 4000000L) // driver-local finish
+    val dist = table(vocabCap = 0L)        // distributed loop forced
+    assert(local.nonEmpty && local.size > 10, s"expected many merges, got ${local.size}")
+    assert(local == dist,
+      s"driver-local vs distributed diverged:\nlocal: $local\ndist:  $dist")
+  }
+
   test("profileNumeric: one-scan per-column stats with nulls, hand-computed") {
     import spark.implicits._
     val df = Seq[(java.lang.Double, java.lang.Long)](

@@ -728,6 +728,53 @@ object SparkEntry {
         dim = 64, threshold = 0.9, nlist = 16)
       pairGate(exact, sem, "recall_eq_1", 1.0)
     }),
+    "q_ingest_admit" -> ((s, dir) => {
+      // dedup-at-ingestion WITH within-batch self-dedup (admitBatch):
+      // odd ids arrive as one ingestion batch, even ids are the indexed
+      // reference corpus. Cluster-level admission — one survivor per
+      // uncontaminated in-batch near-dup cluster, nothing from clusters
+      // touching the reference. Gate: the admitted set vs the
+      // EXACT-pair-graph admission (exact in-batch clusters + exact
+      // cross matches — recomputed by the oracle in SQL). Missed pairs
+      // only ever admit MORE (fewer edges split clusters and
+      // un-contaminate them), so exact ⊆ approx is structural; equality
+      // is EARNED at the measured banded recall (1.0 here).
+      val d = t(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      val index = Dedup.buildMinhashIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+      try {
+        val admitted = Dedup.admitBatch(index, batch, "doc_id", "text",
+            threshold = 0.5)
+          .filter(col("admitted")).select(col("id"))
+        val exactPairs = Dedup.jaccardPairs(d, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val exactIn = exactPairs
+          .filter(col("id1") % 2 === 1 && col("id2") % 2 === 1)
+          .select("id1", "id2")
+        val exactCross = exactPairs
+          .filter(col("id1") % 2 =!= col("id2") % 2)
+          .select(when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
+            .cast("long").as("id"))
+          .distinct().withColumn("_m", lit(1))
+        val labeled = Dedup.labelComponents(batch, "doc_id", exactIn)
+        val withRef = labeled.join(exactCross, Seq("id"), "left")
+        val cont = withRef.groupBy("cluster_id")
+          .agg(max(coalesce(col("_m"), lit(0))).as("_c"))
+        val exactAdmitted = withRef.join(cont, "cluster_id")
+          .filter(col("_c") === 0 && col("id") === col("cluster_id"))
+          .select("id")
+        val nB = batch.agg(count(lit(1)).as("n_batch"))
+        val nE = exactAdmitted.agg(count(lit(1)).as("n_admitted_exact"))
+        val nA = admitted.agg(count(lit(1)).as("_na"))
+        val nI = admitted.join(exactAdmitted, "id").agg(count(lit(1)).as("_ni"))
+        nB.crossJoin(nE).crossJoin(nA).crossJoin(nI).select(
+          col("n_batch"), col("n_admitted_exact"),
+          (col("_ni") === col("n_admitted_exact")).as("exact_subset_of_admitted"),
+          (col("_na") === col("n_admitted_exact") &&
+            col("_ni") === col("n_admitted_exact")).as("admitted_equals_exact"))
+      } finally index.unpersist()
+    }),
 
     "q_standardize" -> ((s, dir) =>
       // per-label feature standardization: z-scored embedding dimensions
@@ -1546,6 +1593,15 @@ object SparkEntry {
         threshold = 0.3, dim = 64, tables = 8, targetBucketRows = 256,
         multiProbe = true)
     }),
+    "q_ingest_admit" -> ((s, dir) => {
+      // setup = the reference index (amortized); the timed thunk is one
+      // batch admission: ref probe + in-batch pair graph + labeling
+      val d = t(s, dir, "documents")
+      val index = Dedup.buildMinhashIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+      () => Dedup.admitBatch(index, d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.5)
+    }),
     "stream_dedup_ingest" -> ((s, dir) => {
       // setup = the reference index, built once per corpus snapshot in
       // production; the timed thunk is one ingestion probe + drain
@@ -2312,6 +2368,35 @@ object SparkEntry {
            |    AS n_exact_flagged,
            |  true AS subset_of_exact, true AS recall_ge_090
            |FROM good WHERE (id1 % 2) <> (id2 % 2)""".stripMargin,
+      // ingestion admission gate: the oracle recomputes the EXACT
+      // cluster-level admission (exact in-batch pair graph over odd
+      // ids, exact cross matches to even ids; one min-id survivor per
+      // uncontaminated cluster) — the Spark side must EARN equality of
+      // its banded-recall admission with it
+      "q_ingest_admit" ->
+        s"""WITH RECURSIVE $jaccardCtes,
+           |inb AS (SELECT id1, id2 FROM good WHERE id1 % 2 = 1 AND id2 % 2 = 1),
+           |crossm AS (SELECT DISTINCT CASE WHEN id1 % 2 = 1 THEN id1 ELSE id2 END AS id
+           |           FROM good WHERE (id1 % 2) <> (id2 % 2)),
+           |edges AS (SELECT id1 AS a, id2 AS b FROM inb
+           |          UNION ALL SELECT id2, id1 FROM inb),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |labels AS (SELECT d.doc_id AS id,
+           |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |  WHERE d.doc_id % 2 = 1 GROUP BY d.doc_id),
+           |cont AS (SELECT l.cluster_id,
+           |    max(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS c
+           |  FROM labels l LEFT JOIN crossm c ON c.id = l.id GROUP BY 1),
+           |adm AS (SELECT l.id FROM labels l JOIN cont ct USING (cluster_id)
+           |        WHERE ct.c = 0 AND l.id = l.cluster_id)
+           |SELECT
+           |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)::BIGINT AS n_batch,
+           |  (SELECT count(*) FROM adm)::BIGINT AS n_admitted_exact,
+           |  true AS exact_subset_of_admitted,
+           |  true AS admitted_equals_exact""".stripMargin,
       "dedup_simhash" ->
         s"""SELECT count(*)::BIGINT AS n_docs_signed,
            |  true AS banded_equals_brute

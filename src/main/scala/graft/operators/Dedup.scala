@@ -838,6 +838,15 @@ object Dedup {
    * streaming drain runs complete-mode over the per-doc aggregate —
    * production ingestion would run update mode with a watermark on the
    * arrival time so state drains continuously.
+   *
+   * CONTRACT — static reference only: this probe checks incoming
+   * documents against the PREBUILT index and nothing else. Two near
+   * duplicates arriving in the SAME micro-batch (neither in the index)
+   * are BOTH unmatched and both pass — within-stream self-dedup is a
+   * different operator. Use [[admitBatch]] inside `foreachBatch` when
+   * ingestion must also dedup each batch against itself (and
+   * [[extendMinhashIndex]] to make admitted documents visible to later
+   * batches).
    */
   def flagNearDupsAgainst(index: MinhashIndex, incoming: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
@@ -868,6 +877,103 @@ object Dedup {
       .agg(max(struct(col("_j").as("j"), col("ref_id").as("ref"))).as("_best"))
       .select(col("id"), col("_best.ref").as("dup_of"),
         round(col("_best.j"), 4).as("jaccard"))
+  }
+
+  /**
+   * Dedup-at-ingestion for ONE batch with WITHIN-BATCH self-dedup — the
+   * completion of [[flagNearDupsAgainst]]'s static-reference contract:
+   * that probe admits two near-duplicates arriving in the same
+   * micro-batch (neither is in the index), which a real ingestion
+   * pipeline must not. Designed for `foreachBatch`, where every
+   * micro-batch is a plain batch DataFrame (spec-enforced:
+   * `batch.isStreaming` trips).
+   *
+   * Admission contract (cluster-level, deterministic):
+   *  1. within-batch near-dup clusters = connected components over the
+   *     batch's verified MinHash pair graph (same n/numPerm/bands as
+   *     the index — probabilistic recall, exact precision, like every
+   *     pair finder here); the component label is the cluster's minimum
+   *     reachable id ([[labelComponents]]' contract);
+   *  2. a cluster ANY member of which matches the reference index
+   *     admits NOTHING — its content is already represented in the
+   *     corpus, and keeping a near-dup of a rejected member would
+   *     reintroduce what the reference probe just rejected;
+   *  3. an uncontaminated cluster admits exactly its minimum-id member
+   *     (singletons are clusters of one).
+   *
+   * Output, one row per batch document: (id, admitted, reason, dup_of)
+   * with reason `admitted` | `ref_dup` (the document itself matched the
+   * index; dup_of = its best reference match) | `ref_dup_cluster`
+   * (another member of its cluster matched the index; dup_of = the
+   * cluster minimum) | `batch_dup` (in-batch duplicate of an admitted
+   * representative; dup_of = the cluster minimum).
+   *
+   * Missed pairs only ever ADMIT MORE: fewer in-batch edges split
+   * clusters (every true-cluster minimum stays a subcluster minimum)
+   * and fewer reference matches un-contaminate them, so the admitted
+   * set is a SUPERSET of the exact-pair-graph admission — the
+   * structural direction the `q_ingest_admit` gate checks, with
+   * equality earned at the library's measured recall.
+   *
+   * 100 TB shape: everything is the probe's and the pair finder's
+   * existing bucketed plans over ONE batch — per-batch cost follows the
+   * batch size, never the corpus; the only corpus-sized object is the
+   * prebuilt index the stream-static joins read.
+   */
+  def admitBatch(index: MinhashIndex, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    require(!batch.isStreaming,
+      "admitBatch runs on one micro-batch (use it inside foreachBatch); " +
+        "for a stateless stream-static probe use flagNearDupsAgainst")
+    val refMatches = flagNearDupsAgainst(index, batch, idCol, textCol, threshold)
+      .select(col("id").cast("long").as("id"), col("dup_of").as("_ref_match"))
+    val pairs = minhashPairs(batch, idCol, textCol, index.n, threshold,
+      index.numPerm, index.bands)
+    // labelComponents is eager (driver union-find or iteration jobs run
+    // before it returns), so releasing the pair cache here is safe
+    val labeled =
+      try labelComponents(batch, idCol, pairs)
+      finally pairs.unpersist(blocking = false)
+    val withRef = labeled.join(refMatches, Seq("id"), "left")
+    val contaminated = withRef.groupBy(col("cluster_id"))
+      .agg(max(col("_ref_match").isNotNull.cast("int")).as("_cont"))
+    val reason = when(col("_ref_match").isNotNull, lit("ref_dup"))
+      .when(col("_cont") === 1, lit("ref_dup_cluster"))
+      .when(col("id") === col("cluster_id"), lit("admitted"))
+      .otherwise(lit("batch_dup"))
+    withRef.join(contaminated, "cluster_id")
+      .select(col("id"),
+        (reason === "admitted").as("admitted"),
+        reason.as("reason"),
+        when(col("_ref_match").isNotNull, col("_ref_match").cast("long"))
+          .when(reason =!= "admitted", col("cluster_id"))
+          .as("dup_of"))
+  }
+
+  /**
+   * A new [[MinhashIndex]] covering `index`'s corpus PLUS `docs` — how
+   * `foreachBatch` ingestion makes this batch's admitted documents
+   * visible to the next batch's probe: band/shingle frames are built
+   * for `docs` only (cost follows the batch), unioned with the existing
+   * frames, persisted, and the inputs released once the union
+   * materializes. The union plan grows one level per call, so a
+   * long-running ingestion loop should periodically reset through
+   * [[MinhashIndex.save]] + [[loadMinhashIndex]] (or append the new
+   * frames to the saved parquet snapshot directly — the on-disk shape
+   * production uses anyway).
+   */
+  def extendMinhashIndex(index: MinhashIndex, docs: DataFrame,
+      idCol: String, textCol: String): MinhashIndex = {
+    val add = buildMinhashIndex(docs, idCol, textCol,
+      index.n, index.numPerm, index.bands)
+    val buckets = index.buckets.union(add.buckets).persist()
+    val shingles = index.shingles.union(add.shingles).persist()
+    try { buckets.count(); shingles.count() }
+    catch { case t: Throwable =>
+      buckets.unpersist(blocking = false); shingles.unpersist(blocking = false)
+      add.unpersist(); throw t }
+    index.unpersist(); add.unpersist()
+    MinhashIndex(buckets, shingles, index.n, index.numPerm, index.bands)
   }
 
   /**

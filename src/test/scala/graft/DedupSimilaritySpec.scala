@@ -405,6 +405,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain cross-parity planted dups")
   }
 
+  test("admitBatch: within-batch self-dedup — one survivor per cluster, contaminated clusters admit nothing") {
+    import spark.implicits._
+    // token universe t1..t60; sliding windows control trigram Jaccard:
+    //   ref100 = t1..t40, doc3 = t6..t45  (J ≈ 0.77 ≥ 0.7: ref match)
+    //   doc4 = t11..t50: J(4,3) ≈ 0.77 (in-batch pair) but
+    //   J(4,100) ≈ 0.58 < 0.7 — NOT a direct ref match, so doc4 is
+    //   rejected only through its cluster (the flagNearDupsAgainst
+    //   static-reference contract would have admitted it)
+    def win(lo: Int, hi: Int) = (lo to hi).map(i => s"t$i").mkString(" ")
+    def uwin(lo: Int, hi: Int) = (lo to hi).map(i => s"u$i").mkString(" ")
+    val ref = Seq((100L, win(1, 40)), (101L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, uwin(1, 40)),                       // admitted (cluster {1,2} min)
+      (2L, uwin(1, 39) + " uEND"),             // batch_dup of 1 (J ≈ 0.85)
+      (3L, win(6, 45)),                        // ref_dup of 100
+      (4L, win(11, 50)),                       // ref_dup_cluster via 3
+      (5L, (1 to 40).map(i => s"v$i").mkString(" "))) // singleton, admitted
+      .toDF("doc_id", "text")
+    val index = Dedup.buildMinhashIndex(ref, "doc_id", "text", n = 3)
+    try {
+      // premise check: doc4 would PASS the static-reference-only probe
+      val staticOnly = Dedup.flagNearDupsAgainst(index, batch, "doc_id", "text", 0.7)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(staticOnly == Set(3L), s"fixture premise: only doc3 matches the index, got $staticOnly")
+      val got = Dedup.admitBatch(index, batch, "doc_id", "text", threshold = 0.7)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getString(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      assert(got == Map(
+        1L -> ((true, "admitted", -1L)),
+        2L -> ((false, "batch_dup", 1L)),
+        3L -> ((false, "ref_dup", 100L)),
+        4L -> ((false, "ref_dup_cluster", 3L)),
+        5L -> ((true, "admitted", -1L))), s"got $got")
+
+      // extendMinhashIndex: the admitted docs become visible to the
+      // NEXT batch's probe
+      val admitted = batch.filter(col("doc_id").isin(1L, 5L))
+      val extended = Dedup.extendMinhashIndex(index, admitted, "doc_id", "text")
+      try {
+        val next = Seq((10L, uwin(1, 39) + " uNEW")).toDF("doc_id", "text")
+        val flagged = Dedup.flagNearDupsAgainst(extended, next, "doc_id", "text", 0.7)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(flagged == Map(10L -> 1L),
+          s"near-dup of an admitted doc must be flagged against the extended index: $flagged")
+      } finally extended.unpersist()
+    } finally index.unpersist()
+  }
+
+  test("admitBatch refuses streaming frames, naming foreachBatch") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val index = Dedup.buildMinhashIndex(ref, "doc_id", "text", n = 3)
+    try {
+      val stream = spark.readStream.schema(ref.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.admitBatch(index, stream, "doc_id", "text", 0.5)
+      }
+      assert(e.getMessage.contains("foreachBatch"))
+    } finally index.unpersist()
+  }
+
   test("labelComponents rejects non-integral id columns loudly") {
     import spark.implicits._
     val members = Seq("doc-1", "doc-2").toDF("id")

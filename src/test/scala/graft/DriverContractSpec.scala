@@ -126,7 +126,7 @@ class DriverContractSpec extends AnyFunSuite {
     // side actually earns them at sf0.001, so a recall regression fails
     // this suite before it ever reaches the driver's hash compare.
     val gated = Seq("dedup_minhash", "dedup_simhash", "dedup_semantic",
-      "dedup_cross", "sim_pairs_lsh", "ann_ivf", "ann_topk_q8",
+      "dedup_cross", "sim_pairs_lsh", "q_ingest_admit", "ann_ivf", "ann_topk_q8",
       "q_sketch_distinct", "stream_sketch_users", "q_pca_embed",
       "q_whiten_embed", "stream_dedup_ingest", "stream_heavy_hitters")
     val failures = gated.flatMap { name =>

@@ -361,6 +361,47 @@ object Similarity {
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
     buildIvf(corpus, idCol, vecCol, dim, nlist, iters).topK(queries, idCol, vecCol, k, nprobe)
 
+  /**
+   * Append new vectors to a saved [[IvfIndex.save]] snapshot WITHOUT
+   * retraining — the daily-ingestion path of a production ANN index:
+   * each vector is assigned to its nearest EXISTING centroid (one
+   * map-side pass over the new rows, never the indexed corpus) and
+   * written into the cell-partitioned layout with parquet append, so
+   * probes of the reloaded index partition-prune exactly as before.
+   * Centroids are left untouched; as appended data drifts from the
+   * training distribution cell occupancy skews and recall sags, so the
+   * operational contract is append daily / re-earn the recall gate on
+   * the merged index (the round-trip spec does) / retrain when the gate
+   * or [[IvfIndex.topWidths]] says so.
+   *
+   * Appended rows must match the snapshot's id and vector types
+   * (parquet-schema coherence of the merged layout) — checked loudly.
+   * Malformed vectors (wrong length or null elements) get no cell
+   * assignment and are skipped, mirroring [[buildIvf]]'s exclusion.
+   * Returns the number of rows appended.
+   */
+  def appendToIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Long = {
+    val existing = loadIvf(spark, path)
+    val layoutSchema = existing.indexed.schema
+    val data = newVectors.select(col(idCol).as("id"),
+      nativeVec(newVectors, vecCol).as("v"))
+    Seq("id", "v").foreach { c =>
+      require(data.schema(c).dataType == layoutSchema(c).dataType,
+        s"appendToIvf: $c type ${data.schema(c).dataType} does not match " +
+          s"the snapshot's ${layoutSchema(c).dataType} — the merged layout " +
+          "must stay parquet-schema-coherent (cast the new rows first)")
+    }
+    val assigned = assignedLayout(data, existing.centroids)
+      .filter(col("c").isNotNull)
+      .persist()
+    try {
+      val n = assigned.count()
+      assigned.write.mode("append").partitionBy("c").parquet(s"$path/layout")
+      n
+    } finally assigned.unpersist(blocking = false)
+  }
+
   /** Reload an [[IvfIndex]] snapshot written by [[IvfIndex.save]]: the
     * layout scan stays partitioned by cell id (probe joins prune to the
     * probed cells' files), and no retraining happens — the centroids are
@@ -451,9 +492,19 @@ object Similarity {
 
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows
-    val indexed = data.withColumn("c", assignExpr(col("v"), centroids))
+    new IvfIndex(centroids, assignedLayout(data, centroids), idType)
+  }
+
+  /** Nearest-centroid assignment + norm annotation of an (id, v) frame —
+    * the layout shape [[buildIvf]] trains into and [[appendToIvf]]
+    * extends (argmin ties to the lower cell index; malformed vectors get
+    * a null cell under the kernel's length/null contract). */
+  private def assignedLayout(data: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val d = graft.functions.HashFunctions.centroidDistances(col("v"), centroids)
+    data.withColumn("c",
+        (array_position(d, array_min(d)) - lit(1L)).cast("int"))
       .withColumn("vn", l2Norm(col("v")))
-    new IvfIndex(centroids, indexed, idType)
   }
 
   // ------------------------------------------------------------------

@@ -320,6 +320,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == exact)
   }
 
+  test("appendToIvf: saved snapshot extends without retrain; merged probe re-earns recall") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-append-").toString
+    val partA = embs.filter(col("vec_id") % 4 =!= 0)
+    val partB = embs.filter(col("vec_id") % 4 === 0)
+    val built = Similarity.buildIvf(partA, "vec_id", "embedding",
+      dim = 64, nlist = 16, iters = 3)
+    built.save(path)
+    val centroidsBefore = built.centroids.map(_.toSeq)
+    val nB = partB.count()
+    val appended = Similarity.appendToIvf(spark, path, partB, "vec_id", "embedding")
+    assert(appended == nB, s"all $nB well-formed vectors must append, got $appended")
+    val merged = Similarity.loadIvf(spark, path)
+    // no retrain: centroids byte-identical to the pre-append snapshot
+    assert(merged.centroids.map(_.toSeq).toSeq == centroidsBefore.toSeq)
+    // appended rows landed in their nearest existing centroid's cell
+    val layout = spark.read.parquet(s"$path/layout")
+    assert(layout.count() == partA.count() + nB)
+    val bRows = layout.filter(col("id") % 4 === 0)
+      .select("id", "v", "c").collect()
+    assert(bRows.length == nB.toInt)
+    bRows.take(20).foreach { r =>
+      val v = r.getSeq[Number](1).map(_.doubleValue()).toArray
+      val want = centroidsBefore.zipWithIndex.minBy { case (cvec, _) =>
+        cvec.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      }._2
+      assert(r.getInt(2) == want, s"row ${r.getLong(0)} cell ${r.getInt(2)} != nearest $want")
+    }
+    // recall gate re-earned on the MERGED index vs exact top-k on the
+    // union (the ann_ivf contract: uniform data needs a wide probe)
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Similarity.topK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val got = merged.topK(queries, "vec_id", "embedding", k = 5, nprobe = 12)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"merged-index recall too low: $recall")
+    // append refuses type-incoherent rows loudly
+    val doubled = partB.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvf(spark, path, doubled, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("parquet-schema-coherent"))
+  }
+
   test("int8-quantized top-k keeps high recall against the exact float path") {
     val queries = embs.filter(col("vec_id") < 30)
     val exact = Similarity.topK(embs, queries, "vec_id", "embedding", k = 10)

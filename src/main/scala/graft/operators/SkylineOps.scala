@@ -52,6 +52,65 @@ object SkylineOps {
     spark.conf.getOption("spark.graft.skyline.maxGridCells")
       .map(_.toInt).getOrElse(DefaultMaxGridCells)
 
+  /** Run directories `skylineExternal` has written this JVM. The
+    * returned DataFrame reads its result run LAZILY, so there is no safe
+    * in-call point to delete it — the retention contract is
+    * process-lifetime: every run dir is removed by ONE Hadoop shutdown
+    * hook (registered at priority 40, above the FileSystem-cache close
+    * at 10, so the delete still has a live filesystem). Callers that
+    * loop over many inputs and have materialized the results elsewhere
+    * can reclaim disk earlier with [[cleanExternalRuns]]. */
+  private val externalRunDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, org.apache.hadoop.conf.Configuration)]
+  @volatile private var cleanupHookRegistered = false
+  private def registerExternalRunDir(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (!cleanupHookRegistered) synchronized {
+      if (!cleanupHookRegistered) {
+        org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+          new Runnable { def run(): Unit = cleanExternalRuns() }, 40)
+        cleanupHookRegistered = true
+      }
+    }
+    externalRunDirs.add((path, conf))
+  }
+
+  /** Pass count of the most recent `skylineExternal` cascade in this
+    * JVM — a DIAGNOSTIC for bench artifacts and tuning (the pass
+    * schedule is the operator's main knob on frontier-heavy data), not
+    * part of the result contract. Volatile single-slot: concurrent
+    * cascades overwrite each other. */
+  @volatile var lastExternalPassCount: Int = 0
+
+  /** On a real cluster the driver's java temp dir is NOT visible to
+    * executors — runs written there would silently produce wrong results
+    * (empty scans), so a non-local master REQUIRES an explicit shared
+    * location. Loud beats a scaladoc caveat. */
+  private[graft] def requireSharedExternalDir(
+      masterIsLocal: Boolean, configured: Option[String]): Unit =
+    require(masterIsLocal || configured.isDefined,
+      "skylineExternal on a non-local master requires " +
+        "spark.graft.skyline.externalDir to point at a SHARED " +
+        "filesystem URI (HDFS/S3): the default java temp dir is " +
+        "driver-local and executors cannot read runs written there")
+
+  /** Eagerly delete every run directory written by `skylineExternal` in
+    * this JVM so far. Only call after the returned DataFrames are
+    * materialized (collected or written elsewhere) — their lineage reads
+    * the run files. */
+  def cleanExternalRuns(): Unit = {
+    var entry = externalRunDirs.poll()
+    while (entry != null) {
+      try {
+        val hp = new org.apache.hadoop.fs.Path(entry._1)
+        val fs = hp.getFileSystem(entry._2)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      } catch { case _: Throwable => () } // best-effort at shutdown
+      entry = externalRunDirs.poll()
+    }
+  }
+
   /** Lossless dimension-value <-> double codecs per column type. Timestamps
     * go through microseconds (exact in a double up to year ~2255); dates
     * through epoch days. Integral/double types are exact below 2^53. */
@@ -249,8 +308,17 @@ object SkylineOps {
      *     add/sub/div are monotone, so p dominates q ⟹ E(p) <= E(q)
      *     — possibly EQUAL under rounding, which is why every boundary
      *     below is E-closed;
-     *  3. loop until no survivors: take eT = the `windowSize`-th
-     *     smallest E (a TakeOrdered over the score column only); the
+     *  3. pre-filter (round 9): drop every point strictly dominated by
+     *     the frontier of a bounded random sample — sound because
+     *     dominance by ANY point disqualifies, and the dominators
+     *     themselves remain candidates; on correlated/low-d data this
+     *     alone removes almost everything before the first pass;
+     *  4. loop until no survivors: take eT = the pass window-th
+     *     smallest E (a TakeOrdered over the score column only; the
+     *     window GROWS geometrically from `windowSize` per pass, capped
+     *     a sixteenth under the aggregate buffer cap so frontier-heavy
+     *     inputs finish in O(n/cap) passes without ever risking a cap
+     *     trip); the
      *     HEAD block {E <= eT} contains every possible dominator of any
      *     of its own points, so its frontier — computed with the
      *     existing bounded aggregate — is a subset of the global
@@ -272,17 +340,24 @@ object SkylineOps {
      * exponentially, since each pass references the previous one from
      * both the head and tail branches, and ~16 passes OOM the DRIVER on
      * plan strings alone — measured, hence this design). Survivors
-     * shrink by >= `windowSize` rows per pass, so passes <=
-     * ceil(candidates / windowSize). Time stays O(n·f) pair comparisons
-     * in the worst (frontier ≈ n) case — inherent to every exact
-     * BNL-family skyline; this path trades none of the standard path's
-     * speed when you don't need it, and turns its hard memory wall into
-     * disk when you do.
+     * shrink by at least the pass window per pass, which doubles up to
+     * ~the buffer cap, so passes <= O(log(cap/windowSize) +
+     * candidates/cap). Time stays O(n·f) pair comparisons in the worst
+     * (frontier ≈ n) case — inherent to every exact BNL-family skyline;
+     * this path trades none of the standard path's speed when you don't
+     * need it, and turns its hard memory wall into disk when you do.
      *
-     * On a multi-node cluster set `spark.graft.skyline.externalDir` to
-     * a SHARED filesystem URI (HDFS/S3); the default java temp dir is
-     * only correct where driver and executors share a filesystem
-     * (local mode).
+     * On a multi-node cluster `spark.graft.skyline.externalDir` MUST be
+     * set to a SHARED filesystem URI (HDFS/S3) — enforced with a loud
+     * `require` at call time, because the default java temp dir is only
+     * visible to executors where driver and executors share a
+     * filesystem (local mode).
+     *
+     * Retention: the returned DataFrame lazily reads the on-disk result
+     * run, so the run directory is kept for the JVM's lifetime and
+     * removed by a shutdown hook; callers looping over many inputs can
+     * reclaim disk earlier with [[SkylineOps.cleanExternalRuns]] once
+     * results are materialized elsewhere.
      *
      * Reference scope: the reference has no completion story at all for
      * frontier-heavy data (its single-node BNL simply exhausts memory);
@@ -313,12 +388,19 @@ object SkylineOps {
       val anyNaN = dims.indices.map(i => isnan(dim(i))).reduce(_ || _)
       val clean = projected.filter(!anyNaN)
 
-      val baseDir = spark.conf.getOption("spark.graft.skyline.externalDir")
+      val configuredDir = spark.conf.getOption("spark.graft.skyline.externalDir")
+      requireSharedExternalDir(spark.sparkContext.isLocal, configuredDir)
+      val baseDir = configuredDir
         .getOrElse(java.nio.file.Files.createTempDirectory("graft-skyext-").toString)
       val runDir = s"$baseDir/skyext-${java.util.UUID.randomUUID}"
       val resultDir = s"$runDir/result" // pass=N partition layout
       val workDir = s"$runDir/work"
       val hconf = spark.sparkContext.hadoopConfiguration
+      // retention: the returned DataFrame lazily reads the result run,
+      // so the run dir lives until JVM shutdown (one hook removes all
+      // runs); SkylineOps.cleanExternalRuns() reclaims earlier once
+      // results are materialized elsewhere
+      registerExternalRunDir(runDir, hconf)
       def rm(p: String): Unit = {
         val hp = new org.apache.hadoop.fs.Path(p)
         val f = hp.getFileSystem(hconf)
@@ -331,21 +413,68 @@ object SkylineOps {
       projected.filter(anyNaN).write.mode("append").parquet(s"$resultDir/pass=0")
 
       val statsRow = clean.agg(
-        dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i)))).head,
-        dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i)))).tail: _*).head()
+        (dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i)))) :+
+          count(lit(1)).as("_n")).head,
+        (dims.indices.flatMap(i => Seq(min(dim(i)), max(dim(i)))) :+
+          count(lit(1)).as("_n")).tail: _*).head()
       if (!statsRow.isNullAt(0)) {
         val e = dims.indices.map { i =>
           val lo = statsRow.getDouble(2 * i)
           val hi = statsRow.getDouble(2 * i + 1)
           if (hi > lo) (dim(i) - lit(lo)) / lit(hi - lo) else lit(0.0)
         }.reduce(_ + _)
+        val nClean = statsRow.getLong(2 * d)
         val cap = SkylineAggExpr.configuredCap(spark)
         def sky(cols: Seq[Column]): Column = ColumnShim.column(
           SkylineAggExpr(cols.map(ColumnShim.expression),
             Array.fill(d)(true), cap).toAggregateExpression())
+        // dominance predicate of a broadcast frontier (_w*) against
+        // candidate rows (_d*): componentwise <=, somewhere < — shared
+        // by the sampled pre-filter and the per-pass tail anti-join
+        val allLe = dims.indices.map(i => col(s"_w$i") <= dim(i)).reduce(_ && _)
+        val oneLt = dims.indices.map(i => col(s"_w$i") < dim(i)).reduce(_ || _)
+        def frontierOf(src: DataFrame, as: Int => String): DataFrame =
+          src.agg(sky(dims.indices.map(dim)).as("_sky"))
+            .select(explode(col("_sky")).as("_pt"))
+            .select(dims.indices.map(i =>
+              element_at(col("_pt"), i + 1).as(as(i))): _*)
+        // Geometric window growth: pass p takes the min(windowSize *
+        // 2^(p-1), maxWindow)-smallest scores, so frontier-heavy inputs
+        // (where each pass removes little beyond its own head) finish in
+        // O(log + n/maxWindow) passes instead of n/windowSize. maxWindow
+        // stays a sixteenth under the aggregate's buffer cap: the head
+        // frontier is at most head-sized, so growth can never turn the
+        // bounded-memory completion path into a cap trip (the 1/16
+        // headroom absorbs E-tie spill past the window).
+        val maxWindow = math.max(windowSize, cap - (cap >>> 4))
         try {
           var survPath = s"$workDir/surv_0"
-          clean.withColumn("_e", e).write.parquet(survPath)
+          // Sampled pre-filter: the frontier of a driver-bounded random
+          // sample dominates most of a correlated input, and dominance
+          // by ANY point disqualifies — so anti-joining the full set
+          // against the sample's frontier before pass 1 is sound (the
+          // frontier points themselves pass: a point never strictly
+          // dominates itself) and cuts the cascade to 1-2 passes on
+          // low-d data. Skipped when the input already fits one window.
+          // 8k sample: survival odds of a uniform point against an
+          // m-sample's frontier scale ~(ln m)^(d-1)/((d-1)!·m) — already
+          // ~0.1% at d=2 and ~13% at d=10 for m=8192, and growing m 8x
+          // buys almost nothing more while the pre-filter's nested-loop
+          // cost (n × |sample frontier|) scales linearly with m. On
+          // frontier-heavy data the pre-filter removes little either
+          // way, so small m also bounds the wasted work there.
+          val sampleTarget = math.min(math.min(windowSize, maxWindow), 1 << 13)
+          val candidates =
+            if (nClean <= 2L * sampleTarget) clean.withColumn("_e", e)
+            else {
+              val frac = math.min(1.0, sampleTarget.toDouble / nClean)
+              val sampleFront = frontierOf(
+                clean.sample(withReplacement = false, frac, seed = 42L),
+                i => s"_w$i")
+              clean.withColumn("_e", e)
+                .join(broadcast(sampleFront), allLe && oneLt, "left_anti")
+            }
+          candidates.write.parquet(survPath)
           var nLeft = spark.read.parquet(survPath).count()
           var pass = 0
           while (nLeft > 0) {
@@ -354,27 +483,38 @@ object SkylineOps {
               s"skylineExternal did not finish within $maxPasses passes " +
                 s"($nLeft candidates left; windowSize=$windowSize) — raise " +
                 "maxPasses or windowSize")
+            val passWindow = math.min(
+              windowSize.toLong << math.min(pass - 1, 30), maxWindow.toLong).toInt
             val surv = spark.read.parquet(survPath)
-            // the windowSize-th smallest score; scores only cross the wire
+            // the passWindow-th smallest score; scores only cross the wire
             val eT = surv.select(col("_e")).orderBy(col("_e").asc)
-              .limit(windowSize).agg(max(col("_e"))).head().getDouble(0)
+              .limit(passWindow).agg(max(col("_e"))).head().getDouble(0)
             // E-closed head: contains every possible dominator of its own
             // points even when rounding collapses a strict dominance into
             // an E-tie. Its frontier goes straight to this pass's result
             // run; the tail anti-join reads it back — a constant-size
             // plan per pass, no recomputation, no lineage growth.
             val passDir = s"$resultDir/pass=$pass"
-            surv.filter(col("_e") <= eT)
-              .agg(sky(dims.indices.map(dim)).as("_sky"))
-              .select(explode(col("_sky")).as("_pt"))
-              .select(dims.indices.map(i =>
-                element_at(col("_pt"), i + 1).as(s"_d$i")): _*)
+            // Head frontier via SELF broadcast anti-join, NOT the
+            // aggregate: the aggregate's final merge re-inserts the
+            // whole head into one buffer on ONE thread — O(w·f) serial,
+            // the measured wall on frontier-heavy data where f ≈ w. The
+            // anti-join does the identical set arithmetic (a point is in
+            // the frontier iff no head point strictly dominates it;
+            // exact duplicates collapsed up front, so equality never
+            // eliminates) as a codegen'd nested loop, parallel across
+            // the head's partitions with early exit on first dominator.
+            // Memory: the broadcast head is w·d doubles — the same
+            // magnitude as the buffer the in-memory cap already allows.
+            val head = surv.filter(col("_e") <= eT)
+              .select(dims.indices.map(i => dim(i)): _*)
+            val headW = head
+              .select(dims.indices.map(i => dim(i).as(s"_w$i")): _*)
+            head.join(broadcast(headW), allLe && oneLt, "left_anti")
               .write.parquet(passDir)
             // dominance anti-join of the tail against the head frontier
             val front = spark.read.parquet(passDir)
               .select(dims.indices.map(i => dim(i).as(s"_w$i")): _*)
-            val allLe = dims.indices.map(i => col(s"_w$i") <= dim(i)).reduce(_ && _)
-            val oneLt = dims.indices.map(i => col(s"_w$i") < dim(i)).reduce(_ || _)
             val nextPath = s"$workDir/surv_$pass"
             surv.filter(col("_e") > eT)
               .join(broadcast(front), allLe && oneLt, "left_anti")
@@ -383,6 +523,7 @@ object SkylineOps {
             survPath = nextPath
             nLeft = spark.read.parquet(nextPath).count()
           }
+          SkylineOps.lastExternalPassCount = pass
         } finally rm(workDir)
       }
 

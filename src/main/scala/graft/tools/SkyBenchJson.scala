@@ -56,6 +56,8 @@ object SkyBenchJson {
       (1 to d).map(i => s"x$i" -> (Min: Direction))
 
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    // set by withPasses (external cascade runs) before record() emits
+    var entriesPassNote = ""
     def record(name: String, n: Long, d: Int, kind: String, extra: String,
         cap: Option[Int])(run: => Long): Unit = {
       cap.foreach(c => spark.conf.set("spark.graft.skyline.maxBufferPoints", c.toString))
@@ -69,9 +71,10 @@ object SkyBenchJson {
       val dt = math.rint((System.nanoTime() - t0) / 1e9 * 100) / 100
       cap.foreach(_ => spark.conf.unset("spark.graft.skyline.maxBufferPoints"))
       val capJson = cap.map(c => s""","cap":$c""").getOrElse("")
+      val note = entriesPassNote; entriesPassNote = ""
       val e = res match {
         case Right(size) =>
-          s"""{"name":"$name","n":$n,"d":$d,"kind":"$kind"$extra$capJson,"outcome":"ok","seconds":$dt,"result_rows":$size}"""
+          s"""{"name":"$name","n":$n,"d":$d,"kind":"$kind"$extra$capJson,"outcome":"ok","seconds":$dt,"result_rows":$size$note}"""
         case Left(tag) =>
           s"""{"name":"$name","n":$n,"d":$d,"kind":"$kind"$extra$capJson,"outcome":"$tag","seconds":$dt}"""
       }
@@ -121,12 +124,17 @@ object SkyBenchJson {
     // MEMORY, which is what the cap_trip was about; n=1e7 at d=10 anti
     // (~10^14 pair tests) stays out of artifact-run reach on one box
     // and is recorded as the documented projection in SURVEY §r8.
+    def withPasses(run: => Long): Long = {
+      val rows = run
+      entriesPassNote = s""","passes":${SkylineOps.lastExternalPassCount}"""
+      rows
+    }
     record("anti", 100000L, 10, "skyline_external", "", None)(
-      anti(100000L, 10).skylineExternal(dims(10)).count())
+      withPasses(anti(100000L, 10).skylineExternal(dims(10)).count()))
     record("anti", 1000000L, 10, "skyline", "", Some(100000))(
       anti(1000000L, 10).skyline(dims(10)).count())
     record("anti", 1000000L, 10, "skyline_external", "", Some(100000))(
-      anti(1000000L, 10).skylineExternal(dims(10)).count())
+      withPasses(anti(1000000L, 10).skylineExternal(dims(10)).count()))
 
     // 4. k-skyband heavy grid (presort on — the auto heuristic at d >= 5)
     val d7u = uniform(200000L, 7)

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{Direction, SkylineCore}
 import graft.core.Direction.{Max, Min}
+import graft.operators.SkylineOps
 import graft.operators.SkylineOps._
 
 /**
@@ -98,6 +99,36 @@ class SkylineExternalSpec extends AnyFunSuite {
     val gotMem = key(collectSet(toDf(pts, 2).skyline(dims), 2))
     assert(gotExt == gotMem)
     assert(gotExt.size == 3, s"NaN points never dominated: $gotExt")
+  }
+
+  test("non-local master without a configured externalDir trips loudly, naming the conf key") {
+    // local masters pass with or without the conf
+    SkylineOps.requireSharedExternalDir(masterIsLocal = true, configured = None)
+    SkylineOps.requireSharedExternalDir(masterIsLocal = false,
+      configured = Some("hdfs:///tmp/skyext"))
+    val ex = intercept[IllegalArgumentException] {
+      SkylineOps.requireSharedExternalDir(masterIsLocal = false, configured = None)
+    }
+    assert(ex.getMessage.contains("spark.graft.skyline.externalDir"),
+      s"trip message must name the conf key: ${ex.getMessage}")
+  }
+
+  test("run dirs are retained for lazy reads, then reclaimed by cleanExternalRuns") {
+    val base = java.nio.file.Files.createTempDirectory("skyext-retention-").toString
+    spark.conf.set("spark.graft.skyline.externalDir", base)
+    try {
+      val pts = Vector(Array(1.0, 2.0), Array(2.0, 1.0), Array(3.0, 3.0))
+      val dims: Seq[(String, Direction)] = Seq("c0" -> Min, "c1" -> Min)
+      val got = toDf(pts, 2).skylineExternal(dims, windowSize = 1)
+      assert(collectSet(got, 2) == Set(Seq(1.0, 2.0), Seq(2.0, 1.0)))
+      // the result run must still be on disk: the frame reads it lazily
+      def runDirs = new java.io.File(base).listFiles()
+        .filter(_.getName.startsWith("skyext-")).toSeq
+      assert(runDirs.nonEmpty, "run dir must be retained while the frame is live")
+      assert(collectSet(got, 2).size == 2, "second read of the same frame works")
+      SkylineOps.cleanExternalRuns()
+      assert(runDirs.isEmpty, s"cleanExternalRuns must remove run dirs, left: $runDirs")
+    } finally spark.conf.unset("spark.graft.skyline.externalDir")
   }
 
   test("maxPasses trips loudly instead of looping") {

@@ -73,6 +73,36 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** EXACT word-trigram Jaccard pair set memoized per (content
+    * fingerprint, n, threshold) — the exact-counterpart HARNESS shared
+    * by four gate queries (dedup_minhash, dedup_cross,
+    * stream_dedup_ingest, q_ingest_admit), each of which was re-running
+    * the same O(shingle-join) recompute per bench/verify pass. Parked
+    * once per session as parquet (same fingerprint-keyed pattern as
+    * [[memoClusterLabels]], so a testdata regeneration invalidates it);
+    * honest measurement-wise because every consumer's OPERATOR cost is
+    * timed separately via [[opOnly]] — this memo only de-quadruples the
+    * harness. `dedup_jaccard` itself still computes live: it benchmarks
+    * the operator, not the harness. */
+  private val jaccardMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Double), String]
+  private def memoJaccardPairs(s: SparkSession, dir: String,
+      n: Int, threshold: Double): DataFrame = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val key = (canonical, contentFingerprint(s"$canonical/documents.parquet"),
+      n, threshold)
+    val path = jaccardMemo.getOrElseUpdate(key, {
+      val out = java.nio.file.Files.createTempDirectory("graft-jacc-")
+        .resolve("pairs").toString
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n, threshold)
+      try pairs.write.mode("overwrite").parquet(out)
+      finally pairs.unpersist(blocking = false)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   private def dec(c: String): org.apache.spark.sql.Column =
     col(c).cast("decimal(18,2)")
 
@@ -617,7 +647,7 @@ object SparkEntry {
       // sf0.001/sf0.01 — banded recall at J >= 0.5 with 16 bands of 4).
       val docs = t(s, dir, "documents")
       pairGate(
-        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5),
+        memoJaccardPairs(s, dir, n = 3, threshold = 0.5),
         Dedup.minhashPairs(docs, "doc_id", "text", n = 3, threshold = 0.5),
         "recall_ge_090", 0.9)
     }),
@@ -700,7 +730,7 @@ object SparkEntry {
       // Cross pairs carry no id ordering, so both sides normalize to
       // unordered (least, greatest) before the set compare.
       val d = t(s, dir, "documents")
-      val exactCross = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      val exactCross = memoJaccardPairs(s, dir, n = 3, threshold = 0.5)
         .filter(col("id1") % 2 =!= col("id2") % 2)
         .select("id1", "id2")
       val cross = Dedup.minhashPairsAgainst(
@@ -744,11 +774,13 @@ object SparkEntry {
       val index = Dedup.buildMinhashIndex(
         d.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
       try {
+        // persisted id slivers: the gate row counts each side twice
+        // (count + intersect), and without the cache both the admission
+        // plan and the exact labeling join would re-execute per branch
         val admitted = Dedup.admitBatch(index, batch, "doc_id", "text",
             threshold = 0.5)
-          .filter(col("admitted")).select(col("id"))
-        val exactPairs = Dedup.jaccardPairs(d, "doc_id", "text",
-          n = 3, threshold = 0.5)
+          .filter(col("admitted")).select(col("id")).persist()
+        val exactPairs = memoJaccardPairs(s, dir, n = 3, threshold = 0.5)
         val exactIn = exactPairs
           .filter(col("id1") % 2 === 1 && col("id2") % 2 === 1)
           .select("id1", "id2")
@@ -763,7 +795,7 @@ object SparkEntry {
           .agg(max(coalesce(col("_m"), lit(0))).as("_c"))
         val exactAdmitted = withRef.join(cont, "cluster_id")
           .filter(col("_c") === 0 && col("id") === col("cluster_id"))
-          .select("id")
+          .select("id").persist()
         val nB = batch.agg(count(lit(1)).as("n_batch"))
         val nE = exactAdmitted.agg(count(lit(1)).as("n_admitted_exact"))
         val nA = admitted.agg(count(lit(1)).as("_na"))
@@ -1412,7 +1444,7 @@ object SparkEntry {
         val drained = graft.streaming.SkylineStreaming.runOnce(
           flagged, "stream_dedup_ingest_mem", statePartitions = Some(8))
         val got = drained.select(col("id").cast("long").as("id")).distinct()
-        val exactOdd = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+        val exactOdd = memoJaccardPairs(s, dir, n = 3, threshold = 0.5)
           .filter(col("id1") % 2 =!= col("id2") % 2)
           .select(when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
             .cast("long").as("id"))

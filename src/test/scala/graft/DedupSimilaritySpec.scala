@@ -356,6 +356,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"merged-index recall too low: $recall")
+    // appended files join the same cell partitions, so probes of the
+    // MERGED snapshot keep static partition pruning
+    val plan = merged.topK(queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c#") || plan.contains("PartitionFilters: [(c#"),
+      s"merged snapshot probe must partition-prune:\n$plan")
     // append refuses type-incoherent rows loudly
     val doubled = partB.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
@@ -497,6 +503,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
         assert(flagged == Map(10L -> 1L),
           s"near-dup of an admitted doc must be flagged against the extended index: $flagged")
       } finally extended.unpersist()
+    } finally index.unpersist()
+  }
+
+  test("admitBatch: empty batch and all-unique batch degenerate cleanly") {
+    import spark.implicits._
+    val ref = Seq((100L, (1 to 20).map(i => s"r$i").mkString(" "))).toDF("doc_id", "text")
+    val index = Dedup.buildMinhashIndex(ref, "doc_id", "text", n = 3)
+    try {
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      assert(Dedup.admitBatch(index, empty, "doc_id", "text", 0.5).count() == 0)
+      val unique = Seq(
+        (1L, (1 to 20).map(i => s"a$i").mkString(" ")),
+        (2L, (1 to 20).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+      val got = Dedup.admitBatch(index, unique, "doc_id", "text", 0.5)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == Map(1L -> true, 2L -> true), s"all-unique batch admits everything: $got")
     } finally index.unpersist()
   }
 

@@ -401,6 +401,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"driver-local vs distributed diverged:\nlocal: $local\ndist:  $dist")
   }
 
+  test("bpeTrain/trainBpeLocal edges: empty corpus, single-char words, minPairFreq cutoff") {
+    import spark.implicits._
+    // empty corpus: vocab is empty -> empty merge table, right schema
+    val empty = PipelineOps.bpeTrain(Seq("", "   ").toDF("text"), "text",
+      numMerges = 5)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("rank", "left", "right", "merged", "pair_freq"))
+    // single-char words: no adjacent pairs anywhere -> no merges
+    assert(PipelineOps.trainBpeLocal(
+      Array((Array("a"), 10L), (Array("b"), 3L)), 5, 1L).isEmpty)
+    // minPairFreq cutoff stops training even with merges left
+    val cut = PipelineOps.trainBpeLocal(
+      Array((Array("a", "b"), 3L), (Array("c", "d"), 1L)), 5, 2L)
+    assert(cut == Seq((1, "a", "b", 3L)), s"got $cut")
+    // exhaustion: every word collapses to one symbol, then training stops
+    val full = PipelineOps.trainBpeLocal(Array((Array("x", "y", "z"), 2L)), 99, 1L)
+    assert(full.map(m => (m._2, m._3)) == Seq(("x", "y"), ("xy", "z")), s"got $full")
+  }
+
   test("profileNumeric: one-scan per-column stats with nulls, hand-computed") {
     import spark.implicits._
     val df = Seq[(java.lang.Double, java.lang.Long)](

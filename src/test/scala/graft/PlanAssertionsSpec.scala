@@ -195,6 +195,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"pick-set join-back must be a broadcast semi-join:\n$p")
   }
 
+  test("q_ingest_admit: every join is keyed (no cartesian product anywhere in the admission plan)") {
+    // the probe, in-batch pair graph, and cluster-decision joins are all
+    // equi-joins on (band, bh) / ref_id / id / cluster_id; a cartesian
+    // creeping in would be an O(batch x index) scale bug the tiny-SF
+    // result check cannot see. The gate row's crossJoins of 1-ROW
+    // aggregates are the one sanctioned shape — so assert on the
+    // OPERATOR plan (opOnly), which has none.
+    val p = SparkEntry.opOnly("q_ingest_admit")(spark, dir)()
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"),
+      s"admission plan must not contain a cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected keyed joins in:\n$p")
+  }
+
   test("dedup_passages: gram dedup is a partial-able aggregate; the only window is per-document") {
     val p = plan("dedup_passages")
     // the >= minDocs filter must pre-combine map-side (partial count

@@ -131,6 +131,20 @@ class SkylineExternalSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.skyline.externalDir")
   }
 
+  test("pass schedule: pre-filter + window growth finish benign data in few passes") {
+    val rnd = new scala.util.Random(21L)
+    // 4000 uniform 3-d points with windowSize 64: a FIXED schedule would
+    // need up to ~63 passes; the sampled pre-filter kills most of the
+    // input before pass 1 and the window doubles after it, so the
+    // cascade must finish in a handful (exactness separately asserted)
+    val pts = Vector.fill(4000)(Array.fill(3)(rnd.nextDouble()))
+    val dims: Seq[(String, Direction)] = Seq("c0" -> Min, "c1" -> Min, "c2" -> Min)
+    val got = collectSet(toDf(pts, 3).skylineExternal(dims, windowSize = 64), 3)
+    assert(got == brute(pts, Array(true, true, true)))
+    assert(SkylineOps.lastExternalPassCount <= 6,
+      s"expected few passes with pre-filter + growth, got ${SkylineOps.lastExternalPassCount}")
+  }
+
   test("maxPasses trips loudly instead of looping") {
     val rnd = new scala.util.Random(3L)
     val pts = Vector.fill(50) {

@@ -215,6 +215,12 @@ object SparkEntry {
       // point's exact dominator count — the relaxed-frontier query for
       // "top alternatives" when the strict skyline is too thin
       t(s, dir, "part").kSkyband(Seq("p_retailprice" -> Min, "p_size" -> Max), k = 3)),
+    "sky_band_join" -> ((s, dir) =>
+      // the JOIN-based k-skyband (parallel completion path for
+      // frontier-heavy bands) — identical result to sky_band_part by
+      // the path-invariance property, so it shares that exact oracle
+      t(s, dir, "part").kSkybandJoin(
+        Seq("p_retailprice" -> Min, "p_size" -> Max), k = 3)),
     // Partitioning-scheme hints (MR_DIM / MR_GRID / MR_ANGLE): same result
     // as sky_li_2d by the partitioning-invariance property — same oracle.
     "sky_hint_dim" -> ((s, dir) =>
@@ -1757,6 +1763,16 @@ object SparkEntry {
       "sky_band_part" ->
         // O(n·n) dominator-count join over the distinct pairs; part is
         // small enough at the verify SF for the quadratic oracle
+        """WITH d AS (SELECT DISTINCT p_retailprice, p_size FROM part),
+          |cnt AS (SELECT p.p_retailprice, p.p_size, count(q.p_retailprice) AS c
+          |        FROM d p LEFT JOIN d q
+          |          ON q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          |          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+          |        GROUP BY 1, 2)
+          |SELECT p_retailprice, p_size, c::BIGINT AS n_dominators
+          |FROM cnt WHERE c < 3""".stripMargin,
+      // join-path k-skyband: identical result by path invariance
+      "sky_band_join" ->
         """WITH d AS (SELECT DISTINCT p_retailprice, p_size FROM part),
           |cnt AS (SELECT p.p_retailprice, p.p_size, count(q.p_retailprice) AS c
           |        FROM d p LEFT JOIN d q

@@ -149,6 +149,29 @@ object SkyBenchJson {
     record("anti", 100000L, 10, "kskyband", ""","k":8""", Some(20000))(
       anti(100000L, 10).kSkyband(dims(10), k = 8).count())
 
+    // 4b. join-based k-skyband (round 9): the PARALLEL completion path —
+    // same exact semantics (spec-gated ≡ aggregate ≡ brute), but the
+    // per-candidate dominator counts come from codegen'd kernels + one
+    // (index, count) aggregation instead of the aggregate's
+    // single-threaded final merge. Paired with the aggregate rows above,
+    // including the n=1e5 k=8 shape that can only cap_trip there.
+    def ksj(src: DataFrame, k: Int, maxCand: Int): Long = {
+      val out = src.kSkybandJoin(dims(10), k = k, maxCandidates = maxCand)
+      try out.count() finally out.unpersist(blocking = false)
+    }
+    def ksj7(src: DataFrame, k: Int): Long = {
+      val out = src.kSkybandJoin(dims(7), k = k)
+      try out.count() finally out.unpersist(blocking = false)
+    }
+    for (k <- Seq(2, 8)) {
+      record("uniform", 200000L, 7, "kskyband_join", s""","k":$k""", None)(
+        ksj7(d7u, k))
+      record("anti", 20000L, 10, "kskyband_join", s""","k":$k""", None)(
+        ksj(d10a, k, 1 << 20))
+    }
+    record("anti", 100000L, 10, "kskyband_join", ""","k":8""", None)(
+      ksj(anti(100000L, 10), 8, 1 << 20))
+
     val json =
       s"""{"artifact":"skybench","master":"local[32]","baseline":"BASELINE.md (12-core YARN cluster, Spark 3.3 + Kafka relay)",
          |"entries":[

@@ -64,6 +64,63 @@ class KSkybandSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  private def toDf(points: Seq[Array[Double]], d: Int) = {
+    import spark.implicits._
+    points.map(p => p.toSeq match {
+      case Seq(a) => (a, 0.0, 0.0)
+      case Seq(a, b) => (a, b, 0.0)
+      case Seq(a, b, c) => (a, b, c)
+    }).toDF("c0", "c1", "c2").select((0 until d).map(i => col(s"c$i")): _*)
+  }
+
+  test("kSkybandJoin equals the aggregate and the brute oracle across dims/dirs/k") {
+    val rnd = new scala.util.Random(17)
+    for (d <- Seq(2, 3); k <- Seq(1, 3); trial <- 1 to 2) {
+      // small integer grid: duplicates + deep dominance chains guaranteed
+      val pts = Seq.fill(400)(Array.fill(d)(rnd.nextInt(12).toDouble))
+      val minDir = Array.fill(d)(rnd.nextBoolean())
+      val dims = (0 until d).map(i =>
+        s"c$i" -> (if (minDir(i)) Min else Max): (String, graft.core.Direction))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((0 until d).map(r.getDouble), r.getLong(d))).toSet
+      // tiny sample forces a weak prune — exactness must not depend on it
+      val join = toDf(pts, d).kSkybandJoin(dims, k, sampleSize = 8)
+      val gotJ = rows(join)
+      join.unpersist(blocking = false)
+      val gotA = rows(toDf(pts, d).kSkyband(dims, k))
+      val want = brute(pts, minDir, k).map { case (p, c) => (p.toIndexedSeq, c.toLong) }
+      assert(gotJ == want, s"join vs brute: d=$d k=$k trial=$trial")
+      assert(gotJ == gotA, s"join vs aggregate: d=$d k=$k trial=$trial")
+    }
+  }
+
+  test("kSkybandJoin: NaN rows are incomparable band members; empty input is empty") {
+    import spark.implicits._
+    val dims: Seq[(String, graft.core.Direction)] = Seq("c0" -> Min, "c1" -> Min)
+    val pts = Seq(
+      (1.0, 1.0), (2.0, 2.0), (3.0, 3.0), // chain: counts 0, 1, 2
+      (Double.NaN, 0.0))                  // incomparable
+    val got = pts.toDF("c0", "c1").kSkybandJoin(dims, k = 2)
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toMap
+    assert(got.size == 3 && got(((1.0, 1.0))) == 0L && got(((2.0, 2.0))) == 1L)
+    val nanKey = got.keys.find(_._1.isNaN)
+    assert(nanKey.isDefined && got(nanKey.get) == 0L,
+      s"NaN row must be in-band with 0 dominators: $got")
+    assert(Seq.empty[(Double, Double)].toDF("c0", "c1")
+      .kSkybandJoin(dims, k = 2).count() == 0)
+  }
+
+  test("kSkybandJoin trips loudly past maxCandidates, naming the aggregate fallback") {
+    import spark.implicits._
+    // anti-correlated: the band IS the input, so candidates ≈ n
+    val pts = (0 until 64).map(i => (i.toDouble, (63 - i).toDouble))
+    val e = intercept[IllegalArgumentException] {
+      pts.toDF("c0", "c1").kSkybandJoin(
+        Seq("c0" -> Min, "c1" -> Min), k = 2, maxCandidates = 16)
+    }
+    assert(e.getMessage.contains("maxCandidates") && e.getMessage.contains("kSkyband"))
+  }
+
   test("SQL surface: kskyband_agg matches the DSL path") {
     import spark.implicits._
     graft.operators.GraftFunctions.register(spark)

@@ -25,9 +25,11 @@ object Verify {
     // A failing query must surface as an explicit `err` row in the
     // driver's CORRECTNESS artifact, never as a silently missing one —
     // collect per-query errors and dump them as errors.json below.
+    val verbose = sys.env.contains("SPARK_GRAFT_VERBOSE")
     val errors = SparkEntry.queries.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         try {
+          if (verbose) System.err.println(s"[verify] running $name")
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           None

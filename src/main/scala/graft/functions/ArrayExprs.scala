@@ -127,18 +127,23 @@ case class TopElementCount(child: Expression)
       val nullGuard = if (elemNullable) {
         s"""if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"""
       } else ""
+      // Janino erases generics: HashMap.get returns Object and implicit
+      // (un)boxing is unreliable, so the map is raw, the cast explicit,
+      // and box/unbox spelled out — a generified version compiles under
+      // javac but FAILS Janino compile and silently de-optimizes to the
+      // interpreted path (caught by the CODEGEN_ONLY spec).
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) { ${ev.isNull} = true; } else {
-         |  java.util.HashMap<$utf8, Integer> $counts = new java.util.HashMap<$utf8, Integer>($n * 2);
+         |  java.util.HashMap $counts = new java.util.HashMap($n * 2);
          |  int $best = 0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullGuard
          |    $utf8 $t = $a.getUTF8String($i);
-         |    Integer $c = $counts.get($t);
-         |    $c = ($c == null) ? 1 : $c + 1;
-         |    $counts.put($t, $c);
-         |    if ($c > $best) $best = $c;
+         |    Object $c = $counts.get($t);
+         |    int ${c}i = ($c == null) ? 1 : ((Integer) $c).intValue() + 1;
+         |    $counts.put($t, Integer.valueOf(${c}i));
+         |    if (${c}i > $best) $best = ${c}i;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = (long) $best; }
          |}

@@ -365,4 +365,57 @@ class FunctionsSpec extends AnyFunSuite {
     graft.operators.GraftFunctions.register(spark)
     assert(spark.sql("SELECT byte_entropy('abcd') AS e").head().getDouble(0) == 2.0)
   }
+
+  test("every custom kernel COMPILES under CODEGEN_ONLY (no silent interpreter fallback)") {
+    // The default FALLBACK factory mode hides Janino compile failures:
+    // the expression silently de-optimizes to nullSafeEval and every
+    // value-parity spec still passes (TopElementCount shipped exactly
+    // this way — generified HashMap, which javac accepts and Janino
+    // rejects). CODEGEN_ONLY turns a compile failure into a hard error,
+    // so this test is the compile gate for ALL custom scalar kernels.
+    import spark.implicits._
+    import graft.functions._
+    val conf = spark.conf
+    val oldWs = conf.get("spark.sql.codegen.wholeStage")
+    val oldFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val vec = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      assert(vec.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0) == 32.0)
+      assert(vec.select(VectorFunctions.squaredNorm(col("a"))).head().getDouble(0) == 14.0)
+      assert(vec.select(VectorFunctions.matrixProject(col("a"),
+        Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 1.0)), Array(0.0, 0.5)))
+        .head().getSeq[Double](0) == Seq(1.0, 4.5))
+      val toks = Seq(Seq("a", "b", "a")).toDF("t")
+      assert(toks.select(ArrayFunctions.topElementCount(col("t"))).head().getLong(0) == 2L)
+      assert(toks.select(HashFunctions.simhash64(col("t"))).head().getLong(0) != 0L)
+      val longs = Seq((Array(1L, 3L, 5L), Array(3L, 5L, 7L))).toDF("a", "b")
+      assert(longs.select(ArrayFunctions.sortedIntersectCount(col("a"), col("b")))
+        .head().getLong(0) == 2L)
+      assert(longs.select(HashFunctions.minhashSignature(col("a"), 8))
+        .head().getSeq[Long](0).size == 8)
+      assert(longs.select(LayoutFunctions.interleaveBits(col("a"), 3)).head().getLong(0) >= 0L)
+      assert(vec.select(HashFunctions.hyperplaneSignatures(col("a"),
+        Array(Array(Array(1.0, -1.0, 0.0), Array(0.0, 1.0, -1.0)))))
+        .head().getSeq[Long](0).size == 1)
+      assert(vec.select(HashFunctions.centroidDistances(col("a"),
+        Array(Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0))))
+        .head().getSeq[Double](0)(1) == 0.0)
+      val fvec = Seq(Array(0.5f, -1.0f)).toDF("v")
+      val q8 = fvec.select(QuantFunctions.quantizeInt8(col("v")).as("q"))
+      assert(q8.select(QuantFunctions.dequantizeInt8(col("q"))).head().get(0) != null)
+      assert(Seq("abcd").toDF("t").select(EntropyFunctions.byteEntropy(col("t")))
+        .head().getDouble(0) == 2.0)
+      assert(vec.select(DominanceFunctions.dominatorCountUpTo(col("a"),
+        Array(Array(0.0, 0.0, 0.0), Array(9.0, 9.0, 9.0)), dim = 3, k = 5))
+        .head().getInt(0) == 1)
+      assert(vec.select(DominanceFunctions.dominatedIndices(col("a"),
+        Array(Array(0.0, 0.0, 0.0), Array(9.0, 9.0, 9.0)), dim = 3))
+        .head().getSeq[Int](0) == Seq(1))
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWs)
+      conf.set("spark.sql.codegen.factoryMode", oldFm)
+    }
+  }
 }

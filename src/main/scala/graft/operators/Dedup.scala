@@ -149,6 +149,15 @@ object Dedup {
     // the shingled table feeds three plan branches (inverted index +
     // both verify sides); cache it rather than re-shingling per branch
     val docs = shingledHashed(df, idCol, textCol, n).cache()
+    materializeThenRelease(jaccardPairsOfShingled(docs, threshold), docs)
+  }
+
+  /** The AllPairs prefix-filter + verify body of [[jaccardPairs]] over a
+    * PERSISTED (id, sh) frame — shared with [[clusters]]' collapsed
+    * path, which shingles once, collapses identical shingle sets, and
+    * routes only representatives here. Returns the LAZY verified-pair
+    * frame; the caller materializes while its `docs` cache is live. */
+  private def jaccardPairsOfShingled(docs: DataFrame, threshold: Double): DataFrame = {
     val ex = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = ex.join(freq, "s")
@@ -165,7 +174,7 @@ object Dedup {
           col("a.sz") >= ceil(lit(threshold) * col("b.sz")) &&
           col("b.sz") >= ceil(lit(threshold) * col("a.sz")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    materializeThenRelease(verifyJaccard(cands, docs, threshold), docs)
+    verifyJaccard(cands, docs, threshold)
   }
 
   /**
@@ -393,17 +402,98 @@ object Dedup {
    * shape; rounds needed = graph diameter, and near-dup clusters are
    * shallow. Converges by a driver-checked fixpoint with a small round
    * cap.
+   *
+   * `collapseIdentical` (default ON, adaptively applied — see the gate
+   * note at the implementation) collapses duplicate documents to
+   * one representative (min id per distinct hashed shingle SET — one
+   * shingling pass shared with the pair finder) before the pair graph:
+   * the production guard against the dominant skew shape of real
+   * crawls, where a boilerplate page repeated E times otherwise costs
+   * E²/2 pair-graph edges, E copies in every hot shingle posting (or
+   * LSH band bucket), and E²/2 verify joins. The labeling is BIT-
+   * IDENTICAL by construction: Jaccard is a function of the shingle
+   * sets alone, so equal sets mean J = 1 ≥ any threshold (pairing the
+   * copies with each other and with exactly what their representative
+   * pairs with), and the representative — the group's min id — carries
+   * the same min-reachable-id label the full graph would assign. EMPTY
+   * shingle sets (under `n` tokens) pair with nothing and are excluded
+   * from collapse — they stay singletons, matching the uncollapsed
+   * path. Only when those invariants must not be assumed (e.g. a
+   * caller patched the pair finder) pass `false`.
    */
   def clusters(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxRounds: Int = 20,
-      driverMaxEdges: Int = 1000000): DataFrame = {
-    // jaccardPairs returns the verified pair set already materialized and
-    // persisted; labelComponents reads it (driver collect or iteration
-    // jobs) before this call returns, so the unpersist below is safe.
-    val rawPairs = jaccardPairs(df, idCol, textCol, n, threshold)
-    try labelComponents(df, idCol, rawPairs, maxRounds, driverMaxEdges)
-    finally rawPairs.unpersist(blocking = false)
+      driverMaxEdges: Int = 1000000,
+      collapseIdentical: Boolean = true): DataFrame = {
+    def uncollapsed(): DataFrame = {
+      // jaccardPairs returns the verified pair set already materialized
+      // and persisted; labelComponents reads it (driver collect or
+      // iteration jobs) before this call returns, so the unpersist below
+      // is safe.
+      val rawPairs = jaccardPairs(df, idCol, textCol, n, threshold)
+      try labelComponents(df, idCol, rawPairs, maxRounds, driverMaxEdges)
+      finally rawPairs.unpersist(blocking = false)
+    }
+    // Collapse is ADAPTIVE: a seeded 2% text-hash sample estimates the
+    // duplicate mass first, because the collapse pays two extra corpus
+    // shuffles that a dup-free corpus shouldn't fund — and a HEAVY
+    // group, the case that matters, is reliably visible in a sample
+    // (the quadratic threat needs group size ≳ √corpus; its sampled
+    // copy count is then far above the trigger, while a handful of
+    // scattered dup pairs stays below it and is harmless uncollapsed).
+    // `spark.graft.dedup.collapseMinSampledDups` (default 8) tunes the
+    // trigger; 0 forces collapse (the spec hook). Either path returns
+    // the bit-identical labeling — this is purely a plan choice.
+    val gateTrips = collapseIdentical && {
+      val minDups = df.sparkSession.conf
+        .get("spark.graft.dedup.collapseMinSampledDups", "8").toInt
+      minDups <= 0 || {
+        val s = df.select(xxhash64(col(textCol)).as("h")).sample(0.02, 42L)
+          .agg(count(lit(1)).as("c"), countDistinct(col("h")).as("d")).head()
+        val (c, d) = (s.getLong(0), s.getLong(1))
+        c - d >= minDups || (c > 0 && (c - d).toDouble / c >= 0.01)
+      }
+    }
+    if (!gateTrips) {
+      uncollapsed()
+    } else {
+      Checks.requireIntegralId("clusters", idCol, df.schema(idCol).dataType)
+      // One shingling pass serves collapse AND pair finding. The collapse
+      // key is the hashed shingle SET itself (sound and finer than text
+      // equality: J is a function of sh only, so equal sets ⟹ J = 1 ⟹
+      // same cluster and same neighbors); empty sets are excluded — they
+      // pair with nothing and must stay singletons like uncollapsed.
+      val shingledAll = shingledHashed(df, idCol, textCol, n).cache()
+      try {
+        val repOf = shingledAll.filter(size(col("sh")) > 0)
+          .groupBy(col("sh")).agg(min(col("id")).as("rep_id"))
+        val member = shingledAll
+          .join(repOf, Seq("sh"), "left")
+          .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep_id"))
+          .persist()
+        // repDocs stays cached until the RESULT materializes: the driver
+        // union-find labeling path returns a lazy join that reads it
+        val repDocs = shingledAll.join(
+          member.filter(col("id") === col("rep_id")).select("id"), "id").cache()
+        try {
+          val rawPairs =
+            materializeThenRelease(jaccardPairsOfShingled(repDocs, threshold), Nil: _*)
+          val repLabels =
+            try labelComponents(repDocs, "id", rawPairs, maxRounds, driverMaxEdges)
+            finally rawPairs.unpersist(blocking = false)
+          val out = member
+            .join(repLabels.select(col("id").as("rep_id"), col("cluster_id")), "rep_id")
+            .select(col("id"), col("cluster_id"))
+          val result = materializeThenRelease(out, member)
+          // no-op on the driver (lazy broadcast-join) labeling path
+          repLabels.unpersist(blocking = false)
+          result
+        } catch {
+          case t: Throwable => member.unpersist(blocking = false); throw t
+        } finally repDocs.unpersist(blocking = false)
+      } finally shingledAll.unpersist(blocking = false)
+    }
   }
 
   /**
@@ -424,9 +514,11 @@ object Dedup {
   def retainBest(
       df: DataFrame, idCol: String, textCol: String, qualityCol: String,
       n: Int, threshold: Double, maxRounds: Int = 20,
-      driverMaxEdges: Int = 1000000): DataFrame =
+      driverMaxEdges: Int = 1000000,
+      collapseIdentical: Boolean = true): DataFrame =
     retainBestOf(
-      clusters(df, idCol, textCol, n, threshold, maxRounds, driverMaxEdges),
+      clusters(df, idCol, textCol, n, threshold, maxRounds, driverMaxEdges,
+        collapseIdentical),
       df, idCol, qualityCol)
 
   /** The argmax step of [[retainBest]] over a PRECOMPUTED labeling

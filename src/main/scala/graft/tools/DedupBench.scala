@@ -159,6 +159,54 @@ object DedupBench {
       println(f"[dedupbench] semantic-skew n=$nSkew " +
         f"time=${(System.nanoTime() - s0) / 1e9}%.1f s $outcome")
     }
+    // Exact-duplicate skew check for the CLUSTER pipeline: 1 in 25 docs
+    // is a copy of ONE boilerplate page (the dominant skew of raw
+    // crawls), the rest distinct with the usual planted near-dups. The
+    // uncollapsed path pays E²/2 pair-graph edges for the E-copy group
+    // (pushing the labeling past driverMaxEdges into distributed
+    // propagation); collapseIdentical routes ONE representative through
+    // the pair finder and must produce the bit-identical labeling in
+    // near-linear time.
+    if (args.contains("--dupskew")) {
+      val boiler = (1 to 55).map(i => s"boiler$i").mkString(" ")
+      def skewCorpus(m: Int) = {
+        val b = spark.range(m.toLong).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 55).map(j =>
+            concat(lit("w"), pmod(xxhash64(col("id") - (col("id") % 100 === 99).cast("long"), lit(j)),
+              lit(10000L)))): _*).as("body"),
+          (col("id") % 100 === 99).cast("boolean").as("is_dup"))
+        b.select(col("doc_id"),
+          when(col("doc_id") % 25 === 0, lit(boiler))
+            .otherwise(when(col("is_dup"), concat(col("body"), lit(" extratoken")))
+              .otherwise(col("body"))).as("text"))
+      }
+      def run(docs: org.apache.spark.sql.DataFrame, m: Int, collapse: Boolean) = {
+        val s0 = System.nanoTime()
+        val labeled = Dedup.clusters(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, collapseIdentical = collapse).cache()
+        val nClusters = labeled.select("cluster_id").distinct().count()
+        val chk = labeled.agg(sum(col("id") * col("cluster_id"))).head().getLong(0)
+        labeled.unpersist(blocking = false)
+        println(f"[dedupbench] dupskew n=$m collapse=$collapse clusters=$nClusters " +
+          f"checksum=$chk time=${(System.nanoTime() - s0) / 1e9}%.1f s")
+        (nClusters, chk)
+      }
+      // head-to-head at a size where the uncollapsed E²/2-edge graph
+      // still fits the local heap (past ~100k the E = n/25 copy group
+      // OOMs the uncollapsed path outright — which IS the finding; run
+      // the collapsed leg alone at full n to show it doesn't care)
+      val nCmp = math.min(n, 50000)
+      val cmpDocs = skewCorpus(nCmp).cache(); cmpDocs.count()
+      val a = run(cmpDocs, nCmp, collapse = true)
+      val b = run(cmpDocs, nCmp, collapse = false)
+      require(a == b, s"collapsed and full labelings DISAGREE: $a vs $b")
+      cmpDocs.unpersist(blocking = false)
+      if (n > nCmp) {
+        val big = skewCorpus(n).cache(); big.count()
+        run(big, n, collapse = true)
+        big.unpersist(blocking = false)
+      }
+    }
     spark.stop()
   }
 }

@@ -677,6 +677,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("clusters: exact-duplicate collapse is label-identical to the full pair graph") {
+    import spark.implicits._
+    // The skew shape collapse exists for: E identical copies of one
+    // boilerplate text (E²/2 edges uncollapsed), a near-dup variant that
+    // must still join their cluster THROUGH the representative, identical
+    // sub-n-token texts that must STAY singletons (empty shingle set ⇒
+    // never paired, J undefined), and an unrelated singleton.
+    val boiler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearVar = (1 to 36).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4"
+    val docs =
+      (1 to 12).map(i => (i * 10L, boiler)) ++        // 12 identical copies
+      Seq(500L -> nearVar,                            // near-dup of boiler
+          600L -> "tiny doc", 700L -> "tiny doc",     // identical, 2 tokens < n
+          800L -> (100 to 140).map(i => s"z$i").mkString(" "))
+    val df = docs.toDF("doc_id", "text")
+    // force the adaptive gate ON (a 17-doc corpus never samples enough
+    // duplicates to trip it naturally; DedupBench --dupskew covers the
+    // natural trip at scale)
+    spark.conf.set("spark.graft.dedup.collapseMinSampledDups", "0")
+    try {
+      for (driverMax <- Seq(1000000, 0)) {
+        val full = Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.5,
+          driverMaxEdges = driverMax, collapseIdentical = false)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val collapsed = Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.5,
+          driverMaxEdges = driverMax, collapseIdentical = true)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(collapsed == full, s"driverMax=$driverMax")
+        // and the labeling is the one the scenario demands
+        assert((1 to 12).forall(i => collapsed(i * 10L) == 10L))
+        assert(collapsed(500L) == 10L, "near-dup variant joins via the representative")
+        assert(collapsed(600L) == 600L && collapsed(700L) == 700L,
+          "identical sub-n-token docs stay singletons on both paths")
+        assert(collapsed(800L) == 800L)
+      }
+      // retainBest rides the same collapse: best-quality member survives
+      // regardless of whether it is the representative
+      val withQ = df.withColumn("q",
+        when(col("doc_id") === 110L, 9.0).otherwise(col("doc_id").cast("double") / 100))
+      val kept = Dedup.retainBest(withQ, "doc_id", "text", "q", n = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap // cluster_id -> keep_id
+      assert(kept(10L) == 110L, s"argmax-quality member must survive: $kept")
+    } finally spark.conf.unset("spark.graft.dedup.collapseMinSampledDups")
+  }
+
   test("distributed clusters path fails loudly when the round cap is below the diameter") {
     import spark.implicits._
     def block(b: Int) = (1 to 30).map(i => s"b${b}w$i").mkString(" ")

@@ -743,8 +743,11 @@ object Dedup {
         }
       } finally slim.unpersist(blocking = false)
     }
-    val a = ind.select(col("c"), col("id").as("id1"), col("v").as("v1"), col("vn").as("n1"))
-    val b = ind.select(col("c"), col("id").as("id2"), col("v").as("v2"), col("vn").as("n2"))
+    // zero/NaN-norm rows pair with nothing (cosine undefined); without
+    // the filter the division below is an ANSI DIVIDE_BY_ZERO job abort
+    val indP = ind.filter(col("vn") > 0)
+    val a = indP.select(col("c"), col("id").as("id1"), col("v").as("v1"), col("vn").as("n1"))
+    val b = indP.select(col("c"), col("id").as("id2"), col("v").as("v2"), col("vn").as("n2"))
     val out = a.join(b, "c")
       .filter(col("id1") < col("id2"))
       .withColumn("cos",
@@ -758,15 +761,83 @@ object Dedup {
     * survivor groups by [[labelComponents]] — (id, cluster_id) with the
     * smallest reachable id as the canonical survivor, singletons for
     * documents with no semantic dup. Keeping `cluster_id = id` rows and
-    * dropping the rest is the SemDeDup retention step. */
+    * dropping the rest is the SemDeDup retention step.
+    *
+    * `collapseIdentical` (default ON, adaptively applied — the
+    * [[clusters]] gate, sampled on the vector hash) collapses
+    * BIT-IDENTICAL embeddings to one representative before the pair
+    * finder. This is what lets the clustering consumer COMPLETE on the
+    * identical-mass corpora [[semanticPairs]]' hot-cell guard refuses:
+    * the guard refuses because the PAIR output itself is quadratic in
+    * the identical mass, but cluster labels are linear — copies share
+    * their representative's label (cos = 1 ≥ threshold pairs them with
+    * each other and with exactly the representative's neighbors, since
+    * cosine is a function of the vector bits alone). Zero-norm and
+    * NaN-bearing vectors never pair (cosine undefined — [[semanticPairs]]
+    * excludes them before the division) and are excluded from
+    * collapse, staying singletons. Caveat, stated rather than hidden:
+    * the kmeans then TRAINS on representatives, so which cell-straddling
+    * near (not identical) pairs the approximate-recall contract misses
+    * can differ from the uncollapsed run — at `nlist = 1` (exact
+    * all-pairs, no clustering) the labelings are identical, which the
+    * spec pins; the dedup literature trains on deduped mass for exactly
+    * this reason (identical mass drags centroids). Collapse also
+    * requires `threshold < 1 - 1e-9`: at exactly 1.0 the uncollapsed
+    * path's `sqrt(d)²` ulp loss can drop an identical pair the collapse
+    * would merge. */
   def semanticClusters(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nlist: Int = 0, iters: Int = 3,
       maxRounds: Int = 20, driverMaxEdges: Int = 1000000,
-      hotCellRows: Int = 4096): DataFrame = {
-    val pairs = semanticPairs(df, idCol, vecCol, dim, threshold, nlist, iters, hotCellRows)
-    try labelComponents(df, idCol, pairs, maxRounds, driverMaxEdges)
-    finally pairs.unpersist(blocking = false)
+      hotCellRows: Int = 4096, collapseIdentical: Boolean = true): DataFrame = {
+    def uncollapsed(): DataFrame = {
+      val pairs = semanticPairs(df, idCol, vecCol, dim, threshold, nlist, iters, hotCellRows)
+      try labelComponents(df, idCol, pairs, maxRounds, driverMaxEdges)
+      finally pairs.unpersist(blocking = false)
+    }
+    val gateTrips = collapseIdentical && threshold < 1.0 - 1e-9 && {
+      val minDups = df.sparkSession.conf
+        .get("spark.graft.dedup.collapseMinSampledDups", "8").toInt
+      minDups <= 0 || {
+        val s = df.select(xxhash64(col(vecCol)).as("h")).sample(0.02, 42L)
+          .agg(count(lit(1)).as("c"), countDistinct(col("h")).as("d")).head()
+        val (c, d) = (s.getLong(0), s.getLong(1))
+        c - d >= minDups || (c > 0 && (c - d).toDouble / c >= 0.01)
+      }
+    }
+    if (!gateTrips) {
+      uncollapsed()
+    } else {
+      Checks.requireIntegralId("semanticClusters", idCol, df.schema(idCol).dataType)
+      val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("_v"))
+      // eligibility: a positive finite norm (NaN fails `> 0`) — anything
+      // else never pairs and must stay an uncollapsed singleton
+      val keyed = base.withColumn("_cv",
+        when(graft.functions.VectorFunctions.squaredNorm(col("_v")) > 0, col("_v")))
+      val repOf = keyed.filter(col("_cv").isNotNull)
+        .groupBy(col("_cv")).agg(min(col("id")).as("rep_id"))
+      val member = keyed.join(repOf, Seq("_cv"), "left")
+        .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep_id"))
+        .persist()
+      try {
+        val repDf = base.join(
+          member.filter(col("id") === col("rep_id")).select("id"), "id")
+          .select(col("id").as(idCol), col("_v").as(vecCol))
+        val pairs = semanticPairs(repDf, idCol, vecCol, dim, threshold, nlist,
+          iters, hotCellRows)
+        val repLabels =
+          try labelComponents(repDf, idCol, pairs, maxRounds, driverMaxEdges)
+          finally pairs.unpersist(blocking = false)
+        val out = member
+          .join(repLabels.select(col("id").as("rep_id"), col("cluster_id")), "rep_id")
+          .select(col("id"), col("cluster_id"))
+        val result = materializeThenRelease(out, member)
+        repLabels.unpersist(blocking = false)
+        result
+      } catch {
+        case t: Throwable => member.unpersist(blocking = false); throw t
+      }
+    }
   }
 
   /**

@@ -44,6 +44,12 @@ object Similarity {
       idAs: String, vAs: String, nAs: String): DataFrame =
     df.select(col(idCol).as(idAs), nativeVec(df, vecCol).as(vAs))
       .withColumn(nAs, l2Norm(col(vAs)))
+      // cosine is undefined at zero norm (and for NaN-bearing vectors,
+      // whose norm is NaN): such rows pair with and rank against
+      // nothing. Without this filter the division below them is an
+      // ANSI DIVIDE_BY_ZERO job abort — one all-zeros embedding (a
+      // failed encoder output) would kill the whole corpus job.
+      .filter(col(nAs) > 0)
 
   /** Integral id types the bounded top-k aggregate can carry losslessly
     * through its long-keyed heap buffer. */
@@ -114,6 +120,7 @@ object Similarity {
           graft.functions.QuantFunctions.quantizeInt8(nativeVec(df, vecCol))
             .getField("q").as(qAs))
         .withColumn(nAs, l2Norm(col(qAs))) // SquaredNorm reads byte arrays natively
+        .filter(col(nAs) > 0) // zero/NaN norm: cosine undefined (see prepped)
     val c = quantized(corpus, "neighbor_id", "cq", "cn")
     val q = quantized(queries, "query_id", "qq", "qn")
     val scored = c.crossJoin(broadcast(q))
@@ -326,6 +333,7 @@ object Similarity {
         .select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"),
           explode(col("_cells.id")).as("cl"))
         .select(col("query_id"), col("qv"), col("qn"), col("cl").cast("int").as("c"))
+        .filter(col("qn") > 0) // zero/NaN-norm query: cosine undefined (see prepped)
       // Pin the probe set to ONE evaluation (it is small by contract —
       // queries x nprobe rows): the cell collect below and the join must
       // see the SAME rows, and a non-deterministic queries frame (sample,
@@ -339,7 +347,9 @@ object Similarity {
       // the bare join would need runtime pruning to kick in; in-memory
       // it is a cheap pre-filter.
       val cells = pinned.select("c").distinct().collect().map(_.getInt(0))
-      val scored = pinned.join(indexed.filter(col("c").isin(cells.map(Integer.valueOf): _*)), "c")
+      val scored = pinned.join(
+          indexed.filter(col("c").isin(cells.map(Integer.valueOf): _*)
+            && col("vn") > 0), "c") // zero/NaN-norm rows: cosine undefined
         .filter(col("query_id") =!= col("id"))
         .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
         .withColumn("neighbor_id", col("id"))

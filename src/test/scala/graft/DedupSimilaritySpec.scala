@@ -277,6 +277,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .count() >= 0)
   }
 
+  test("zero-norm embeddings never pair or rank — and never abort the job (ANSI divide-by-zero)") {
+    import spark.implicits._
+    // one all-zeros vector (a failed encoder output) in corpus AND query
+    // side: every cosine surface must return defined results without it,
+    // not die in the norm division under ANSI mode
+    val rows = (1 to 20).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i + j).toFloat))) :+ (99L, Array.fill(4)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val topk = Similarity.topK(df, df, "vec_id", "embedding", k = 3)
+    assert(topk.filter(col("query_id") === 99L || col("neighbor_id") === 99L).count() == 0)
+    assert(topk.filter(col("query_id") === 1L).count() == 3)
+    val t8 = Similarity.topKInt8(df, df, "vec_id", "embedding", k = 3)
+    assert(t8.filter(col("query_id") === 99L || col("neighbor_id") === 99L).count() == 0)
+    val cp = Similarity.cosinePairs(df, "vec_id", "embedding", threshold = 0.9)
+    assert(cp.filter(col("id1") === 99L || col("id2") === 99L).count() == 0)
+    val sp = Dedup.semanticPairs(df, "vec_id", "embedding", dim = 4,
+      threshold = 0.9, nlist = 1)
+    assert(sp.filter(col("id1") === 99L || col("id2") === 99L).count() == 0)
+    sp.unpersist(blocking = false)
+    val idx = Similarity.buildIvf(df, "vec_id", "embedding", dim = 4, nlist = 2, iters = 2)
+      .persist()
+    try {
+      val got = idx.topK(df, "vec_id", "embedding", k = 3, nprobe = 2)
+      assert(got.filter(col("query_id") === 99L || col("neighbor_id") === 99L).count() == 0)
+    } finally idx.unpersist()
+  }
+
   test("LSH occupancy guard trips loudly on degenerate (constant) embeddings") {
     import spark.implicits._
     val constant = (0 until 300)
@@ -567,6 +594,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       hotCellRows = 0)
     assert(pairs.filter(col("id1") < 80 && col("id2") < 80).count() == 80L * 79 / 2)
     pairs.unpersist(blocking = false)
+  }
+
+  test("semanticClusters: identical-embedding collapse completes the corpus the pair guard refuses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val massVec = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 80).map(i => (i.toLong, massVec)) ++
+      (80 until 120).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))) :+
+      (999L, Array.fill(8)(0.0f)) // zero norm: never pairs, stays singleton
+    val df = rows.toDF("id", "v")
+    spark.conf.set("spark.graft.dedup.collapseMinSampledDups", "0")
+    try {
+      // the SAME hotCellRows=32 that refuses the pair contract (see the
+      // guard spec above): clustering completes, because after collapse
+      // the cells hold distinct vectors only
+      val got = Dedup.semanticClusters(df, "id", "v", dim = 8,
+        threshold = 0.9, hotCellRows = 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0 until 80).forall(i => got(i.toLong) == 0L),
+        "identical mass collapses to one cluster at its min id")
+      assert(got(999L) == 999L, "zero-norm vector stays a singleton")
+      // nlist=1 (exact all-pairs, no kmeans involved): collapsed and
+      // uncollapsed labelings are bit-identical on a mixed corpus
+      val small = ((0 until 10).map(i => (i.toLong, massVec)) ++
+        (10 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))) :+
+        (99L, Array.fill(8)(0.0f))).toDF("id", "v")
+      val collapsed = Dedup.semanticClusters(small, "id", "v", dim = 8,
+        threshold = 0.9, nlist = 1, hotCellRows = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.semanticClusters(small, "id", "v", dim = 8,
+        threshold = 0.9, nlist = 1, hotCellRows = 0, collapseIdentical = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(collapsed == full, s"$collapsed vs $full")
+    } finally spark.conf.unset("spark.graft.dedup.collapseMinSampledDups")
   }
 
   test("semanticClusters labels transitive chains and leaves singletons alone") {

@@ -221,6 +221,13 @@ object SparkEntry {
       // the path-invariance property, so it shares that exact oracle
       t(s, dir, "part").kSkybandJoin(
         Seq("p_retailprice" -> Min, "p_size" -> Max), k = 3)),
+    "sky_topdom" -> ((s, dir) =>
+      // top-k dominating (Papadias et al. TODS'05): the 10 points that
+      // dominate the most others under (min price, max size) — the
+      // controlled-output ranking companion of the skyline; candidates
+      // bounded by the top-k ⊆ k-skyband containment theorem
+      t(s, dir, "part").topKDominating(
+        Seq("p_retailprice" -> Min, "p_size" -> Max), k = 10)),
     // Partitioning-scheme hints (MR_DIM / MR_GRID / MR_ANGLE): same result
     // as sky_li_2d by the partitioning-invariance property — same oracle.
     "sky_hint_dim" -> ((s, dir) =>
@@ -1781,6 +1788,17 @@ object SparkEntry {
           |        GROUP BY 1, 2)
           |SELECT p_retailprice, p_size, c::BIGINT AS n_dominators
           |FROM cnt WHERE c < 3""".stripMargin,
+      "sky_topdom" ->
+        // per-point dominance score over the DISTINCT point set (set
+        // semantics), ranked with the operator's exact total tie-break
+        """WITH d AS (SELECT DISTINCT p_retailprice, p_size FROM part),
+          |cnt AS (SELECT p.p_retailprice, p.p_size, count(q.p_retailprice) AS c
+          |        FROM d p LEFT JOIN d q
+          |          ON p.p_retailprice <= q.p_retailprice AND p.p_size >= q.p_size
+          |          AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size)
+          |        GROUP BY 1, 2)
+          |SELECT p_retailprice, p_size, c::BIGINT AS n_dominated
+          |FROM cnt ORDER BY c DESC, p_retailprice ASC, p_size ASC LIMIT 10""".stripMargin,
       "sky_orders_maxmin" -> sky2d("orders", "o_totalprice", "o_orderdate", min1 = false, min2 = true),
       "sky_events_2d" -> sky2d("events", "value", "user_id", min1 = false, min2 = true),
       "sky_li_3d" ->

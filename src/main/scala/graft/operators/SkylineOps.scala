@@ -380,6 +380,96 @@ object SkylineOps {
       } finally projected.unpersist(blocking = false)
     }
 
+    /**
+     * TOP-K DOMINATING points (Papadias, Tao, Fu, Seeger, TODS'05 —
+     * the companion ranking operator of the skyline family): score each
+     * point by how many points it strictly dominates and return the `k`
+     * highest scorers with their scores. The "give me the k best"
+     * operator that needs no user weight vector, with output size
+     * CONTROLLED (exactly k rows, unlike a skyline, whose size the data
+     * decides).
+     *
+     * Scale shape — the [[kSkybandJoin]] machinery reused end to end,
+     * justified by a containment theorem: every top-k dominating point
+     * lies in the k-skyband, because each of a point's dominators
+     * strictly outscores it (dominance is transitive: q dom p ⟹
+     * dom(q) ⊇ dom(p) ∪ {p}), so ≥ k dominators ⟹ ≥ k strictly
+     * higher scorers ⟹ out of the top k. So: (1) the map-side sample
+     * prune keeps a small superset of the k-skyband; (2) the bounded
+     * candidate set rides to tasks and the whole input streams past it
+     * ONCE — scores come from the same [[graft.functions
+     * .DominatedIndices]] kernel evaluated in NEGATED space (c dominates
+     * r ⟺ −r dominates −c, so each row emits the candidates that
+     * dominate IT); (3) order by (score desc, dims asc — a total order
+     * over the distinct projected points) and take k.
+     *
+     * Set semantics like the rest of the family (exact duplicates
+     * collapse; a NaN-carrying row is incomparable — dominates nothing,
+     * scores 0). EAGER: the k-row result is materialized and internal
+     * caches released.
+     */
+    def topKDominating(dims: Seq[(String, Direction)], k: Int,
+        sampleSize: Int = 8192, maxCandidates: Int = 1 << 20,
+        seed: Long = 42L): DataFrame = {
+      require(dims.nonEmpty, "empty dimension list")
+      require(k >= 1, s"k must be >= 1, got $k")
+      val spark = df.sparkSession
+      val schema = df.schema
+      val types = dims.map { case (name, _) => schema(name).dataType }
+      val d = dims.length
+      val fwd = dims.zip(types).map { case ((name, dir), dt) =>
+        val v = toDouble(col(name), dt)
+        if (dir.isMin) v else -v
+      }
+      val nonNull = dims.map { case (name, _) => col(name).isNotNull }.reduce(_ && _)
+      val projected = df.filter(nonNull)
+        .select(fwd.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }: _*)
+        .distinct()
+        .persist()
+      try {
+        val ptCol = array(dims.indices.map(i => col(s"_d$i")): _*)
+        val negPtCol = array(dims.indices.map(i => -col(s"_d$i")): _*)
+        val nAll = projected.count()
+        val refs: Array[Array[Double]] =
+          if (nAll == 0) Array.empty
+          else projected
+            .sample(withReplacement = false,
+              math.min(1.0, sampleSize.toDouble / nAll), seed)
+            .collect().map(r => Array.tabulate(d)(r.getDouble))
+        val pruned = projected.filter(
+          graft.functions.DominanceFunctions.dominatorCountUpTo(ptCol, refs, d, k) < k)
+        val candRows = pruned.limit(maxCandidates + 1).collect()
+        if (candRows.length > maxCandidates) throw new IllegalArgumentException(
+          s"topKDominating: more than $maxCandidates candidates survive the " +
+            s"sample prune (k-skyband ≈ input at k=$k) — raise maxCandidates " +
+            "if the driver can hold them")
+        val cands = candRows.map(r => Array.tabulate(d)(r.getDouble))
+        // NaN is already incomparable under the kernel's Java-double
+        // comparisons, so negation (−NaN = NaN) preserves it exactly
+        val negCands = cands.map(_.map(x => -x))
+        val counts = projected
+          .select(explode(
+            graft.functions.DominanceFunctions.dominatedIndices(negPtCol, negCands, d))
+            .as("_ci"))
+          .groupBy(col("_ci")).agg(count(lit(1)).as("_cnt"))
+        import spark.implicits._
+        val candDf = cands.zipWithIndex
+          .map { case (p, i) => (i, p.toSeq) }.toSeq.toDF("_ci", "_p")
+        val named = candDf.join(counts, Seq("_ci"), "left")
+          .select(dims.zip(types).zipWithIndex.map { case (((name, dir), dt), i) =>
+            val v = element_at(col("_p"), i + 1)
+            fromDouble(if (dir.isMin) v else -v, dt).as(name)
+          } :+ coalesce(col("_cnt"), lit(0L)).as("n_dominated"): _*)
+        val out = named
+          .orderBy(col("n_dominated").desc +: dims.map { case (name, _) => col(name).asc }: _*)
+          .limit(k)
+          .persist()
+        try out.count()
+        catch { case t: Throwable => out.unpersist(blocking = false); throw t }
+        out
+      } finally projected.unpersist(blocking = false)
+    }
+
     def skyline(query: String, hint: PartitionHint): DataFrame =
       skyline(SkylineQuery.parse(query), hint)
 

@@ -172,6 +172,17 @@ object SkyBenchJson {
     record("anti", 100000L, 10, "kskyband_join", ""","k":8""", None)(
       ksj(anti(100000L, 10), 8, 1 << 20))
 
+    // 4c. top-k dominating (round 9): the ranking companion operator —
+    // the kskyband_join candidate machinery plus one negated-kernel
+    // scoring pass over the whole input; paired with the same shapes.
+    def tkd(src: DataFrame, dd: Int, k: Int): Long = {
+      val out = src.topKDominating(dims(dd), k = k)
+      try out.count() finally out.unpersist(blocking = false)
+    }
+    record("uniform", 200000L, 7, "topkdom", ""","k":10""", None)(tkd(d7u, 7, 10))
+    record("anti", 100000L, 10, "topkdom", ""","k":10""", None)(
+      tkd(anti(100000L, 10), 10, 10))
+
     val json =
       s"""{"artifact":"skybench","master":"local[32]","baseline":"BASELINE.md (12-core YARN cluster, Spark 3.3 + Kafka relay)",
          |"entries":[

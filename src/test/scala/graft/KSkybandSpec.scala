@@ -196,4 +196,62 @@ class KSkybandSpec extends AnyFunSuite {
       .map { case (p, c) => ((p(0), p(1)), c.toLong) }.toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("topKDominating matches the brute-force ranking across dims, dirs, k") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    def lexLess(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.zip(b).find { case (x, y) => x != y }.exists { case (x, y) => x < y }
+    val rnd = new scala.util.Random(31)
+    for {
+      d <- Seq(2, 3)
+      k <- Seq(1, 3, 7)
+      range <- Seq(8, 1000) // small range forces duplicates and deep chains
+    } {
+      val pts = Seq.fill(250)(Array.fill(d)(rnd.nextInt(range).toDouble))
+      val minDir = Array.fill(d)(rnd.nextBoolean())
+      val dims = (0 until d).map(i =>
+        s"x$i" -> (if (minDir(i)) Min else Max): (String, graft.core.Direction))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(pts.map(p => Row.fromSeq(p.toSeq)), 4),
+        StructType((0 until d).map(i => StructField(s"x$i", DoubleType))))
+      // sampleSize well below the candidate count stresses the prune path
+      val out = df.topKDominating(dims, k, sampleSize = 16)
+      val got = out.collect()
+        .map(r => ((0 until d).map(r.getDouble).toSeq, r.getLong(d))).toSet
+      out.unpersist(blocking = false)
+      val distinct = pts.map(_.toSeq).distinct.map(_.toArray)
+      val want = distinct
+        .map(p => (p.toSeq, distinct.count(q => SkylineCore.dominates(p, q, minDir)).toLong))
+        .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && lexLess(a._1, b._1)))
+        .take(k).toSet
+      assert(got == want, s"d=$d k=$k range=$range")
+    }
+  }
+
+  test("topKDominating: NaN rows are incomparable (score 0, tie-broken last)") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (Double.NaN, 0.0)).toDF("x", "y")
+    val dims = Seq("x" -> (Min: graft.core.Direction), "y" -> (Min: graft.core.Direction))
+    val top3 = df.topKDominating(dims, k = 3)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(top3 == Set((0.0, 0.0, 2L), (1.0, 1.0, 1L), (2.0, 2.0, 0L)), s"got $top3")
+    val top4 = df.topKDominating(dims, k = 4)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(top4.length == 4 && top4.exists(t => t._1.isNaN && t._3 == 0L))
+  }
+
+  test("topKDominating restores integral dim types and honors Max orientation") {
+    import spark.implicits._
+    val df = Seq((1, 10L), (2, 20L), (3, 30L), (3, 30L)).toDF("a", "b")
+    // a MIN, b MAX: (1,10) dominates nothing under (min a, max b) —
+    // winner is... a=1 best on a, b=30 best on b: (1,10) vs (3,30)
+    // incomparable; (2,20) dominates nothing; set semantics collapse the
+    // duplicate (3,30)
+    val dims = Seq("a" -> (Min: graft.core.Direction), "b" -> (Max: graft.core.Direction))
+    val out = df.topKDominating(dims, k = 3)
+    assert(out.schema("a").dataType.typeName == "integer"
+      && out.schema("b").dataType.typeName == "long")
+    assert(out.count() == 3) // 3 distinct points
+  }
 }

@@ -849,6 +849,15 @@ object Dedup {
    * The scale path for corpora where even prefix-filtered all-pairs is
    * too wide: cost is O(docs * numPerm) map-side plus a bucket join.
    *
+   * PAIR-OUTPUT contract at scale: E exact copies of one document are
+   * E²/2 qualifying pairs — quadratic in the ANSWER itself, which no
+   * bucketing can shrink (every band bucket holds all E copies). If the
+   * consumer wants survivors rather than the pair list, use
+   * [[clusters]] / [[retainBest]] (their identical-duplicate collapse
+   * keeps the work linear in E), or collapse exact duplicates upstream
+   * with [[exact]] first. The same contract applies to [[jaccardPairs]],
+   * [[containmentPairs]] and [[minhashPairsAgainst]].
+   *
    * EAGER like [[jaccardPairs]]: the verified pair set is materialized
    * at call time and returned PERSISTED — `unpersist()` it when looping.
    */

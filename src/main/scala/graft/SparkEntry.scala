@@ -641,6 +641,14 @@ object SparkEntry {
         n = 3, threshold = 0.6)),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+    "dedup_cluster_lsh" -> ((s, dir) =>
+      // the corpus-scale variant: MinHash banded-LSH pair finder under
+      // the same labeling. EARNS equality with dedup_cluster's exact
+      // oracle — the banded finder's recall is 1.0 at J >= 0.5 on this
+      // corpus (the dedup_minhash gate measures it), so missing that
+      // equality here means a real recall regression, failed loudly.
+      Dedup.clustersLsh(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
     "dedup_best" -> ((s, dir) => {
       // quality-based survivor policy: per duplicate group keep the row
       // maximizing an (upstream) quality score, ties to the lower id.
@@ -2316,6 +2324,21 @@ object SparkEntry {
       "dedup_cluster" ->
         // connected components over the qualifying pair graph via a
         // recursive reachability CTE; cluster id = min reachable doc id.
+        s"""WITH RECURSIVE $jaccardCtes,
+           |edges AS (SELECT id1 AS a, id2 AS b FROM good
+           |          UNION ALL SELECT id2, id1 FROM good),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           |SELECT d.doc_id AS id,
+           |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+           |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |GROUP BY d.doc_id""".stripMargin,
+
+      "dedup_cluster_lsh" ->
+        // path-invariance (earned): the banded finder's pair set equals
+        // the exact one on this corpus (recall 1.0 at J >= 0.5 — the
+        // dedup_minhash gate), so the labeling shares the exact oracle
         s"""WITH RECURSIVE $jaccardCtes,
            |edges AS (SELECT id1 AS a, id2 AS b FROM good
            |          UNION ALL SELECT id2, id1 FROM good),

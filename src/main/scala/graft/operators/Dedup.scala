@@ -425,13 +425,49 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxRounds: Int = 20,
       driverMaxEdges: Int = 1000000,
+      collapseIdentical: Boolean = true): DataFrame =
+    clustersImpl(df, idCol, textCol, n, maxRounds, driverMaxEdges,
+      collapseIdentical, "clusters",
+      docs => jaccardPairsOfShingled(docs, threshold))
+
+  /**
+   * [[clusters]] with the MinHash + banded-LSH pair finder — THE
+   * corpus-scale near-dedup retention pipeline: at sizes where even the
+   * prefix-filtered AllPairs inverted index is too wide, the banded
+   * bucket join ([[minhashPairs]]) finds candidates in O(docs·numPerm)
+   * map-side work plus one bucket shuffle. Labels inherit the finder's
+   * contract: probabilistic recall (a pair missed by every band merges
+   * nothing — clusters can only be FINER than the exact labeling, never
+   * wrong about what they merge, since every merged pair is
+   * exact-Jaccard verified), deterministic end to end (seeded hashes).
+   * Same identical-duplicate collapse and adaptive gate as [[clusters]].
+   */
+  def clustersLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numPerm: Int = 64, bands: Int = 16,
+      maxRounds: Int = 20, driverMaxEdges: Int = 1000000,
       collapseIdentical: Boolean = true): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    clustersImpl(df, idCol, textCol, n, maxRounds, driverMaxEdges,
+      collapseIdentical, "clustersLsh",
+      docs => minhashPairsOfShingled(docs, threshold, numPerm, bands))
+  }
+
+  /** Shared engine of [[clusters]] / [[clustersLsh]]: the adaptive
+    * identical-duplicate collapse around an arbitrary pair finder over
+    * the PERSISTED (id, sh) shingled frame (`pairsOfShingled` returns
+    * the LAZY verified-pair frame; this method owns every cache). */
+  private def clustersImpl(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxRounds: Int, driverMaxEdges: Int, collapseIdentical: Boolean,
+      opName: String, pairsOfShingled: DataFrame => DataFrame): DataFrame = {
     def uncollapsed(): DataFrame = {
-      // jaccardPairs returns the verified pair set already materialized
-      // and persisted; labelComponents reads it (driver collect or
+      // the pair set is materialized (and persisted) while the shingle
+      // cache is live; labelComponents reads it (driver collect or
       // iteration jobs) before this call returns, so the unpersist below
       // is safe.
-      val rawPairs = jaccardPairs(df, idCol, textCol, n, threshold)
+      val docs = shingledHashed(df, idCol, textCol, n).cache()
+      val rawPairs = materializeThenRelease(pairsOfShingled(docs), docs)
       try labelComponents(df, idCol, rawPairs, maxRounds, driverMaxEdges)
       finally rawPairs.unpersist(blocking = false)
     }
@@ -458,7 +494,7 @@ object Dedup {
     if (!gateTrips) {
       uncollapsed()
     } else {
-      Checks.requireIntegralId("clusters", idCol, df.schema(idCol).dataType)
+      Checks.requireIntegralId(opName, idCol, df.schema(idCol).dataType)
       // One shingling pass serves collapse AND pair finding. The collapse
       // key is the hashed shingle SET itself (sound and finer than text
       // equality: J is a function of sh only, so equal sets ⟹ J = 1 ⟹
@@ -478,7 +514,7 @@ object Dedup {
           member.filter(col("id") === col("rep_id")).select("id"), "id").cache()
         try {
           val rawPairs =
-            materializeThenRelease(jaccardPairsOfShingled(repDocs, threshold), Nil: _*)
+            materializeThenRelease(pairsOfShingled(repDocs), Nil: _*)
           val repLabels =
             try labelComponents(repDocs, "id", rawPairs, maxRounds, driverMaxEdges)
             finally rawPairs.unpersist(blocking = false)
@@ -884,11 +920,21 @@ object Dedup {
       n: Int, threshold: Double, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val docs = shingledHashed(df, idCol, textCol, n).cache()
+    materializeThenRelease(
+      minhashPairsOfShingled(docs, threshold, numPerm, bands), docs)
+  }
+
+  /** The banded-bucket-join + verify body of [[minhashPairs]] over a
+    * PERSISTED (id, sh) frame — shared with [[clustersLsh]]' collapsed
+    * path (the [[jaccardPairsOfShingled]] pattern). Returns the LAZY
+    * verified-pair frame; the caller materializes while `docs` is live. */
+  private def minhashPairsOfShingled(docs: DataFrame, threshold: Double,
+      numPerm: Int, bands: Int): DataFrame = {
     val buckets = bandedBuckets(docs, numPerm, bands)
     val cands = buckets.as("a").join(buckets.as("b"), Seq("band", "bh"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    materializeThenRelease(verifyJaccard(cands, docs, threshold), docs)
+    verifyJaccard(cands, docs, threshold)
   }
 
   /**

@@ -783,6 +783,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dedup.collapseMinSampledDups")
   }
 
+  test("clustersLsh: banded finder under the same labeling — equal to exact clusters at full recall") {
+    import spark.implicits._
+    // near-dup pairs at J ~ 0.93 (one appended token on a 40-word base)
+    // — far above the 16-band/r=4 recall knee, where banded recall is
+    // ~1.0 and the labeling must EQUAL the exact finder's. (The exact
+    // clusters spec covers low-J transitive chains; at J near the
+    // threshold the banded finder's probabilistic-recall contract
+    // legitimately diverges.)
+    def base(g: Int) = (1 to 40).map(i => s"g${g}w$i").mkString(" ")
+    val docs = (0 until 3).flatMap(g => Seq(
+      (g * 10L + 10, base(g)), (g * 10L + 11, base(g) + " extra")))
+    val df = (docs ++ (1 to 8).map(i => (200L + i, base(9))) :+
+      (99L, (100 to 130).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    spark.conf.set("spark.graft.dedup.collapseMinSampledDups", "0")
+    try {
+      for (collapse <- Seq(true, false)) {
+        val exact = Dedup.clusters(df, "doc_id", "text", n = 3, threshold = 0.5,
+          collapseIdentical = collapse)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val lsh = Dedup.clustersLsh(df, "doc_id", "text", n = 3, threshold = 0.5,
+          collapseIdentical = collapse)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(lsh == exact, s"collapse=$collapse")
+        assert((0 until 3).forall(g =>
+          lsh(g * 10L + 10) == g * 10L + 10 && lsh(g * 10L + 11) == g * 10L + 10))
+        assert((1 to 8).forall(i => lsh(200L + i) == 201L),
+          "identical-copy group collapses to its min id")
+        assert(lsh(99L) == 99L)
+      }
+    } finally spark.conf.unset("spark.graft.dedup.collapseMinSampledDups")
+  }
+
   test("distributed clusters path fails loudly when the round cap is below the diameter") {
     import spark.implicits._
     def block(b: Int) = (1 to 30).map(i => s"b${b}w$i").mkString(" ")

@@ -38,6 +38,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
+  test("sky_topdom: k-row cut is TakeOrderedAndProject and the score join broadcasts") {
+    // the operator is EAGER (the returned frame wraps its persisted
+    // result), so the shape under pin lives inside the InMemoryRelation
+    val p = plan("sky_topdom")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k-row cut must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the candidate/count join must broadcast (both sides are bounded):\n$p")
+  }
+
   test("an UN-hinted dimension join auto-broadcasts under the size threshold") {
     // q_region_revenue carries explicit broadcast() hints, which would
     // make this assertion tautological — gate the AUTO path instead

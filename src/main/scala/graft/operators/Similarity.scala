@@ -518,6 +518,178 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Product quantization (PQ): the compressed-index ANN path
+  // (Jegou/Douze/Schmid TPAMI'11) — m bytes per vector instead of 4*d
+  // (16 bytes at d=64/m=16, a 16x compression), which is what makes a
+  // billion-vector index fit executor memory at 100 TB corpus scale
+  // where even the int8 path's 64 bytes/vector would not. Scoring is
+  // asymmetric (ADC): the query stays exact, a per-query lookup table
+  // of m*ksub partial inner products rides with the broadcast query
+  // side, and each corpus vector scores with m table lookups — the
+  // whole corpus-side hot loop is the codegen'd
+  // [[graft.functions.PqAdcScore]] over tinyint codes, no float vector
+  // bandwidth at all. An exact re-rank of a bounded per-query shortlist
+  // (the FAISS "refine" stage) buys back the quantization recall loss:
+  // only shortlist-many full vectors per query are ever touched.
+  // ------------------------------------------------------------------
+
+  /** A trained PQ codebook set: `codebooks(s)(c)` is codeword `c` of
+    * subspace `s` (m x ksub x dsub, trained on UNIT-normalized vectors
+    * so ADC inner products approximate cosine). Train once with
+    * [[pqTrain]] (deterministic: seeded init on the lowest-id vectors,
+    * fixed Lloyd iterations), encode/probe many times. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.head.length
+    def dsub: Int = codebooks.head.head.length
+    def dim: Int = m * dsub
+    /** The compression this model buys on the corpus side. */
+    def bytesPerVector: Int = m
+  }
+
+  /** Unit-normalize the (id, v) projection of a vector frame, dropping
+    * zero/NaN-norm rows (cosine undefined — same totality contract as
+    * [[prepped]]). One interpreted `transform` pass per row at
+    * encode/train time only — NEVER on the per-pair scoring path, which
+    * stays inside the codegen'd ADC kernels.
+    *
+    * The division is guarded with `nullif(_n, 0)` even though the
+    * `_n > 0` filter already excludes zero norms: Catalyst is free to
+    * evaluate a downstream projection's expressions on rows this filter
+    * drops (merged filter conjuncts have no evaluation order, and
+    * `ConvertToLocalRelation` folds project+filter eagerly), so under
+    * ANSI mode an unguarded `x / 0` aborts the job from a row that was
+    * never going to survive. Null divisor -> null elements -> the
+    * kernels' null contracts drop the row, same outcome either way. */
+  private def unitized(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), nativeVec(df, vecCol).as("_v"))
+      .withColumn("_n", l2Norm(col("_v")))
+      .filter(col("_n") > 0)
+      .select(col(idAs),
+        transform(col("_v"), x => x.cast("double") / nullif(col("_n"), lit(0.0))).as("u"))
+
+  /**
+   * Train a [[PqModel]] on the corpus: split the (unit-normalized)
+   * vectors into `m` subspaces of `dim/m` coordinates and run `iters`
+   * Lloyd iterations of `ksub`-means in EVERY subspace simultaneously —
+   * one assignment pass ([[graft.functions.PqAssignCodes]], all m
+   * argmins fused per row) and ONE aggregation job per iteration, whose
+   * result is at most m*ksub*dsub doubles (2 KiB at 16x32x4) assembled
+   * driver-side. Init is deterministic: subspace slices of the `ksub`
+   * lowest-id well-formed vectors, so the model is a pure function of
+   * the data and gate queries hash stably.
+   *
+   * An empty cluster keeps its previous codeword (the standard Lloyd
+   * convention); a corpus smaller than `ksub` trips loudly — a codebook
+   * wider than the data has empty codewords by construction.
+   */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 3): PqModel = {
+    require(dim % m == 0, s"pqTrain: dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, s"pqTrain: ksub=$ksub must fit one byte (1..256)")
+    val dsub = dim / m
+    // Lloyd iterations re-scan the corpus: cache the unit-normalized
+    // projection for the duration of training (same pattern as buildIvf).
+    val data = unitized(corpus, idCol, vecCol, "id")
+      .filter(size(col("u")) === lit(dim) && !exists(col("u"), _.isNull))
+      .cache()
+
+    // deterministic init: subspace s of the r-th lowest-id vector seeds
+    // codeword r of subspace s
+    val seedRows = data.orderBy("id").limit(ksub).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(seedRows.length >= ksub,
+      s"pqTrain: corpus has only ${seedRows.length} well-formed vectors — " +
+        s"need at least ksub=$ksub (shrink ksub or grow the corpus)")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((s, c) => seedRows(c).slice(s * dsub, (s + 1) * dsub))
+
+    for (_ <- 1 to iters) {
+      val codes = graft.functions.PqFunctions.pqAssignCodes(col("u"), books)
+      // one job: (subspace, code, in-subspace coord) -> mean. At most
+      // m*ksub*dsub rows come back — the whole update is driver-side.
+      val means = data
+        .select(codes.as("codes"), posexplode(col("u")).as(Seq("pos", "x")))
+        .withColumn("s", (col("pos") / dsub).cast("int"))
+        .groupBy(col("s"), element_at(col("codes"), col("s") + 1).cast("int").as("c"),
+          (col("pos") % dsub).as("j"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val updated = books.map(_.map(_.clone()))
+      means.foreach { row =>
+        val s = row.getInt(0); val c = row.getInt(1); val j = row.getInt(2).toInt
+        updated(s)(c)(j) = row.getDouble(3)
+      }
+      books = updated
+    }
+    data.unpersist(blocking = false)
+    PqModel(books)
+  }
+
+  /** Encode the corpus into PQ codes: (id, codes array<tinyint> of
+    * length m) — the m-bytes-per-vector layout a compressed index
+    * stores and scans. Malformed and zero-norm vectors drop (null codes
+    * under the kernel's length contract / the unit-norm filter). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    unitized(corpus, idCol, vecCol, "id")
+      .select(col("id"),
+        graft.functions.PqFunctions.pqAssignCodes(col("u"), model.codebooks).as("codes"))
+      .filter(col("codes").isNotNull)
+
+  /**
+   * PQ top-k with exact re-rank: ADC-score the code-compressed corpus
+   * against each query's lookup table (m tinyint lookups per pair — the
+   * only per-pair work), keep a bounded per-query `shortlist` with the
+   * same heap aggregate as every other top-k here, then re-rank ONLY
+   * the shortlisted rows with exact cosines (a broadcast-able
+   * queries x shortlist join back to the full vectors). Output schema
+   * and tie-breaks identical to [[topK]]; recall is gated, not assumed
+   * (see the ann_pq query). Queries ride broadcast with their tables
+   * (m*ksub doubles each); the corpus side never moves and never
+   * touches a float vector until the shortlist join.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: PqModel, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"pqTopK: shortlist=$shortlist must be >= k=$k")
+    val idType = corpus.schema(idCol).dataType
+    require(integralIdType(idType),
+      s"pqTopK requires an integral id column, got $idType (pre-map ids to long)")
+    val codes = pqEncode(corpus, idCol, vecCol, model)
+      .select(col("id").cast("long").as("cid"), col("codes"))
+    val qtab = unitized(queries, idCol, vecCol, "query_id")
+      .select(col("query_id"),
+        graft.functions.PqFunctions.pqAdcTable(col("u"), model.codebooks).as("tab"))
+      .filter(col("tab").isNotNull)
+    val scored = codes.crossJoin(broadcast(qtab))
+      .filter(col("query_id") =!= col("cid"))
+      .withColumn("adc",
+        graft.functions.PqFunctions.pqAdcScore(col("codes"), col("tab"), model.m, model.ksub))
+      .filter(col("adc").isNotNull)
+    // bounded per-query shortlist (ADC order, ties to lower id) ...
+    val short = scored.groupBy("query_id")
+      .agg(TopKFunctions.topKByScore(col("adc"), col("cid"), shortlist).as("_s"))
+      .select(col("query_id"), explode(col("_s.id")).as("neighbor_id"))
+    // ... then exact cosines on shortlist rows only
+    val cv = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .withColumn("neighbor_id", col("neighbor_id").cast("long"))
+    val qv = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val exactScored = short
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(exactScored, k, idType)
+  }
+
+  /** One-shot convenience: train + encode + probe (see [[pqTrain]] /
+    * [[pqTopK]]; a real deployment trains once and probes many times). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, m: Int, ksub: Int, iters: Int, shortlist: Int): DataFrame =
+    pqTopK(corpus, queries, idCol, vecCol, k,
+      pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters), shortlist)
+
+  // ------------------------------------------------------------------
   // PCA: dimensionality reduction for embedding pipelines (the
   // preprocessing step of SemDeDup-style semantic dedup and of
   // reduced-dimension ANN indexes). Fit = ONE distributed pass

@@ -413,6 +413,16 @@ class FunctionsSpec extends AnyFunSuite {
       assert(vec.select(DominanceFunctions.dominatedIndices(col("a"),
         Array(Array(0.0, 0.0, 0.0), Array(9.0, 9.0, 9.0)), dim = 3))
         .head().getSeq[Int](0) == Seq(1))
+      // PQ kernels: m=1 subspace, 2 codewords over the 3-dim vector
+      val book = Array(Array(Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)))
+      assert(vec.select(PqFunctions.pqAssignCodes(col("a"), book))
+        .head().getSeq[Byte](0) == Seq(1.toByte))
+      assert(vec.select(PqFunctions.pqAdcTable(col("a"), book))
+        .head().getSeq[Double](0) == Seq(0.0, 14.0))
+      // Seq[Byte], not Array[Byte] (the latter maps to BinaryType)
+      val adc = Seq((Seq(1.toByte), Seq(0.0, 14.0))).toDF("codes", "tab")
+      assert(adc.select(PqFunctions.pqAdcScore(col("codes"), col("tab"), m = 1, ksub = 2))
+        .head().getDouble(0) == 14.0)
     } finally {
       conf.set("spark.sql.codegen.wholeStage", oldWs)
       conf.set("spark.sql.codegen.factoryMode", oldFm)

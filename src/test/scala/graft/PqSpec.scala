@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.functions.PqFunctions
+
+/** Product-quantization gates: kernel contracts against hand-computed
+  * values, train determinism, the ADC≡reconstruction identity, recall
+  * of the re-ranked probe against the exact ranking, and the totality
+  * contract on zero-norm vectors. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private def embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // m=2 subspaces of dsub=2 over 4-dim vectors, ksub=2 codewords each
+  private val books: Array[Array[Array[Double]]] = Array(
+    Array(Array(0.0, 0.0), Array(1.0, 1.0)), // subspace 0
+    Array(Array(1.0, 0.0), Array(0.0, 1.0))  // subspace 1
+  )
+
+  test("pqAssignCodes: hand-computed argmins, tie to lower code, length/null contracts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.1, 0.1, 0.9, 0.1)),  // sub0 -> code 0, sub1 -> code 0
+      (2L, Array(0.9, 0.9, 0.1, 0.9)),  // sub0 -> code 1, sub1 -> code 1
+      (3L, Array(0.5, 0.5, 0.5, 0.5)),  // both subspaces TIE -> lower code 0
+      (4L, Array(0.1, 0.2, 0.3))        // wrong length -> null
+    ).toDF("id", "v")
+    val got = df.select(col("id"), PqFunctions.pqAssignCodes(col("v"), books).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Byte](1))).toMap
+    assert(got(1L) == Seq(0.toByte, 0.toByte))
+    assert(got(2L) == Seq(1.toByte, 1.toByte))
+    assert(got(3L) == Seq(0.toByte, 0.toByte), "ties break to the lower codeword")
+    assert(got(4L) == null, "wrong-length vector encodes to null, never truncated")
+  }
+
+  test("pqAdcTable + pqAdcScore: table entries are subspace dots; ADC == dot with reconstruction") {
+    import spark.implicits._
+    val q = Array(0.25, 0.5, 0.75, 1.0)
+    val df = Seq(Tuple1(q)).toDF("q")
+    val tab = df.select(PqFunctions.pqAdcTable(col("q"), books))
+      .head().getSeq[Double](0)
+    // layout: [s0c0, s0c1, s1c0, s1c1]
+    assert(tab == Seq(0.0, 0.25 + 0.5, 0.75, 1.0))
+    // ADC score of codes (1, 0) == dot(q, reconstruction) where
+    // reconstruction = book[0][1] ++ book[1][0] = (1,1,1,0)
+    // Seq[Byte] (NOT Array[Byte], which Spark maps to BinaryType)
+    val scored = Seq((Seq(1.toByte, 0.toByte), tab))
+      .toDF("codes", "tab")
+      .select(PqFunctions.pqAdcScore(col("codes"), col("tab"), m = 2, ksub = 2))
+      .head().getDouble(0)
+    assert(math.abs(scored - (0.25 + 0.5 + 0.75)) < 1e-12)
+    // shape contracts: short codes / wrong-size table / out-of-range code -> null
+    val bad = Seq(
+      (Seq(1.toByte), tab),                       // codes too short
+      (Seq(1.toByte, 0.toByte), Seq(1.0, 2.0)),   // table too small
+      (Seq(5.toByte, 0.toByte), tab)              // code >= ksub
+    ).toDF("codes", "tab")
+    assert(bad.select(PqFunctions.pqAdcScore(col("codes"), col("tab"), m = 2, ksub = 2))
+      .collect().forall(_.isNullAt(0)))
+  }
+
+  test("pqTrain: deterministic pure function of the data, correct shapes, empty-cluster keep") {
+    val m1 = Similarity.pqTrain(embs, "vec_id", "embedding", dim = 64, m = 16, ksub = 8, iters = 2)
+    val m2 = Similarity.pqTrain(embs, "vec_id", "embedding", dim = 64, m = 16, ksub = 8, iters = 2)
+    assert(m1.m == 16 && m1.ksub == 8 && m1.dsub == 4 && m1.dim == 64)
+    assert(m1.bytesPerVector == 16)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq,
+      "seeded init + fixed iterations must make training deterministic")
+    // every codeword is finite (empty clusters keep their previous
+    // codeword rather than going NaN through a 0/0 mean)
+    assert(m1.codebooks.flatten.flatten.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("pqTrain trips loudly when the corpus is smaller than ksub") {
+    import spark.implicits._
+    val tiny = Seq((1L, Array.fill(4)(0.5)), (2L, Array.fill(4)(0.25))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(tiny, "id", "v", dim = 4, m = 2, ksub = 8)
+    }
+    assert(e.getMessage.contains("ksub"))
+  }
+
+  test("pqEncode: m tinyint codes per surviving row; zero-norm and malformed rows drop") {
+    import spark.implicits._
+    val model = Similarity.pqTrain(embs, "vec_id", "embedding", dim = 64, m = 16, ksub = 8)
+    val withZero = embs.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((9999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val codes = Similarity.pqEncode(withZero, "vec_id", "embedding", model)
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false))
+    val n = embs.count()
+    assert(codes.count() == n, "zero-norm row dropped, all others encoded")
+    assert(codes.filter(col("vec_id") === 9999L).isEmpty)
+    assert(codes.select(size(col("codes")).as("s")).filter(col("s") =!= 16).isEmpty)
+  }
+
+  test("pqTopK re-ranked: recall@10 vs the exact ranking earns the gate on real embeddings") {
+    val q = embs.filter(col("vec_id") < 50)
+    val exact = Similarity.topK(embs, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(embs, q, "vec_id", "embedding", k = 10,
+      dim = 64, m = 16, ksub = 32, iters = 3, shortlist = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"re-ranked PQ recall@10 = $recall (want >= 0.9)")
+    // output contract: exactly k rows per query, exact cosines on the kept rows
+    assert(pq.size == exact.size)
+  }
+
+  test("pqTopK: zero-norm query and corpus rows pair with nothing, job completes") {
+    import spark.implicits._
+    val withZero = embs.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((9999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val q = withZero.filter(col("vec_id") < 3 || col("vec_id") === 9999L)
+    val out = Similarity.pqTopK(withZero, q, "vec_id", "embedding", k = 5,
+      dim = 64, m = 8, ksub = 16, iters = 1, shortlist = 10)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "the zero vector must not abort the job")
+    assert(!rows.exists(_.getLong(0) == 9999L), "zero-norm query ranks nothing")
+    assert(!rows.exists(_.getLong(1) == 9999L), "zero-norm corpus row is never a neighbor")
+  }
+
+  test("pqTopK guards: shortlist < k trips loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(embs, embs.limit(1), "vec_id", "embedding", k = 10,
+        dim = 64, m = 16, ksub = 32, iters = 1, shortlist = 5)
+    }
+    assert(e.getMessage.contains("shortlist"))
+  }
+}

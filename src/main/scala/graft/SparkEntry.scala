@@ -928,6 +928,23 @@ object SparkEntry {
           dim = 64, m = 16, ksub = 32, iters = 3, shortlist = 200),
         q, "recall_ge_090", 0.9)
     }),
+    "ann_topk_bq" -> ((s, dir) => {
+      // Binary-quantized top-k: 1 bit/dim sign signatures (8 bytes per
+      // vector — 32x compression, no training), popcount-XOR Hamming
+      // shortlist, exact re-rank. UNIFORM embeddings are the worst case
+      // for 1-bit codes (cosines cluster near 0, so the d-bit Hamming
+      // estimator is all variance): recall@10 at shortlist=400 measures
+      // 0.92 at sf0.1 and 0.998 at sf0.001-0.01 — gated >= 0.8 with an
+      // 11+ point margin (same convention as ann_ivf's hostile-case
+      // floor). Clustered real corpora sit far above this.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      annGate(
+        Similarity.topK(e, q, "vec_id", "embedding", k = 10),
+        Similarity.bqTopK(e, q, "vec_id", "embedding", k = 10,
+          dim = 64, shortlist = 400),
+        q, "recall_ge_080", 0.8)
+    }),
     "q_pca_embed" -> ((s, dir) => {
       // PCA reduction of the embedding table — the preprocessing step of
       // SemDeDup-style semantic dedup and reduced-dimension ANN: ONE
@@ -1679,6 +1696,15 @@ object SparkEntry {
         dim = 64, m = 16, ksub = 32, iters = 3)
       () => Similarity.pqTopK(e, e.filter(col("vec_id") < 50),
         "vec_id", "embedding", 10, model, 200)
+    }),
+    "ann_topk_bq" -> ((s, dir) => {
+      // no setup at all (sign-bit signatures are training-free); the
+      // timed thunk is the full probe — signature scan + Hamming
+      // shortlist + exact re-rank — so gate_sec isolates the exact
+      // topK recompute the annGate harness adds
+      val e = t(s, dir, "embeddings")
+      () => Similarity.bqTopK(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", 10, 64, 400)
     }),
     "q_ingest_admit" -> ((s, dir) => {
       // setup = the reference index (amortized); the timed thunk is one
@@ -2568,6 +2594,19 @@ object SparkEntry {
            |  FROM sym WHERE query_id < 50)
            |SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
            |  count(*)::BIGINT AS n_exact_rows, true AS recall_ge_090
+           |FROM ranked WHERE rank <= 10""".stripMargin,
+      // BQ gate: ann_ivf anchor shape; the recall boolean is earned
+      // Spark-side against the exact ranking the oracle rebuilds.
+      "ann_topk_bq" ->
+        s"""$dotPairs,
+           |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv
+           |        UNION ALL
+           |        SELECT id2, id1, c FROM cosv),
+           |ranked AS (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           |  FROM sym WHERE query_id < 50)
+           |SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
+           |  count(*)::BIGINT AS n_exact_rows, true AS recall_ge_080
            |FROM ranked WHERE rank <= 10""".stripMargin,
       // PCA gate: integral anchors (vector count, width) cross-computed
       // from the raw table; the three booleans are constant true here

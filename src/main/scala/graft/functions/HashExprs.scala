@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -378,6 +378,135 @@ case class CentroidDistances(child: Expression, centsFlat: Array[Double], ncent:
     copy(child = newChild)
 }
 
+/**
+ * Sign bits of a vector packed into longs: bit `i` of word `w` is set
+ * iff `v[64*w + i] >= 0` — binary quantization (1 bit/dimension, 8
+ * bytes at d=64 vs 256 float bytes, a 32x compression). The Hamming
+ * distance between two sign patterns estimates the angle between the
+ * vectors (E[ham] = d * theta / pi — the same estimator hyperplane LSH
+ * samples, here with the coordinate axes as the planes), so a
+ * Hamming-ranked shortlist + exact re-rank is the cheapest
+ * compressed-scan ANN path of all. O(d) per row — no dot products.
+ * Length contract as everywhere: wrong-length vectors get NULL.
+ */
+case class SignBits(child: Expression, dim: Int)
+    extends UnaryExpression with ArrayKernel {
+
+  private val words: Int = (dim + 63) / 64
+
+  override protected def acceptedElementTypes: Seq[DataType] = Seq(DoubleType, FloatType)
+  override protected def kernelName: String = prettyName
+  override def prettyName: String = "sign_bits"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    if (elemNullable) {
+      var j = 0
+      while (j < dim) { if (arr.isNullAt(j)) return null; j += 1 }
+    }
+    val out = new Array[Long](words)
+    var j = 0
+    while (j < dim) {
+      if (numGetEval(arr, j) >= 0) out(j >> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      val nullGuard = if (elemNullable) {
+        s"""if (!${ev.isNull}) {
+           |  for (int $j = 0; $j < $dim; $j++) {
+           |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  }
+           |}""".stripMargin
+      } else ""
+      s"""
+         |if ($a.numElements() != $dim) { ${ev.isNull} = true; }
+         |$nullGuard
+         |if (!${ev.isNull}) {
+         |  long[] $out = new long[$words];
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if (${numGet(a, j)} >= 0) $out[$j >> 6] |= (1L << ($j & 63));
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBits =
+    copy(child = newChild)
+}
+
+/**
+ * Hamming distance between two packed bit patterns (array<long>, as
+ * produced by [[SignBits]]): `sum over words of bitCount(a ^ b)`. NULL
+ * on length mismatch (distances between different-width signatures are
+ * meaningless) and on null elements — the standard contracts.
+ */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"hamming_distance requires two array<bigint> inputs, got $l and $r")
+  }
+
+  @transient private lazy val anyElemNullable =
+    VecGen.elemsNullable(left.dataType) || VecGen.elemsNullable(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var ham = 0
+    var i = 0
+    while (i < n) {
+      if (anyElemNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      ham += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    ham
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ham = ctx.freshName("ham")
+      val nullCheck = if (anyElemNullable) {
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |int $ham = 0;
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $ham += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $ham; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   private def e(c: Column): Expression = ColumnShim.expression(c)
 
@@ -405,4 +534,14 @@ object HashFunctions {
   def centroidDistances(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnShim.column(CentroidDistances(
       e(vec), centroids.flatten, centroids.length, centroids.head.length))
+
+  /** Column API for [[SignBits]] — input array<float|double> of length
+    * exactly dim (others get a null signature). */
+  def signBits(vec: Column, dim: Int): Column =
+    ColumnShim.column(SignBits(e(vec), dim))
+
+  /** Column API for [[HammingDistance]] — two array<bigint> bit
+    * patterns of equal width. */
+  def hammingDistance(a: Column, b: Column): Column =
+    ColumnShim.column(HammingDistance(e(a), e(b)))
 }

@@ -689,6 +689,57 @@ object Similarity {
     pqTopK(corpus, queries, idCol, vecCol, k,
       pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters), shortlist)
 
+  /**
+   * Binary-quantized top-k: 1 bit per dimension (8 bytes at d=64 — a
+   * 32x compression, the cheapest compressed scan of all), no training.
+   * Each vector's coordinate SIGN pattern is packed into longs
+   * ([[graft.functions.SignBits]], O(d) map-side); the Hamming distance
+   * between two patterns estimates the angle (E[ham] = d*theta/pi —
+   * the hyperplane-LSH estimator with the coordinate axes as planes),
+   * so per query the corpus is scanned with a popcount-XOR kernel
+   * ([[graft.functions.HammingDistance]]), a bounded `shortlist` of
+   * smallest-Hamming candidates is kept (ties to lower id), and ONLY
+   * those rows are re-ranked with exact cosines — the same refine
+   * stage as [[pqTopK]]. Output schema and tie-breaks identical to
+   * [[topK]]; recall is gated, not assumed (ann_topk_bq).
+   *
+   * Zero-norm rows are excluded on both sides (their sign pattern —
+   * all-ones for an all-zeros vector — is a plausible signature for a
+   * vector with no direction; the cosine contract says they pair with
+   * nothing).
+   */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"bqTopK: shortlist=$shortlist must be >= k=$k")
+    val idType = corpus.schema(idCol).dataType
+    require(integralIdType(idType),
+      s"bqTopK requires an integral id column, got $idType (pre-map ids to long)")
+    def sigs(df: DataFrame, idAs: String, sigAs: String): DataFrame =
+      prepped(df, idCol, vecCol, idAs, "_v", "_n")
+        .select(col(idAs),
+          graft.functions.HashFunctions.signBits(col("_v"), dim).as(sigAs))
+        .filter(col(sigAs).isNotNull)
+    val c = sigs(corpus, "cid", "csig").select(col("cid").cast("long").as("cid"), col("csig"))
+    val q = sigs(queries, "query_id", "qsig")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cid"))
+      .withColumn("ham",
+        graft.functions.HashFunctions.hammingDistance(col("csig"), col("qsig")))
+      .filter(col("ham").isNotNull)
+    val short = scored.groupBy("query_id")
+      .agg(TopKFunctions.topKByScore(col("ham").cast("double"), col("cid"),
+        shortlist, largest = false).as("_s"))
+      .select(col("query_id"), explode(col("_s.id")).as("neighbor_id"))
+    val cv = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .withColumn("neighbor_id", col("neighbor_id").cast("long"))
+    val qv = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val exactScored = short
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(exactScored, k, idType)
+  }
+
   // ------------------------------------------------------------------
   // PCA: dimensionality reduction for embedding pipelines (the
   // preprocessing step of SemDeDup-style semantic dedup and of

@@ -423,6 +423,11 @@ class FunctionsSpec extends AnyFunSuite {
       val adc = Seq((Seq(1.toByte), Seq(0.0, 14.0))).toDF("codes", "tab")
       assert(adc.select(PqFunctions.pqAdcScore(col("codes"), col("tab"), m = 1, ksub = 2))
         .head().getDouble(0) == 14.0)
+      assert(vec.select(HashFunctions.signBits(col("a"), 3))
+        .head().getSeq[Long](0) == Seq(7L))
+      assert(longs.select(HashFunctions.hammingDistance(col("a"), col("b")))
+        .head().getInt(0) == java.lang.Long.bitCount(1L ^ 3L) +
+          java.lang.Long.bitCount(3L ^ 5L) + java.lang.Long.bitCount(5L ^ 7L))
     } finally {
       conf.set("spark.sql.codegen.wholeStage", oldWs)
       conf.set("spark.sql.codegen.factoryMode", oldFm)

@@ -81,6 +81,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-k heap must aggregate map-side first:\n$topk")
   }
 
+  test("ann_pq / ann_topk_bq: compressed scans broadcast the QUERY side, keep the " +
+      "partial top-k split, and never fall to CartesianProduct") {
+    for (name <- Seq("ann_pq", "ann_topk_bq")) {
+      val p = plan(name)
+      // the corpus-side scan pairs with a BROADCAST query side (tables /
+      // signatures are queries x small payload); a CartesianProduct here
+      // would shuffle the whole corpus against the queries
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name: the query side must broadcast against the compressed scan:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: compressed scan must never be a CartesianProduct:\n$p")
+      // shortlist + re-rank joins are all bounded-side broadcasts
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the shortlist re-rank joins must broadcast:\n$p")
+      // both the shortlist heap and the final k-heap aggregate map-side
+      assert(p.contains("partial_topk_agg"),
+        s"$name: the top-k heap must keep its partial/final split:\n$p")
+    }
+  }
+
   test("q_split_assign is map-side only: no exchange anywhere in the plan") {
     val p = plan("q_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")

@@ -740,6 +740,100 @@ object Similarity {
     rankTopK(exactScored, k, idType)
   }
 
+  /**
+   * IVF+PQ: the composition billion-scale ANN actually deploys (the
+   * FAISS IVFPQ layout) — the IVF coarse quantizer prunes the scan to
+   * `nprobe` of `nlist` cells AND the cells hold 16-byte PQ codes
+   * instead of float vectors, so a probe touches `nprobe/nlist` of the
+   * corpus at 1/16th the bytes: a 100 TB embedding corpus scans as a
+   * few hundred GB of pruned codes. Codes here quantize the
+   * unit-normalized vectors against ONE global codebook (not per-cell
+   * residuals — the residual refinement matters when ADC is the final
+   * ranking, and the exact shortlist re-rank below already recovers
+   * more than it would); the shortlist heap and re-rank are the same
+   * machinery as [[pqTopK]].
+   *
+   * Exactness property (spec-gated): at `nprobe = nlist` and
+   * `shortlist >= corpus`, the result EQUALS [[topK]] — pruning and
+   * compression only ever narrow the candidate set, the final ranking
+   * is exact cosine.
+   */
+  final class IvfPqIndex private[operators] (
+      val ivf: IvfIndex,
+      val model: PqModel,
+      private[graft] val coded: DataFrame, // (c, id long, codes)
+      private[operators] val idType: org.apache.spark.sql.types.DataType) {
+
+    def topK(queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, nprobe: Int, shortlist: Int,
+        corpus: DataFrame): DataFrame = {
+      require(shortlist >= k, s"IvfPqIndex.topK: shortlist=$shortlist must be >= k=$k")
+      // probed cells per query (bounded: queries x nprobe), same probe
+      // shape as IvfIndex.topK — pinned to one evaluation, cells turned
+      // into a literal isin for static pruning on a saved layout
+      val q = unitized(queries, idCol, vecCol, "query_id")
+      val dists = graft.functions.HashFunctions.centroidDistances(col("u"), ivf.centroids)
+      val probed = q.select(col("query_id"), col("u"),
+          posexplode(dists).as(Seq("ci", "d")))
+        .groupBy("query_id")
+        .agg(first(col("u")).as("u"),
+          TopKFunctions.topKByScore(col("d"), col("ci").cast("long"), nprobe, largest = false)
+            .as("_cells"))
+        .select(col("query_id"),
+          graft.functions.PqFunctions.pqAdcTable(col("u"), model.codebooks).as("tab"),
+          explode(col("_cells.id")).as("cl"))
+        .select(col("query_id"), col("tab"), col("cl").cast("int").as("c"))
+        .localCheckpoint()
+      val cells = probed.select("c").distinct().collect().map(_.getInt(0))
+      val scored = probed.join(
+          coded.filter(col("c").isin(cells.map(Integer.valueOf): _*)), "c")
+        .filter(col("query_id") =!= col("id"))
+        .withColumn("adc",
+          graft.functions.PqFunctions.pqAdcScore(col("codes"), col("tab"), model.m, model.ksub))
+        .filter(col("adc").isNotNull)
+      val short = scored.groupBy("query_id")
+        .agg(TopKFunctions.topKByScore(col("adc"), col("id"), shortlist).as("_s"))
+        .select(col("query_id"), explode(col("_s.id")).as("neighbor_id"))
+      val cv = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+        .withColumn("neighbor_id", col("neighbor_id").cast("long"))
+      val qv = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+      val exactScored = short
+        .join(cv, "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      rankTopK(exactScored, k, idType)
+    }
+  }
+
+  /** Build an [[IvfPqIndex]]: IVF centroids over the raw corpus
+    * ([[buildIvf]]) + one global PQ codebook over the unit-normalized
+    * corpus ([[pqTrain]]); the coded layout derives from the IVF
+    * assignment in ONE map pass (cell id + codes per row, no join). */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nlist: Int = 16, ivfIters: Int = 3,
+      m: Int = 16, ksub: Int = 32, pqIters: Int = 3): IvfPqIndex = {
+    val ivf = buildIvf(corpus, idCol, vecCol, dim, nlist, ivfIters)
+    val model = pqTrain(corpus, idCol, vecCol, dim, m, ksub, pqIters)
+    // the IVF layout already carries (id, v, c, vn); unit-normalize and
+    // encode in the same projection (guarded division — see unitized)
+    val coded = ivf.indexed
+      .filter(col("c").isNotNull && col("vn") > 0)
+      .select(col("c"), col("id").cast("long").as("id"),
+        graft.functions.PqFunctions.pqAssignCodes(
+          transform(col("v"), x => x.cast("double") / nullif(col("vn"), lit(0.0))),
+          model.codebooks).as("codes"))
+      .filter(col("codes").isNotNull)
+    new IvfPqIndex(ivf, model, coded, corpus.schema(idCol).dataType)
+  }
+
+  /** One-shot convenience: build + probe (a real deployment builds the
+    * index once per corpus snapshot and probes many times). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 32, shortlist: Int = 200): DataFrame =
+    buildIvfPq(corpus, idCol, vecCol, dim, nlist, 3, m, ksub, 3)
+      .topK(queries, idCol, vecCol, k, nprobe, shortlist, corpus)
+
   // ------------------------------------------------------------------
   // PCA: dimensionality reduction for embedding pipelines (the
   // preprocessing step of SemDeDup-style semantic dedup and of

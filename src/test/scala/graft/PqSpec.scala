@@ -129,6 +129,38 @@ class PqSpec extends AnyFunSuite {
     assert(!rows.exists(_.getLong(1) == 9999L), "zero-norm corpus row is never a neighbor")
   }
 
+  test("ivfPq: full probe + corpus-wide shortlist EQUALS the exact ranking (narrowing-only proof)") {
+    // pruning (nprobe) and compression (PQ codes) only ever narrow the
+    // candidate set; the final ranking is exact cosine — so at
+    // nprobe = nlist and shortlist >= corpus the result must equal
+    // topK EXACTLY, rank for rank
+    val q = embs.filter(col("vec_id") < 20)
+    val exact = Similarity.topK(embs, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64, nlist = 8)
+    val full = idx.topK(q, "vec_id", "embedding", k = 10,
+        nprobe = 8, shortlist = 1000, corpus = embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact)
+  }
+
+  test("ivfPq: coded layout stores m tinyint codes per row; pruned probe earns recall") {
+    val idx = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64)
+    val codedField = idx.coded.schema("codes")
+    assert(codedField.dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false))
+    val q = embs.filter(col("vec_id") < 50)
+    val exact = Similarity.topK(embs, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = idx.topK(q, "vec_id", "embedding", k = 10,
+        nprobe = 12, shortlist = 200, corpus = embs)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVFPQ recall@10 = $recall (want >= 0.9 at sf0.001)")
+  }
+
   test("pqTopK guards: shortlist < k trips loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(embs, embs.limit(1), "vec_id", "embedding", k = 10,

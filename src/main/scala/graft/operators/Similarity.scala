@@ -612,7 +612,11 @@ object Similarity {
       val means = data
         .select(codes.as("codes"), posexplode(col("u")).as(Seq("pos", "x")))
         .withColumn("s", (col("pos") / dsub).cast("int"))
-        .groupBy(col("s"), element_at(col("codes"), col("s") + 1).cast("int").as("c"),
+        // codes are UNSIGNED bytes (the kernels read them & 0xFF): a
+        // signed cast would turn codeword 129 into -127 here — pmod
+        // restores the unsigned value (identity for ksub <= 128)
+        .groupBy(col("s"),
+          pmod(element_at(col("codes"), col("s") + 1).cast("int"), lit(256)).as("c"),
           (col("pos") % dsub).as("j"))
         .agg(avg(col("x")).as("mean"))
         .collect()

@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/**
+ * ANN scale grid: synthesize an embedding corpus at 100-500x the
+ * driver testdata and run every similarity path — exact brute force,
+ * IVF, PQ, BQ, IVF+PQ — measuring build time, probe time, and
+ * recall@10 against the exact ranking. Two distributions:
+ *
+ *  - `uniform`: i.i.d. coordinates — the HOSTILE case (no cluster
+ *    structure for IVF cells, cosines concentrate near 0 so 1-bit and
+ *    8-bit codes are all variance). Lower-bounds every approximate
+ *    path's recall.
+ *  - `clustered`: 64 sign-pattern centers + 0.15 noise — the shape
+ *    real embedding corpora actually have. Shows the probe-cost and
+ *    recall headroom the hostile case hides.
+ *
+ * Emits one JSON line per (dist, n, algo) and writes the whole grid to
+ * ANNBENCH_r9.json. Build = index construction (amortized per corpus
+ * snapshot in production); probe = one 50-query batch end to end
+ * (collect).
+ */
+object AnnBench {
+  private case class Entry(dist: String, n: Long, algo: String,
+      buildS: Double, probeS: Double, recall: Double)
+
+  def main(args: Array[String]): Unit = {
+    val ns = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(200000L, 1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = 64
+    val k = 10
+    val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+
+    def corpusOf(dist: String, n: Long): DataFrame = {
+      // u_j in [-1, 1] from xxhash64(id, j); clustered adds a sign
+      // center per (id % 64) cluster with 0.15 noise amplitude.
+      // Materialized to parquet: the 64-coordinate synthesis expression
+      // would otherwise ride into EVERY downstream plan (a >64 KB
+      // codegen unit that trips Janino on the wider pipelines, and a
+      // re-synthesis on every index probe) — and a parquet scan is what
+      // a real corpus read is anyway.
+      val ids = spark.range(n).select(col("id").as("vec_id"))
+      val coords = (0 until d).map { j =>
+        val u = (xxhash64(col("vec_id"), lit(j)).cast("double") / lit(Long.MaxValue.toDouble))
+        val expr = if (dist == "uniform") u else {
+          val center = when(
+            xxhash64(pmod(col("vec_id"), lit(64L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
+          center + u * lit(0.15)
+        }
+        expr.cast("float")
+      }
+      val path = s"/tmp/annbench/${dist}_$n.parquet"
+      ids.select(col("vec_id"), array(coords: _*).as("embedding"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def pairsOf(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    for (dist <- Seq("uniform", "clustered"); n <- ns) {
+      val corpus = corpusOf(dist, n).persist()
+      corpus.count()
+      val queries = corpus.filter(col("vec_id") < 50)
+
+      val (exact, tExact) = timed(pairsOf(
+        Similarity.topK(corpus, queries, "vec_id", "embedding", k)))
+      entries += Entry(dist, n, "exact", 0.0, tExact, 1.0)
+      def rec(s: Set[(Long, Long)]): Double =
+        if (exact.isEmpty) 1.0 else (s & exact).size.toDouble / exact.size
+
+      // IVF: nlist scales with sqrt(n) capped at 256; probe a quarter
+      val nlist = math.min(256, math.max(16, math.sqrt(n.toDouble).toInt / 4))
+      val nprobe = math.max(4, nlist / 4)
+      val (ivf, tIvfBuild) = timed(
+        Similarity.buildIvf(corpus, "vec_id", "embedding", d, nlist))
+      val (ivfRes, tIvfProbe) = timed(pairsOf(
+        ivf.topK(queries, "vec_id", "embedding", k, nprobe)))
+      entries += Entry(dist, n, s"ivf[$nlist/$nprobe]", tIvfBuild, tIvfProbe, rec(ivfRes))
+
+      // PQ: m=16 x 256 codewords, shortlist 2k
+      val (pqModel, tPqBuild) = timed(
+        Similarity.pqTrain(corpus, "vec_id", "embedding", d, m = 16, ksub = 256))
+      val (pqRes, tPqProbe) = timed(pairsOf(
+        Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k, pqModel, shortlist = 2000)))
+      entries += Entry(dist, n, "pq[16x256]", tPqBuild, tPqProbe, rec(pqRes))
+
+      // BQ: training-free, shortlist 2k
+      val (bqRes, tBqProbe) = timed(pairsOf(
+        Similarity.bqTopK(corpus, queries, "vec_id", "embedding", k, d, shortlist = 2000)))
+      entries += Entry(dist, n, "bq", 0.0, tBqProbe, rec(bqRes))
+
+      // IVF+PQ: same nlist/nprobe, 16x256 codes, shortlist 2k
+      val (ivfpq, tIvfPqBuild) = timed {
+        val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", d,
+          nlist = nlist, ivfIters = 3, m = 16, ksub = 256, pqIters = 3)
+        idx.coded.persist().count() // materialize the coded layout like a snapshot would
+        idx
+      }
+      val (ivfpqRes, tIvfPqProbe) = timed(pairsOf(
+        ivfpq.topK(queries, "vec_id", "embedding", k, nprobe, shortlist = 2000, corpus)))
+      entries += Entry(dist, n, s"ivfpq[$nlist/$nprobe,16x256]",
+        tIvfPqBuild, tIvfPqProbe, rec(ivfpqRes))
+      ivfpq.coded.unpersist(blocking = false)
+
+      entries.filter(e => e.dist == dist && e.n == n).foreach { e =>
+        println(f"[annbench] ${e.dist}%9s n=${e.n}%8d ${e.algo}%22s " +
+          f"build=${e.buildS}%7.1f s probe=${e.probeS}%6.1f s recall=${e.recall}%.3f")
+      }
+      corpus.unpersist(blocking = false)
+    }
+
+    val json = entries.map { e =>
+      f"""{"dist":"${e.dist}","n":${e.n},"d":$d,"k":$k,"algo":"${e.algo}",""" +
+        f""""build_s":${"%.2f".format(e.buildS)},"probe_s":${"%.2f".format(e.probeS)},""" +
+        f""""recall":${"%.4f".format(e.recall)}}"""
+    }.mkString(",\n  ")
+    val out = s"""{"artifact":"annbench","master":"local[32]","entries":[\n  $json\n]}\n"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("ANNBENCH_r9.json"),
+      out.getBytes("UTF-8"))
+    println(s"[annbench] wrote ANNBENCH_r9.json with ${entries.size} entries")
+    spark.stop()
+  }
+}

@@ -78,6 +78,19 @@ class PqSpec extends AnyFunSuite {
     assert(m1.codebooks.flatten.flatten.forall(x => !x.isNaN && !x.isInfinite))
   }
 
+  test("pqTrain at ksub=256: the full unsigned byte range trains without sign corruption") {
+    // codes above 127 read back as NEGATIVE bytes; the driver-side
+    // Lloyd update must decode them unsigned (regression: a signed
+    // element_at cast turned codeword 129 into index -127 and crashed)
+    val model = Similarity.pqTrain(embs, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 256, iters = 2)
+    assert(model.ksub == 256)
+    assert(model.codebooks.flatten.flatten.forall(x => !x.isNaN && !x.isInfinite))
+    val codes = Similarity.pqEncode(embs, "vec_id", "embedding", model)
+    val high = codes.select(explode(col("codes")).as("c")).filter(col("c") < 0).count()
+    assert(high > 0, "a 500-row corpus with ksub=256 must emit codewords above 127")
+  }
+
   test("pqTrain trips loudly when the corpus is smaller than ksub") {
     import spark.implicits._
     val tiny = Seq((1L, Array.fill(4)(0.5)), (2L, Array.fill(4)(0.25))).toDF("id", "v")

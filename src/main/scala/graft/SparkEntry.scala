@@ -931,13 +931,15 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, dir) => {
       // IVF+PQ — the composition billion-scale ANN actually deploys:
       // cell pruning (nprobe/nlist of the corpus scanned) TIMES 16-byte
-      // PQ codes (1/16th the bytes within the scanned cells), exact
+      // RESIDUAL PQ codes (1/16th the bytes within the scanned cells;
+      // residuals because global codes collapse on clustered corpora —
+      // ANNBENCH-measured, see the spec's comparative gate), exact
       // re-rank of the shortlist. Narrowing-only by construction
       // (spec-gated: full probe + corpus-wide shortlist == exact
       // ranking). recall@10 at nprobe=12/nlist=16, shortlist=200:
-      // 0.942-0.968 across sf0.001-0.1 (cell recall is the limiter,
+      // 0.936-0.968 across sf0.001-0.1 (cell recall is the limiter,
       // same as ann_ivf on these cluster-free uniform embeddings) —
-      // gated >= 0.8 with a 14+ point margin.
+      // gated >= 0.8 with a 13+ point margin.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 50)
       annGate(

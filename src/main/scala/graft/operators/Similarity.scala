@@ -585,14 +585,43 @@ object Similarity {
    * wider than the data has empty codewords by construction.
    */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, ksub: Int, iters: Int = 3): PqModel = {
+      dim: Int, m: Int, ksub: Int, iters: Int = 3,
+      trainPointsPerCodeword: Int = 256): PqModel =
+    pqTrainOn(unitized(corpus, idCol, vecCol, "id"),
+      dim, m, ksub, iters, trainPointsPerCodeword)
+
+  /** Train on an already-projected (id, u) frame — the residual path of
+    * [[buildIvfPq]] must NOT re-normalize its inputs (residuals are not
+    * unit vectors and normalizing them would distort the codebook).
+    *
+    * Codebooks fit on a BOUNDED deterministic sample of
+    * `ksub * trainPointsPerCodeword` rows (the FAISS convention —
+    * `max_points_per_centroid`): full-corpus Lloyd assignment is
+    * O(n·d·ksub) PER ITERATION (measured 355 s at n=1M, d=64,
+    * ksub=256), while codebook quality saturates at a few hundred
+    * points per codeword. The sample takes the lowest
+    * `xxhash64(id, salt)` priorities (ties to lower id) — a pure
+    * function of the ids, so training stays deterministic; a corpus at
+    * or under the cap trains on every row, bit-identical to the
+    * unsampled path. Encoding still covers the full corpus. */
+  private[operators] def pqTrainOn(units: DataFrame,
+      dim: Int, m: Int, ksub: Int, iters: Int,
+      trainPointsPerCodeword: Int): PqModel = {
     require(dim % m == 0, s"pqTrain: dim=$dim must divide into m=$m subspaces")
     require(ksub >= 1 && ksub <= 256, s"pqTrain: ksub=$ksub must fit one byte (1..256)")
+    require(trainPointsPerCodeword >= 1,
+      s"pqTrain: trainPointsPerCodeword=$trainPointsPerCodeword must be >= 1")
     val dsub = dim / m
-    // Lloyd iterations re-scan the corpus: cache the unit-normalized
-    // projection for the duration of training (same pattern as buildIvf).
-    val data = unitized(corpus, idCol, vecCol, "id")
+    val cap = ksub * trainPointsPerCodeword
+    // Lloyd iterations re-scan the training set: cache it for the
+    // duration of training (same pattern as buildIvf). The sort-limit
+    // materializes at most `cap` rows; repartition spreads them back
+    // across tasks (a bare limit would leave training single-threaded).
+    val data = units
       .filter(size(col("u")) === lit(dim) && !exists(col("u"), _.isNull))
+      .orderBy(xxhash64(col("id"), lit("pqtrain")), col("id"))
+      .limit(cap)
+      .repartition(units.sparkSession.sparkContext.defaultParallelism)
       .cache()
 
     // deterministic init: subspace s of the r-th lowest-id vector seeds
@@ -746,16 +775,27 @@ object Similarity {
 
   /**
    * IVF+PQ: the composition billion-scale ANN actually deploys (the
-   * FAISS IVFPQ layout) — the IVF coarse quantizer prunes the scan to
-   * `nprobe` of `nlist` cells AND the cells hold 16-byte PQ codes
-   * instead of float vectors, so a probe touches `nprobe/nlist` of the
-   * corpus at 1/16th the bytes: a 100 TB embedding corpus scans as a
-   * few hundred GB of pruned codes. Codes here quantize the
-   * unit-normalized vectors against ONE global codebook (not per-cell
-   * residuals — the residual refinement matters when ADC is the final
-   * ranking, and the exact shortlist re-rank below already recovers
-   * more than it would); the shortlist heap and re-rank are the same
-   * machinery as [[pqTopK]].
+   * FAISS IVFPQ layout, Jegou et al. TPAMI'11 §IV) — the IVF coarse
+   * quantizer prunes the scan to `nprobe` of `nlist` cells AND the
+   * cells hold 16-byte PQ codes instead of float vectors, so a probe
+   * touches `nprobe/nlist` of the corpus at 1/16th the bytes: a 100 TB
+   * embedding corpus scans as a few hundred GB of pruned codes.
+   *
+   * Codes quantize the RESIDUAL `u - c_u(cell)` (unit vector minus the
+   * assigned cell's normalized centroid), not the vector itself: on
+   * clustered corpora — the shape real embeddings have — the cell
+   * center dominates a globally-quantized code, every cluster-mate
+   * encodes near-identically, and the ADC shortlist cannot rank within
+   * a cluster (measured collapse: recall@10 0.25 at n=1M clustered,
+   * ANNBENCH_r9). Residual encoding spends the codebook's resolution
+   * on exactly those within-cell differences. Scoring uses the
+   * decomposition `cos(q, v) ~ dot(q_u, c_u) + dot(q_u, r)`: the
+   * residual term comes from ONE global ADC table per query (the
+   * codebook is shared across cells), and the cell term is a scalar
+   * recovered FREE from the probe distances on unit vectors —
+   * `dot(q_u, c_u) = 1 - |q_u - c_u|^2 / 2` — so no per-cell tables
+   * exist. The shortlist heap and exact re-rank are the same machinery
+   * as [[pqTopK]].
    *
    * Exactness property (spec-gated): at `nprobe = nlist` and
    * `shortlist >= corpus`, the result EQUALS [[topK]] — pruning and
@@ -763,7 +803,7 @@ object Similarity {
    * is exact cosine.
    */
   final class IvfPqIndex private[operators] (
-      val ivf: IvfIndex,
+      private[graft] val unitCentroids: Array[Array[Double]],
       val model: PqModel,
       private[graft] val coded: DataFrame, // (c, id long, codes)
       private[operators] val idType: org.apache.spark.sql.types.DataType) {
@@ -774,9 +814,11 @@ object Similarity {
       require(shortlist >= k, s"IvfPqIndex.topK: shortlist=$shortlist must be >= k=$k")
       // probed cells per query (bounded: queries x nprobe), same probe
       // shape as IvfIndex.topK — pinned to one evaluation, cells turned
-      // into a literal isin for static pruning on a saved layout
+      // into a literal isin for static pruning on a saved layout. The
+      // probe distances double as the cell scalar: on unit vectors
+      // dot(q_u, c_u) = 1 - d2/2.
       val q = unitized(queries, idCol, vecCol, "query_id")
-      val dists = graft.functions.HashFunctions.centroidDistances(col("u"), ivf.centroids)
+      val dists = graft.functions.HashFunctions.centroidDistances(col("u"), unitCentroids)
       val probed = q.select(col("query_id"), col("u"),
           posexplode(dists).as(Seq("ci", "d")))
         .groupBy("query_id")
@@ -785,14 +827,16 @@ object Similarity {
             .as("_cells"))
         .select(col("query_id"),
           graft.functions.PqFunctions.pqAdcTable(col("u"), model.codebooks).as("tab"),
-          explode(col("_cells.id")).as("cl"))
-        .select(col("query_id"), col("tab"), col("cl").cast("int").as("c"))
+          posexplode(col("_cells")).as(Seq("_r", "_cell")))
+        .select(col("query_id"), col("tab"),
+          col("_cell.id").cast("int").as("c"),
+          (lit(1.0) - col("_cell.score") / 2).as("cdot"))
         .localCheckpoint()
       val cells = probed.select("c").distinct().collect().map(_.getInt(0))
       val scored = probed.join(
           coded.filter(col("c").isin(cells.map(Integer.valueOf): _*)), "c")
         .filter(col("query_id") =!= col("id"))
-        .withColumn("adc",
+        .withColumn("adc", col("cdot") +
           graft.functions.PqFunctions.pqAdcScore(col("codes"), col("tab"), model.m, model.ksub))
         .filter(col("adc").isNotNull)
       val short = scored.groupBy("query_id")
@@ -809,25 +853,39 @@ object Similarity {
     }
   }
 
-  /** Build an [[IvfPqIndex]]: IVF centroids over the raw corpus
-    * ([[buildIvf]]) + one global PQ codebook over the unit-normalized
-    * corpus ([[pqTrain]]); the coded layout derives from the IVF
-    * assignment in ONE map pass (cell id + codes per row, no join). */
+  /** Build an [[IvfPqIndex]]: IVF centroids over the UNIT-normalized
+    * corpus, then one global PQ codebook over the per-cell residuals
+    * `u - c_u(cell)` (see [[IvfPqIndex]] for why residuals); the coded
+    * layout derives from the IVF assignment in ONE map pass (cell id +
+    * residual codes per row, no join). */
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nlist: Int = 16, ivfIters: Int = 3,
       m: Int = 16, ksub: Int = 32, pqIters: Int = 3): IvfPqIndex = {
-    val ivf = buildIvf(corpus, idCol, vecCol, dim, nlist, ivfIters)
-    val model = pqTrain(corpus, idCol, vecCol, dim, m, ksub, pqIters)
-    // the IVF layout already carries (id, v, c, vn); unit-normalize and
-    // encode in the same projection (guarded division — see unitized)
-    val coded = ivf.indexed
-      .filter(col("c").isNotNull && col("vn") > 0)
+    val units = unitized(corpus, idCol, vecCol, "id")
+    val ivf = buildIvf(units, "id", "u", dim, nlist, ivfIters)
+    // normalized centroids: the scoring decomposition needs UNIT cell
+    // directions (a centroid is a mean of unit vectors — inside the
+    // sphere, not on it). A degenerate zero-norm centroid (empty cell)
+    // stays all-zeros: its cdot is a harmless constant for a cell that
+    // holds nothing.
+    val unitCents = ivf.centroids.map { cvec =>
+      val n = math.sqrt(cvec.map(x => x * x).sum)
+      if (n > 0) cvec.map(_ / n) else cvec
+    }
+    // residuals against the ASSIGNED cell's unit centroid, one map pass
+    // over the IVF layout (id, v=u, c)
+    val resid = ivf.indexed
+      .filter(col("c").isNotNull)
+      .select(col("id"),
+        graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"),
+        col("c"))
+    val model = pqTrainOn(resid.select("id", "u"), dim, m, ksub, pqIters,
+      trainPointsPerCodeword = 256)
+    val coded = resid
       .select(col("c"), col("id").cast("long").as("id"),
-        graft.functions.PqFunctions.pqAssignCodes(
-          transform(col("v"), x => x.cast("double") / nullif(col("vn"), lit(0.0))),
-          model.codebooks).as("codes"))
+        graft.functions.PqFunctions.pqAssignCodes(col("u"), model.codebooks).as("codes"))
       .filter(col("codes").isNotNull)
-    new IvfPqIndex(ivf, model, coded, corpus.schema(idCol).dataType)
+    new IvfPqIndex(unitCents, model, coded, corpus.schema(idCol).dataType)
   }
 
   /** One-shot convenience: build + probe (a real deployment builds the

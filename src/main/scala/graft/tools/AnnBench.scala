@@ -105,18 +105,23 @@ object AnnBench {
         Similarity.bqTopK(corpus, queries, "vec_id", "embedding", k, d, shortlist = 2000)))
       entries += Entry(dist, n, "bq", 0.0, tBqProbe, rec(bqRes))
 
-      // IVF+PQ: same nlist/nprobe, 16x256 codes, shortlist 2k
-      val (ivfpq, tIvfPqBuild) = timed {
-        val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", d,
-          nlist = nlist, ivfIters = 3, m = 16, ksub = 256, pqIters = 3)
-        idx.coded.persist().count() // materialize the coded layout like a snapshot would
-        idx
+      // IVF+PQ at two code widths: m=16 (16 B/vector) and m=32
+      // (32 B/vector) — m is the recall knob on dense clusters (finer
+      // subspaces discriminate within-cell residuals; ksub buys less
+      // at equal bits)
+      for (m <- Seq(16, 32)) {
+        val (ivfpq, tIvfPqBuild) = timed {
+          val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", d,
+            nlist = nlist, ivfIters = 3, m = m, ksub = 256, pqIters = 3)
+          idx.coded.persist().count() // materialize the coded layout like a snapshot would
+          idx
+        }
+        val (ivfpqRes, tIvfPqProbe) = timed(pairsOf(
+          ivfpq.topK(queries, "vec_id", "embedding", k, nprobe, shortlist = 2000, corpus)))
+        entries += Entry(dist, n, s"ivfpq[$nlist/$nprobe,${m}x256]",
+          tIvfPqBuild, tIvfPqProbe, rec(ivfpqRes))
+        ivfpq.coded.unpersist(blocking = false)
       }
-      val (ivfpqRes, tIvfPqProbe) = timed(pairsOf(
-        ivfpq.topK(queries, "vec_id", "embedding", k, nprobe, shortlist = 2000, corpus)))
-      entries += Entry(dist, n, s"ivfpq[$nlist/$nprobe,16x256]",
-        tIvfPqBuild, tIvfPqProbe, rec(ivfpqRes))
-      ivfpq.coded.unpersist(blocking = false)
 
       entries.filter(e => e.dist == dist && e.n == n).foreach { e =>
         println(f"[annbench] ${e.dist}%9s n=${e.n}%8d ${e.algo}%22s " +

@@ -425,6 +425,9 @@ class FunctionsSpec extends AnyFunSuite {
         .head().getDouble(0) == 14.0)
       assert(vec.select(HashFunctions.signBits(col("a"), 3))
         .head().getSeq[Long](0) == Seq(7L))
+      assert(vec.select(PqFunctions.centroidSubtract(col("a"), lit(1),
+        Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))))
+        .head().getSeq[Double](0) == Seq(0.0, 1.0, 2.0))
       assert(longs.select(HashFunctions.hammingDistance(col("a"), col("b")))
         .head().getInt(0) == java.lang.Long.bitCount(1L ^ 3L) +
           java.lang.Long.bitCount(3L ^ 5L) + java.lang.Long.bitCount(5L ^ 7L))

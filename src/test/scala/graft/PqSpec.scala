@@ -174,6 +174,47 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVFPQ recall@10 = $recall (want >= 0.9 at sf0.001)")
   }
 
+  test("ivfPq residual encoding survives the clustered regime that collapses global codes") {
+    // the ANNBENCH-measured failure: tight clusters whose members
+    // differ only by small noise — a global codebook resolves the
+    // CENTER (recall collapsed to 0.25 at 1M), residual encoding
+    // spends resolution on the within-cluster differences. 2000 rows
+    // in 8 clusters, shortlist 50 << cluster size 250, so the ADC
+    // ordering itself must rank within the cluster to pass.
+    import spark.implicits._
+    val d = 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, d)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + 0.15f * (rnd.nextFloat() * 2 - 1)))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 16)
+    val exact = Similarity.topK(corpus, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (s & exact).size.toDouble / exact.size
+    }
+    val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", dim = d,
+      nlist = 8, ivfIters = 3, m = 16, ksub = 16, pqIters = 3)
+    val residual = recallOf(idx.topK(q, "vec_id", "embedding", k = 10,
+      nprobe = 2, shortlist = 50, corpus = corpus))
+    // the same bit budget spent on a GLOBAL codebook over the unit
+    // vectors — the design this spec guards against regressing to
+    val global = recallOf(Similarity.pqTopK(corpus, q, "vec_id", "embedding", k = 10,
+      dim = d, m = 16, ksub = 16, iters = 3, shortlist = 50))
+    assert(residual >= 0.6,
+      s"residual IVFPQ recall@10 on the clustered regime = $residual (measured 0.76; " +
+        "collapse toward shortlist/clusterSize = 0.2 means residuals stopped working)")
+    assert(residual >= global + 0.2,
+      s"residual ($residual) must clearly beat the global codebook ($global) here — " +
+        "this gap IS the reason IVFPQ encodes residuals")
+  }
+
   test("pqTopK guards: shortlist < k trips loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(embs, embs.limit(1), "vec_id", "embedding", k = 10,

@@ -851,6 +851,45 @@ object Similarity {
         .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       rankTopK(exactScored, k, idType)
     }
+
+    /** Snapshot the index: coded layout as parquet PARTITIONED BY cell
+      * id (a probe's cell isin literal becomes a static partition
+      * filter — nprobe/nlist of the files are read, which at corpus
+      * scale is the whole point), plus tiny side tables for the unit
+      * centroids, the residual codebooks, and the id type. Train once
+      * per corpus snapshot; [[Similarity.loadIvfPq]] is the inverse. */
+    def save(path: String): Unit = {
+      coded.write.mode("overwrite").partitionBy("c").parquet(s"$path/layout")
+      val spark = coded.sparkSession
+      import spark.implicits._
+      unitCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+        .toDF("c", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+      }.toSeq.toDF("s", "cw", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      Seq(idType.json).toDF("id_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Reload an [[IvfPqIndex.save]] snapshot: the layout scan stays
+    * partitioned by cell id, no retraining happens. */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("c").collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(cents.nonEmpty, s"loadIvfPq: no centroids under $path/centroids")
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("s", "cw").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Number](2).map(_.doubleValue()).toArray))
+    require(bookRows.nonEmpty, s"loadIvfPq: no codebooks under $path/codebooks")
+    val m = bookRows.map(_._1).max + 1
+    val books = Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
+    val idType = org.apache.spark.sql.types.DataType.fromJson(
+      spark.read.parquet(s"$path/meta").head().getString(0))
+    new IvfPqIndex(cents, PqModel(books), spark.read.parquet(s"$path/layout"), idType)
   }
 
   /** Build an [[IvfPqIndex]]: IVF centroids over the UNIT-normalized

@@ -215,6 +215,30 @@ class PqSpec extends AnyFunSuite {
         "this gap IS the reason IVFPQ encodes residuals")
   }
 
+  test("IvfPqIndex save/load round-trips; probe prunes the snapshot's cell partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq").toFile.getAbsolutePath
+    val built = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    built.save(tmp)
+    val loaded = Similarity.loadIvfPq(spark, tmp)
+    assert(loaded.unitCentroids.map(_.toSeq).toSeq == built.unitCentroids.map(_.toSeq).toSeq)
+    assert(loaded.model.codebooks.flatten.flatten.toSeq ==
+      built.model.codebooks.flatten.flatten.toSeq)
+    val q = embs.filter(col("vec_id") < 15)
+    val want = built.topK(q, "vec_id", "embedding", k = 5,
+      nprobe = 3, shortlist = 40, corpus = embs).collect().map(_.toSeq).toSet
+    val got = loaded.topK(q, "vec_id", "embedding", k = 5,
+      nprobe = 3, shortlist = 40, corpus = embs).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // the probed-cells isin literal must reach the snapshot scan as a
+    // STATIC partition filter (nprobe-ish cells' files read, not all)
+    val plan = loaded.topK(q, "vec_id", "embedding", k = 5,
+        nprobe = 3, shortlist = 40, corpus = embs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c#") || plan.contains("PartitionFilters: [(c#"),
+      s"expected a partition filter on c in:\n$plan")
+  }
+
   test("pqTopK guards: shortlist < k trips loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(embs, embs.limit(1), "vec_id", "embedding", k = 10,

@@ -948,6 +948,38 @@ object SparkEntry {
           dim = 64, nlist = 16, nprobe = 12, m = 16, ksub = 32, shortlist = 200),
         q, "recall_ge_080", 0.8)
     }),
+    "stream_ann_probe" -> ((s, dir) => {
+      // ONLINE ANN serving: query vectors arrive as a STREAM and probe
+      // the IVFPQ index per micro-batch (foreachBatch — the probe's
+      // bounded cell-collect is a driver-side batch operator, same
+      // structural shape as ingestion dedup), results append to a
+      // parquet sink, AvailableNow drains. Queries are independent, so
+      // the drain EQUALS the batch probe of the same query set row for
+      // row regardless of batching — stream_equals_batch is EARNED by a
+      // full-row anti-join check both ways; n_result_rows (= queries x
+      // k, every query has >= k candidates here) cross-computed by the
+      // oracle.
+      val e = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvfPq(e, "vec_id", "embedding", dim = 64)
+      val qStream = s.readStream.schema(e.schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") < 50)
+      val sink = java.nio.file.Files.createTempDirectory("graft-annstream")
+        .toFile.getAbsolutePath
+      val streamed = idx.topKStream(qStream, "vec_id", "embedding",
+        k = 10, nprobe = 12, shortlist = 200, corpus = e, sinkDir = sink)
+      val batch = idx.topK(e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 10, nprobe = 12, shortlist = 200, corpus = e)
+      val onlyS = streamed.join(batch, streamed.columns.toSeq, "left_anti")
+        .agg(count(lit(1)).as("_extra"))
+      val onlyB = batch.join(streamed, batch.columns.toSeq, "left_anti")
+        .agg(count(lit(1)).as("_missing"))
+      val nS = streamed.agg(count(lit(1)).as("n_result_rows"))
+      val nQ = e.filter(col("vec_id") < 50).agg(count(lit(1)).as("n_queries"))
+      nQ.crossJoin(nS).crossJoin(onlyS).crossJoin(onlyB).select(
+        col("n_queries"), col("n_result_rows"),
+        (col("_extra") === 0 && col("_missing") === 0).as("stream_equals_batch"))
+    }),
     "ann_topk_bq" -> ((s, dir) => {
       // Binary-quantized top-k: 1 bit/dim sign signatures (8 bytes per
       // vector — 32x compression, no training), popcount-XOR Hamming
@@ -1725,6 +1757,23 @@ object SparkEntry {
       val idx = Similarity.buildIvfPq(e, "vec_id", "embedding", dim = 64)
       () => idx.topK(e.filter(col("vec_id") < 50), "vec_id", "embedding",
         10, 12, 200, e)
+    }),
+    "stream_ann_probe" -> ((s, dir) => {
+      // setup = the index build (amortized per corpus snapshot); the
+      // timed thunk is the streaming drain — per-batch probe + sink
+      // append — so gate_sec isolates the batch-probe recompute and
+      // anti-join equality harness
+      val e = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvfPq(e, "vec_id", "embedding", dim = 64)
+      () => {
+        val qStream = s.readStream.schema(e.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") < 50)
+        val sink = java.nio.file.Files.createTempDirectory("graft-annstream-op")
+          .toFile.getAbsolutePath
+        idx.topKStream(qStream, "vec_id", "embedding",
+          k = 10, nprobe = 12, shortlist = 200, corpus = e, sinkDir = sink)
+      }
     }),
     "ann_topk_bq" -> ((s, dir) => {
       // no setup at all (sign-bit signatures are training-free); the
@@ -2624,6 +2673,16 @@ object SparkEntry {
            |SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
            |  count(*)::BIGINT AS n_exact_rows, true AS recall_ge_090
            |FROM ranked WHERE rank <= 10""".stripMargin,
+      // streaming ANN serving gate: anchors cross-computed (every query
+      // has >= k candidates on this corpus, so the result is exactly
+      // queries x k rows); the equality boolean is EARNED Spark-side by
+      // two full-row anti-joins between the stream drain and the batch
+      // probe of the same query set
+      "stream_ann_probe" ->
+        """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
+          |  ((SELECT count(*) FROM embeddings WHERE vec_id < 50) * 10)::BIGINT
+          |    AS n_result_rows,
+          |  true AS stream_equals_batch""".stripMargin,
       // IVFPQ gate: ann_ivf anchor shape; the recall boolean is earned
       // Spark-side against the exact ranking the oracle rebuilds.
       "ann_ivfpq" ->

@@ -852,6 +852,43 @@ object Similarity {
       rankTopK(exactScored, k, idType)
     }
 
+    /**
+     * Serve a STREAM of query vectors against this index — the online
+     * ANN serving path (a retrieval endpoint fed by a query queue):
+     * each micro-batch probes with the full [[topK]] pipeline via
+     * `foreachBatch` (the probe's bounded cell-collect makes it a
+     * driver-side batch operator, the same structural reason the
+     * ingestion-dedup admission runs per batch) and appends its
+     * results to a parquet sink; AvailableNow drains the backlog and
+     * the accumulated results are returned. Queries are independent of
+     * each other, so the drain is EXACTLY the batch probe of the same
+     * query set regardless of how the stream was batched — the
+     * stream_ann_probe gate asserts that equality row for row.
+     * `sinkDir` must be fresh per drain (results append; the
+     * checkpoint pins the stream's progress to it).
+     */
+    def topKStream(queryStream: DataFrame, idCol: String, vecCol: String,
+        k: Int, nprobe: Int, shortlist: Int, corpus: DataFrame,
+        sinkDir: String): DataFrame = {
+      require(queryStream.isStreaming, "topKStream needs a streaming queries frame")
+      val spark = queryStream.sparkSession
+      // pre-write the (empty) result schema so a query-less drain still
+      // reads back a well-formed empty frame
+      topK(corpus.limit(0), idCol, vecCol, k, nprobe, shortlist, corpus)
+        .write.mode("overwrite").parquet(s"$sinkDir/results")
+      val q = queryStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          topK(batch, idCol, vecCol, k, nprobe, shortlist, corpus)
+            .write.mode("append").parquet(s"$sinkDir/results")
+        }
+        .option("checkpointLocation", s"$sinkDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$sinkDir/results")
+    }
+
     /** Snapshot the index: coded layout as parquet PARTITIONED BY cell
       * id (a probe's cell isin literal becomes a static partition
       * filter — nprobe/nlist of the files are read, which at corpus

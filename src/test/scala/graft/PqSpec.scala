@@ -239,6 +239,33 @@ class PqSpec extends AnyFunSuite {
       s"expected a partition filter on c in:\n$plan")
   }
 
+  test("topKStream: a multi-batch drain equals the batch probe row for row") {
+    // three query files + maxFilesPerTrigger=1 forces three REAL
+    // micro-batches — per-query independence must make the batching
+    // invisible in the result
+    val base = java.nio.file.Files.createTempDirectory("graft-annstream-spec")
+      .toFile.getAbsolutePath
+    val q = embs.filter(col("vec_id") < 30)
+    q.repartition(3).write.parquet(s"$base/queries")
+    val idx = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    val qStream = spark.readStream.schema(q.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/queries")
+    val streamed = idx.topKStream(qStream, "vec_id", "embedding",
+      k = 5, nprobe = 3, shortlist = 40, corpus = embs, sinkDir = s"$base/sink")
+    val batch = idx.topK(q, "vec_id", "embedding",
+      k = 5, nprobe = 3, shortlist = 40, corpus = embs)
+    val got = streamed.collect().map(_.toSeq).toSet
+    val want = batch.collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty,
+      s"stream drain must equal the batch probe (stream ${got.size} vs batch ${want.size})")
+    // and more than one micro-batch actually ran (one offsets file per
+    // batch in the checkpoint — otherwise this spec proves nothing)
+    val batches = new java.io.File(s"$base/sink/ckpt/offsets")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("."))
+    assert(batches >= 3, s"expected >= 3 micro-batches, checkpoint shows $batches")
+  }
+
   test("pqTopK guards: shortlist < k trips loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(embs, embs.limit(1), "vec_id", "embedding", k = 10,

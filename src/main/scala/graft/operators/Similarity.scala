@@ -803,7 +803,8 @@ object Similarity {
    * is exact cosine.
    */
   final class IvfPqIndex private[operators] (
-      private[graft] val unitCentroids: Array[Array[Double]],
+      private[graft] val assignCentroids: Array[Array[Double]], // raw means: cell choice
+      private[graft] val unitCentroids: Array[Array[Double]],   // normalized: cdot scalar
       val model: PqModel,
       private[graft] val coded: DataFrame, // (c, id long, codes)
       private[operators] val idType: org.apache.spark.sql.types.DataType) {
@@ -814,23 +815,28 @@ object Similarity {
       require(shortlist >= k, s"IvfPqIndex.topK: shortlist=$shortlist must be >= k=$k")
       // probed cells per query (bounded: queries x nprobe), same probe
       // shape as IvfIndex.topK — pinned to one evaluation, cells turned
-      // into a literal isin for static pruning on a saved layout. The
-      // probe distances double as the cell scalar: on unit vectors
-      // dot(q_u, c_u) = 1 - d2/2.
+      // into a literal isin for static pruning on a saved layout. Cell
+      // CHOICE uses the same raw-mean centroids the corpus was assigned
+      // with (probing by a different centroid set would look for
+      // neighbors in cells they were never stored in); the cdot scalar
+      // needs the UNIT centroid — dot(q_u, c_u) = 1 - d2u/2 — so a
+      // second distance array rides along and the chosen cell indexes
+      // into it.
       val q = unitized(queries, idCol, vecCol, "query_id")
-      val dists = graft.functions.HashFunctions.centroidDistances(col("u"), unitCentroids)
-      val probed = q.select(col("query_id"), col("u"),
+      val dists = graft.functions.HashFunctions.centroidDistances(col("u"), assignCentroids)
+      val distsU = graft.functions.HashFunctions.centroidDistances(col("u"), unitCentroids)
+      val probed = q.select(col("query_id"), col("u"), distsU.as("du"),
           posexplode(dists).as(Seq("ci", "d")))
         .groupBy("query_id")
-        .agg(first(col("u")).as("u"),
+        .agg(first(col("u")).as("u"), first(col("du")).as("du"),
           TopKFunctions.topKByScore(col("d"), col("ci").cast("long"), nprobe, largest = false)
             .as("_cells"))
-        .select(col("query_id"),
+        .select(col("query_id"), col("du"),
           graft.functions.PqFunctions.pqAdcTable(col("u"), model.codebooks).as("tab"),
           posexplode(col("_cells")).as(Seq("_r", "_cell")))
         .select(col("query_id"), col("tab"),
           col("_cell.id").cast("int").as("c"),
-          (lit(1.0) - col("_cell.score") / 2).as("cdot"))
+          (lit(1.0) - element_at(col("du"), col("_cell.id").cast("int") + 1) / 2).as("cdot"))
         .localCheckpoint()
       val cells = probed.select("c").distinct().collect().map(_.getInt(0))
       val scored = probed.join(
@@ -902,6 +908,9 @@ object Similarity {
       unitCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
         .toDF("c", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      assignCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+        .toDF("c", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_assign")
       model.codebooks.zipWithIndex.flatMap { case (book, s) =>
         book.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
       }.toSeq.toDF("s", "cw", "vec")
@@ -918,6 +927,11 @@ object Similarity {
       .orderBy("c").collect()
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     require(cents.nonEmpty, s"loadIvfPq: no centroids under $path/centroids")
+    val aCents = spark.read.parquet(s"$path/centroids_assign")
+      .orderBy("c").collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(aCents.length == cents.length,
+      s"loadIvfPq: assignment/unit centroid counts differ under $path")
     val bookRows = spark.read.parquet(s"$path/codebooks")
       .orderBy("s", "cw").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Number](2).map(_.doubleValue()).toArray))
@@ -926,7 +940,48 @@ object Similarity {
     val books = Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
     val idType = org.apache.spark.sql.types.DataType.fromJson(
       spark.read.parquet(s"$path/meta").head().getString(0))
-    new IvfPqIndex(cents, PqModel(books), spark.read.parquet(s"$path/layout"), idType)
+    new IvfPqIndex(aCents, cents, PqModel(books),
+      spark.read.parquet(s"$path/layout"), idType)
+  }
+
+  /**
+   * Append new vectors to a saved [[IvfPqIndex.save]] snapshot WITHOUT
+   * retraining — the daily-ingestion path, mirroring [[appendToIvf]]:
+   * each new vector unit-normalizes, assigns to its nearest EXISTING
+   * cell (the same raw-mean centroids the corpus was assigned with),
+   * encodes its residual against that cell's unit centroid with the
+   * EXISTING codebooks, and parquet-appends into the cell-partitioned
+   * layout — partition pruning intact, centroids and codebooks
+   * untouched. The operational contract is the same as appendToIvf:
+   * append daily, re-earn the recall gate on the merged index, retrain
+   * when drift says so (appended data far from the training
+   * distribution quantizes coarsely — residual codebooks were fitted
+   * to the ORIGINAL corpus's residuals). Zero-norm and malformed
+   * vectors drop under the standard contracts. Returns the number of
+   * rows appended.
+   */
+  def appendToIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Long = {
+    val idx = loadIvfPq(spark, path)
+    require(newVectors.schema(idCol).dataType == idx.idType,
+      s"appendToIvfPq: $idCol type ${newVectors.schema(idCol).dataType} does not " +
+        s"match the snapshot's ${idx.idType} (cast the new rows first)")
+    val units = unitized(newVectors, idCol, vecCol, "id")
+    val dists = graft.functions.HashFunctions.centroidDistances(col("u"), idx.assignCentroids)
+    val assigned = units
+      .withColumn("c", (array_position(dists, array_min(dists)) - lit(1L)).cast("int"))
+      .filter(col("c").isNotNull)
+      .select(col("c"), col("id").cast("long").as("id"),
+        graft.functions.PqFunctions.pqAssignCodes(
+          graft.functions.PqFunctions.centroidSubtract(col("u"), col("c"), idx.unitCentroids),
+          idx.model.codebooks).as("codes"))
+      .filter(col("codes").isNotNull)
+      .persist()
+    try {
+      val n = assigned.count()
+      assigned.write.mode("append").partitionBy("c").parquet(s"$path/layout")
+      n
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Build an [[IvfPqIndex]]: IVF centroids over the UNIT-normalized
@@ -961,7 +1016,7 @@ object Similarity {
       .select(col("c"), col("id").cast("long").as("id"),
         graft.functions.PqFunctions.pqAssignCodes(col("u"), model.codebooks).as("codes"))
       .filter(col("codes").isNotNull)
-    new IvfPqIndex(unitCents, model, coded, corpus.schema(idCol).dataType)
+    new IvfPqIndex(ivf.centroids, unitCents, model, coded, corpus.schema(idCol).dataType)
   }
 
   /** One-shot convenience: build + probe (a real deployment builds the

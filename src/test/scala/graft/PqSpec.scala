@@ -266,6 +266,33 @@ class PqSpec extends AnyFunSuite {
     assert(batches >= 3, s"expected >= 3 micro-batches, checkpoint shows $batches")
   }
 
+  test("appendToIvfPq: snapshot extends without retrain; appended rows are findable") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toFile.getAbsolutePath
+    val built = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    built.save(tmp)
+    // exact copies of vec_id 0..9 under shifted ids: each lands in its
+    // original's cell and must come back as that original's top-1
+    val newV = embs.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val n = Similarity.appendToIvfPq(spark, tmp, newV, "vec_id", "embedding")
+    assert(n == 10)
+    val loaded = Similarity.loadIvfPq(spark, tmp)
+    assert(loaded.unitCentroids.map(_.toSeq).toSeq == built.unitCentroids.map(_.toSeq).toSeq,
+      "append must not retrain centroids")
+    assert(loaded.model.codebooks.flatten.flatten.toSeq ==
+      built.model.codebooks.flatten.flatten.toSeq, "append must not retrain codebooks")
+    val merged = embs.select(col("vec_id"), col("embedding")).unionByName(newV)
+    val got = loaded.topK(embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 1, nprobe = 4, shortlist = 20, corpus = merged)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { q =>
+      assert(got.get(q).contains(q + 100000),
+        s"query $q should retrieve its appended identical copy, got ${got.get(q)}")
+    }
+  }
+
   test("pqTopK guards: shortlist < k trips loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(embs, embs.limit(1), "vec_id", "embedding", k = 10,

@@ -537,8 +537,22 @@ object Similarity {
     * subspace `s` (m x ksub x dsub, trained on UNIT-normalized vectors
     * so ADC inner products approximate cosine). Train once with
     * [[pqTrain]] (deterministic: seeded init on the lowest-id vectors,
-    * fixed Lloyd iterations), encode/probe many times. */
-  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    * fixed Lloyd iterations), encode/probe many times.
+    *
+    * `rotation`, when present, is an ORTHOGONAL d x d matrix applied to
+    * every vector BEFORE the subspace split (OPQ — Ge/He/Ke/Sun,
+    * CVPR'13): inner products are rotation-invariant
+    * (dot(q, x) = dot(Rq, Rx)), so encoding Rx and building ADC tables
+    * from Rq scores EXACTLY the same quantity, but the learned R
+    * decorrelates the subspaces and balances their variance, cutting
+    * quantization distortion at the SAME bit budget — the fix for
+    * clustered corpora where axis-aligned subspaces collapse at
+    * m=16/16 B per vector (ANNBENCH r9: recall@10 0.43 at n=1M). Train
+    * with [[opqTrain]]; every encode/table site routes through the one
+    * rotation choke point, so a rotation-free model behaves exactly as
+    * before. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]],
+      rotation: Option[Array[Array[Double]]] = None) {
     def m: Int = codebooks.length
     def ksub: Int = codebooks.head.length
     def dsub: Int = codebooks.head.head.length
@@ -546,6 +560,18 @@ object Similarity {
     /** The compression this model buys on the corpus side. */
     def bytesPerVector: Int = m
   }
+
+  /** The one rotation choke point: apply `model.rotation` to a vector
+    * column via the codegen'd affine kernel
+    * ([[graft.functions.MatrixProject]], zero offsets), or pass the
+    * column through untouched for a rotation-free model — the identity
+    * case pays nothing. */
+  private def pqRotated(v: Column, model: PqModel): Column =
+    model.rotation match {
+      case Some(r) =>
+        graft.functions.VectorFunctions.matrixProject(v, r, new Array[Double](r.length))
+      case None => v
+    }
 
   /** Unit-normalize the (id, v) projection of a vector frame, dropping
     * zero/NaN-norm rows (cosine undefined — same totality contract as
@@ -660,6 +686,262 @@ object Similarity {
     PqModel(books)
   }
 
+  // ------------------------------------------------------------------
+  // OPQ (Ge/He/Ke/Sun, CVPR'13 — "Optimized Product Quantization"):
+  // learn an orthogonal rotation R that the subspace split is applied
+  // AFTER, by alternating (a) codebook refit on the rotated sample and
+  // (b) the orthogonal-Procrustes solve R = U V^T of the d x d
+  // cross-covariance between the data and its quantized reconstruction.
+  // Training runs DRIVER-SIDE on the same bounded deterministic sample
+  // the distributed trainer already caps at (<= ksub*256 rows * d
+  // doubles ~ 33 MB worst case): a model fit over a fixed-size sample
+  // is driver work by the same rule as the k-means init and the PCA
+  // eigensolve — the corpus itself is never collected, and encoding
+  // stays fully distributed through the codegen'd kernels.
+  // ------------------------------------------------------------------
+
+  /** R = U V^T from the SVD of `m0` — the orthogonal matrix maximizing
+    * tr(R^T m0), i.e. the Procrustes alignment. SVD via the existing
+    * Jacobi eigensolve of m0^T m0 (V and singular values), with U
+    * columns recovered as m0 v / sigma and degenerate directions
+    * (sigma ~ 0) completed to an orthonormal basis by deterministic
+    * Gram-Schmidt over canonical vectors — exactly orthogonal by
+    * construction either way (spec-gated ||R R^T - I|| ~ 1e-12). */
+  private[graft] def procrustesRotation(m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m0.length
+    val a = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var s = 0.0; var k = 0
+        while (k < d) { s += m0(k)(i) * m0(k)(j); k += 1 }
+        a(i)(j) = s; j += 1
+      }
+      i += 1
+    }
+    val (evals, vrows) = jacobiEigen(a) // descending eigenvalues; vrows(j) = v_j
+    val sig = evals.map(l => math.sqrt(math.max(l, 0.0)))
+    val tol = math.max(sig.headOption.getOrElse(0.0), 1e-300) * 1e-9
+    val uCols = Array.ofDim[Double](d, d) // uCols(j) = column u_j
+    val have = Array.fill(d)(false)
+    // u_j = M v_j, ORTHOGONALIZED against the already-accepted columns
+    // (modified Gram-Schmidt) and renormalized: dividing by a tiny or
+    // Jacobi-noisy sigma would hand back non-unit, non-orthogonal
+    // columns and a non-orthogonal R on rank-deficient inputs. A column
+    // whose residual after orthogonalization is numerically zero is
+    // degenerate — left for the canonical completion below.
+    var j = 0
+    while (j < d) {
+      val w = new Array[Double](d)
+      var ii = 0
+      while (ii < d) {
+        var s = 0.0; var k = 0
+        while (k < d) { s += m0(ii)(k) * vrows(j)(k); k += 1 }
+        w(ii) = s; ii += 1
+      }
+      var jj = 0
+      while (jj < d) {
+        if (have(jj)) {
+          var dp = 0.0; ii = 0
+          while (ii < d) { dp += w(ii) * uCols(jj)(ii); ii += 1 }
+          ii = 0
+          while (ii < d) { w(ii) -= dp * uCols(jj)(ii); ii += 1 }
+        }
+        jj += 1
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm > tol) {
+        ii = 0
+        while (ii < d) { uCols(j)(ii) = w(ii) / nrm; ii += 1 }
+        have(j) = true
+      }
+      j += 1
+    }
+    // complete near-null directions deterministically
+    var next = 0
+    j = 0
+    while (j < d) {
+      if (!have(j)) {
+        var placed = false
+        while (!placed) {
+          require(next < d, "procrustesRotation: basis completion exhausted")
+          val cand = Array.tabulate(d)(ii => if (ii == next) 1.0 else 0.0)
+          next += 1
+          var jj = 0
+          while (jj < d) {
+            if (have(jj)) {
+              var dp = 0.0; var ii = 0
+              while (ii < d) { dp += cand(ii) * uCols(jj)(ii); ii += 1 }
+              ii = 0
+              while (ii < d) { cand(ii) -= dp * uCols(jj)(ii); ii += 1 }
+            }
+            jj += 1
+          }
+          val nrm = math.sqrt(cand.map(x => x * x).sum)
+          if (nrm > 1e-8) {
+            var ii = 0
+            while (ii < d) { uCols(j)(ii) = cand(ii) / nrm; ii += 1 }
+            have(j) = true; placed = true
+          }
+        }
+      }
+      j += 1
+    }
+    val r = Array.ofDim[Double](d, d)
+    i = 0
+    while (i < d) {
+      var k = 0
+      while (k < d) {
+        var s = 0.0; var jj = 0
+        while (jj < d) { s += uCols(jj)(i) * vrows(jj)(k); jj += 1 }
+        r(i)(k) = s; k += 1
+      }
+      i += 1
+    }
+    r
+  }
+
+  /** Driver-side Lloyd over all m subspaces of the (rotated) sample —
+    * same conventions as the distributed trainer: first-minimum
+    * assignment ties, empty clusters keep their codeword. */
+  private def lloydDriver(x: Array[Array[Double]],
+      books0: Array[Array[Array[Double]]], iters: Int): Array[Array[Array[Double]]] = {
+    val m = books0.length; val ksub = books0.head.length
+    val dsub = books0.head.head.length
+    var books = books0
+    for (_ <- 1 to iters) {
+      val sums = Array.ofDim[Double](m, ksub, dsub)
+      val counts = Array.ofDim[Long](m, ksub)
+      var i = 0
+      while (i < x.length) {
+        val xi = x(i)
+        var s = 0
+        while (s < m) {
+          val off = s * dsub
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            val cw = books(s)(c)
+            var dd = 0.0; var t = 0
+            while (t < dsub) { val df = xi(off + t) - cw(t); dd += df * df; t += 1 }
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          counts(s)(best) += 1
+          var t = 0
+          while (t < dsub) { sums(s)(best)(t) += xi(off + t); t += 1 }
+          s += 1
+        }
+        i += 1
+      }
+      books = Array.tabulate(m, ksub) { (s, c) =>
+        if (counts(s)(c) == 0) books(s)(c).clone()
+        else { val n = counts(s)(c).toDouble; sums(s)(c).map(_ / n) }
+      }
+    }
+    books
+  }
+
+  /** Train an OPQ-rotated [[PqModel]]: the `opqIters`-round alternation
+    * of codebook refit and Procrustes rotation update, then a final
+    * `iters`-iteration Lloyd polish under the learned R. Deterministic
+    * end to end (the same hash-sampled rows and lowest-id init as
+    * [[pqTrain]], fixed iteration counts, no RNG). `opqIters = 0`
+    * degenerates to plain PQ with no rotation attached. */
+  def opqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 3, opqIters: Int = 8,
+      trainPointsPerCodeword: Int = 256): PqModel =
+    opqTrainOn(unitized(corpus, idCol, vecCol, "id"),
+      dim, m, ksub, iters, opqIters, trainPointsPerCodeword)
+
+  private[operators] def opqTrainOn(units: DataFrame,
+      dim: Int, m: Int, ksub: Int, iters: Int, opqIters: Int,
+      trainPointsPerCodeword: Int): PqModel = {
+    require(dim % m == 0, s"opqTrain: dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, s"opqTrain: ksub=$ksub must fit one byte (1..256)")
+    require(opqIters >= 0, s"opqTrain: opqIters=$opqIters must be >= 0")
+    val dsub = dim / m
+    val cap = ksub * trainPointsPerCodeword
+    val data = units
+      .filter(size(col("u")) === lit(dim) && !exists(col("u"), _.isNull))
+      .orderBy(xxhash64(col("id"), lit("pqtrain")), col("id"))
+      .limit(cap)
+      .cache()
+    try {
+      // init: subspace slices of the ksub lowest-id vectors (pqTrain's
+      // convention); the full bounded sample rides to the driver once
+      val seedRows = data.orderBy("id").limit(ksub).collect()
+        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+      require(seedRows.length >= ksub,
+        s"opqTrain: corpus has only ${seedRows.length} well-formed vectors — " +
+          s"need at least ksub=$ksub (shrink ksub or grow the corpus)")
+      val x = data.collect().map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m, ksub)((s, c) => seedRows(c).slice(s * dsub, (s + 1) * dsub))
+      var rot: Array[Array[Double]] = null // null = identity so far
+      val xr = Array.ofDim[Double](x.length, dim)
+      def applyRot(): Unit = {
+        var i = 0
+        while (i < x.length) {
+          if (rot == null) System.arraycopy(x(i), 0, xr(i), 0, dim)
+          else {
+            var a = 0
+            while (a < dim) {
+              val ra = rot(a); val xi = x(i)
+              var s = 0.0; var b = 0
+              while (b < dim) { s += ra(b) * xi(b); b += 1 }
+              xr(i)(a) = s; a += 1
+            }
+          }
+          i += 1
+        }
+      }
+      for (_ <- 1 to opqIters) {
+        applyRot()
+        // one Lloyd update per alternation (OPQ-NP convention) — the
+        // codebooks warm-start across rounds
+        books = lloydDriver(xr, books, 1)
+        // cross-covariance of reconstruction vs ORIGINAL data
+        val mm = Array.ofDim[Double](dim, dim)
+        var i = 0
+        while (i < x.length) {
+          val xi = x(i); val xri = xr(i)
+          var s = 0
+          while (s < m) {
+            val off = s * dsub
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < ksub) {
+              val cw = books(s)(c)
+              var dd = 0.0; var t = 0
+              while (t < dsub) { val df = xri(off + t) - cw(t); dd += df * df; t += 1 }
+              if (dd < bestD) { bestD = dd; best = c }
+              c += 1
+            }
+            val cw = books(s)(best)
+            var t = 0
+            while (t < dsub) {
+              val ya = cw(t)
+              if (ya != 0.0) {
+                val row = mm(off + t)
+                var b = 0
+                while (b < dim) { row(b) += ya * xi(b); b += 1 }
+              }
+              t += 1
+            }
+            s += 1
+          }
+          i += 1
+        }
+        rot = procrustesRotation(mm)
+      }
+      applyRot()
+      books = lloydDriver(xr, books, math.max(iters, 1))
+      PqModel(books, Option(rot))
+    } finally data.unpersist(blocking = false)
+  }
+
   /** Encode the corpus into PQ codes: (id, codes array<tinyint> of
     * length m) — the m-bytes-per-vector layout a compressed index
     * stores and scans. Malformed and zero-norm vectors drop (null codes
@@ -668,7 +950,7 @@ object Similarity {
       model: PqModel): DataFrame =
     unitized(corpus, idCol, vecCol, "id")
       .select(col("id"),
-        graft.functions.PqFunctions.pqAssignCodes(col("u"), model.codebooks).as("codes"))
+        graft.functions.PqFunctions.pqAssignCodes(pqRotated(col("u"), model), model.codebooks).as("codes"))
       .filter(col("codes").isNotNull)
 
   /**
@@ -693,7 +975,7 @@ object Similarity {
       .select(col("id").cast("long").as("cid"), col("codes"))
     val qtab = unitized(queries, idCol, vecCol, "query_id")
       .select(col("query_id"),
-        graft.functions.PqFunctions.pqAdcTable(col("u"), model.codebooks).as("tab"))
+        graft.functions.PqFunctions.pqAdcTable(pqRotated(col("u"), model), model.codebooks).as("tab"))
       .filter(col("tab").isNotNull)
     val scored = codes.crossJoin(broadcast(qtab))
       .filter(col("query_id") =!= col("cid"))
@@ -832,7 +1114,7 @@ object Similarity {
           TopKFunctions.topKByScore(col("d"), col("ci").cast("long"), nprobe, largest = false)
             .as("_cells"))
         .select(col("query_id"), col("du"),
-          graft.functions.PqFunctions.pqAdcTable(col("u"), model.codebooks).as("tab"),
+          graft.functions.PqFunctions.pqAdcTable(pqRotated(col("u"), model), model.codebooks).as("tab"),
           posexplode(col("_cells")).as(Seq("_r", "_cell")))
         .select(col("query_id"), col("tab"),
           col("_cell.id").cast("int").as("c"),
@@ -915,6 +1197,12 @@ object Similarity {
         book.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
       }.toSeq.toDF("s", "cw", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      // OPQ rotation rows, written even when absent (0 rows) so load
+      // never has to probe the filesystem for an optional directory
+      model.rotation.map(_.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq)
+        .getOrElse(Seq.empty[(Int, Seq[Double])])
+        .toDF("i", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
       Seq(idType.json).toDF("id_type")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     }
@@ -940,7 +1228,16 @@ object Similarity {
     val books = Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
     val idType = org.apache.spark.sql.types.DataType.fromJson(
       spark.read.parquet(s"$path/meta").head().getString(0))
-    new IvfPqIndex(aCents, cents, PqModel(books),
+    // rotation: absent directory (pre-OPQ snapshot) or 0 rows both mean
+    // no rotation — the axis-aligned model
+    val rotation: Option[Array[Array[Double]]] =
+      try {
+        val rows = spark.read.parquet(s"$path/rotation")
+          .orderBy("i").collect()
+          .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+        if (rows.isEmpty) None else Some(rows)
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    new IvfPqIndex(aCents, cents, PqModel(books, rotation),
       spark.read.parquet(s"$path/layout"), idType)
   }
 
@@ -973,7 +1270,9 @@ object Similarity {
       .filter(col("c").isNotNull)
       .select(col("c"), col("id").cast("long").as("id"),
         graft.functions.PqFunctions.pqAssignCodes(
-          graft.functions.PqFunctions.centroidSubtract(col("u"), col("c"), idx.unitCentroids),
+          pqRotated(
+            graft.functions.PqFunctions.centroidSubtract(col("u"), col("c"), idx.unitCentroids),
+            idx.model),
           idx.model.codebooks).as("codes"))
       .filter(col("codes").isNotNull)
       .persist()
@@ -991,7 +1290,8 @@ object Similarity {
     * residual codes per row, no join). */
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nlist: Int = 16, ivfIters: Int = 3,
-      m: Int = 16, ksub: Int = 32, pqIters: Int = 3): IvfPqIndex = {
+      m: Int = 16, ksub: Int = 32, pqIters: Int = 3,
+      opqIters: Int = 0): IvfPqIndex = {
     val units = unitized(corpus, idCol, vecCol, "id")
     val ivf = buildIvf(units, "id", "u", dim, nlist, ivfIters)
     // normalized centroids: the scoring decomposition needs UNIT cell
@@ -1010,11 +1310,18 @@ object Similarity {
       .select(col("id"),
         graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"),
         col("c"))
-    val model = pqTrainOn(resid.select("id", "u"), dim, m, ksub, pqIters,
-      trainPointsPerCodeword = 256)
+    // opqIters > 0 learns the Procrustes rotation over the residual
+    // sample (OPQ — see [[PqModel.rotation]]); 0 keeps the axis-aligned
+    // split. Both trainers cap at the same deterministic sample.
+    val model =
+      if (opqIters > 0)
+        opqTrainOn(resid.select("id", "u"), dim, m, ksub, pqIters, opqIters,
+          trainPointsPerCodeword = 256)
+      else pqTrainOn(resid.select("id", "u"), dim, m, ksub, pqIters,
+        trainPointsPerCodeword = 256)
     val coded = resid
       .select(col("c"), col("id").cast("long").as("id"),
-        graft.functions.PqFunctions.pqAssignCodes(col("u"), model.codebooks).as("codes"))
+        graft.functions.PqFunctions.pqAssignCodes(pqRotated(col("u"), model), model.codebooks).as("codes"))
       .filter(col("codes").isNotNull)
     new IvfPqIndex(ivf.centroids, unitCents, model, coded, corpus.schema(idCol).dataType)
   }
@@ -1023,8 +1330,9 @@ object Similarity {
     * index once per corpus snapshot and probes many times). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 16, ksub: Int = 32, shortlist: Int = 200): DataFrame =
-    buildIvfPq(corpus, idCol, vecCol, dim, nlist, 3, m, ksub, 3)
+      m: Int = 16, ksub: Int = 32, shortlist: Int = 200,
+      opqIters: Int = 0): DataFrame =
+    buildIvfPq(corpus, idCol, vecCol, dim, nlist, 3, m, ksub, 3, opqIters)
       .topK(queries, idCol, vecCol, k, nprobe, shortlist, corpus)
 
   // ------------------------------------------------------------------

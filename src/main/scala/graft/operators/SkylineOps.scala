@@ -83,6 +83,15 @@ object SkylineOps {
     * cascades overwrite each other. */
   @volatile var lastExternalPassCount: Int = 0
 
+  /** True when a failure's cause chain contains the bounded-buffer trip
+    * of the skyline/k-skyband aggregates (Spark wraps the executor's
+    * IllegalStateException in task/job failure layers). Drives
+    * [[SkylineOps.kSkybandAuto]]'s dispatch; the chain walk is bounded
+    * because wrapped causes can self-reference. */
+  private[graft] def isBufferCapTrip(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => String.valueOf(t.getMessage).contains("maxBufferPoints"))
+
   /** On a real cluster the driver's java temp dir is NOT visible to
     * executors — runs written there would silently produce wrong results
     * (empty scans), so a non-local master REQUIRES an explicit shared
@@ -378,6 +387,45 @@ object SkylineOps {
         catch { case t: Throwable => out.unpersist(blocking = false); throw t }
         out
       } finally projected.unpersist(blocking = false)
+    }
+
+    /**
+     * Cap-trip auto-dispatch (round 10, VERDICT r9 item 5): run the
+     * [[kSkyband]] aggregate EAGERLY and, iff its bounded buffer trips
+     * (`spark.graft.skyline.maxBufferPoints` — the frontier-heavy shape
+     * where every partial buffer approaches the input), route to the
+     * [[kSkybandJoin]] completion path automatically instead of naming
+     * it in an error message. The trip stays LOUD as a log line: the
+     * dispatch is a mechanism change mid-query, and an operator that
+     * silently switches cost models hides exactly the signal a capacity
+     * planner needs. Identical rows either way (both paths are
+     * spec-gated equal to the brute-force oracle); the result is EAGER
+     * like [[kSkybandJoin]]'s — `unpersist()` it when looping.
+     *
+     * The aggregate attempt is not wasted work on the happy path: for
+     * thin-band data it IS the cheapest plan (one buffers-only shuffle,
+     * no driver-side candidate set), so auto = aggregate-first with the
+     * join as the measured-completion fallback, the same
+     * try-cheap-then-complete shape as the external skyline cascade.
+     */
+    def kSkybandAuto(dims: Seq[(String, Direction)], k: Int,
+        presort: Option[Boolean] = None, sampleSize: Int = 8192,
+        maxCandidates: Int = 1 << 20, seed: Long = 42L): DataFrame = {
+      val agg = kSkyband(dims, k, presort).persist()
+      try { agg.count(); agg }
+      catch {
+        case e: Throwable if SkylineOps.isBufferCapTrip(e) =>
+          agg.unpersist(blocking = false)
+          System.err.println(
+            "[graft] kSkyband aggregate tripped spark.graft.skyline.maxBufferPoints " +
+              s"(frontier-heavy input at k=$k) — auto-dispatching to the " +
+              "kSkybandJoin completion path. Root cause: " +
+              String.valueOf(e.getMessage).take(200))
+          kSkybandJoin(dims, k, sampleSize, maxCandidates, seed)
+        case e: Throwable =>
+          agg.unpersist(blocking = false)
+          throw e
+      }
     }
 
     /**

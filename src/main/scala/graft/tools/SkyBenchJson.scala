@@ -148,6 +148,13 @@ object SkyBenchJson {
     // the verdict-shape worst case under a consumer-sized cap
     record("anti", 100000L, 10, "kskyband", ""","k":8""", Some(20000))(
       anti(100000L, 10).kSkyband(dims(10), k = 8).count())
+    // round 10: the SAME shape under the SAME cap completes via
+    // kSkybandAuto — aggregate-first, loud cap trip auto-dispatches to
+    // the join path (time includes the failed aggregate attempt)
+    record("anti", 100000L, 10, "kskyband_auto", ""","k":8""", Some(20000)) {
+      val out = anti(100000L, 10).kSkybandAuto(dims(10), k = 8)
+      try out.count() finally out.unpersist(blocking = false)
+    }
 
     // 4b. join-based k-skyband (round 9): the PARALLEL completion path —
     // same exact semantics (spec-gated ≡ aggregate ≡ brute), but the

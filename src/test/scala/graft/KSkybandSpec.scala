@@ -121,6 +121,35 @@ class KSkybandSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxCandidates") && e.getMessage.contains("kSkyband"))
   }
 
+  test("kSkybandAuto: cap trip auto-dispatches to the join path with identical rows") {
+    import spark.implicits._
+    // a perfect 2-D anti-chain: at k=2 every point is in the band, so a
+    // 50-point buffer cap MUST trip the aggregate attempt
+    val df = (0 until 500).map(i => (i.toDouble, (500 - i).toDouble)).toDF("c0", "c1")
+    val dims: Seq[(String, graft.core.Direction)] = Seq("c0" -> Min, "c1" -> Min)
+    spark.conf.set("spark.graft.skyline.maxBufferPoints", "50")
+    try {
+      val auto = df.kSkybandAuto(dims, k = 2)
+      val gotAuto = auto.collect()
+        .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toSet
+      auto.unpersist(blocking = false)
+      assert(gotAuto.size == 500, "auto-dispatch must COMPLETE the cap-trip shape")
+      val join = df.kSkybandJoin(dims, k = 2)
+      val gotJoin = join.collect()
+        .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toSet
+      join.unpersist(blocking = false)
+      assert(gotAuto == gotJoin, "auto must equal the join path row for row")
+    } finally spark.conf.unset("spark.graft.skyline.maxBufferPoints")
+    // happy path: no trip, the aggregate result comes back unchanged
+    val small = (0 until 50).map(i => (i.toDouble, (50 - i).toDouble)).toDF("c0", "c1")
+    val auto2 = small.kSkybandAuto(dims, k = 1)
+    val want = small.kSkyband(dims, k = 1).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toSet
+    assert(auto2.collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toSet == want)
+    auto2.unpersist(blocking = false)
+  }
+
   test("SQL surface: kskyband_agg matches the DSL path") {
     import spark.implicits._
     graft.operators.GraftFunctions.register(spark)

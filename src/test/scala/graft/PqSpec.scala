@@ -215,6 +215,150 @@ class PqSpec extends AnyFunSuite {
         "this gap IS the reason IVFPQ encodes residuals")
   }
 
+  test("procrustesRotation: recovers a known orthogonal matrix, output exactly orthogonal") {
+    // M = 3 * R0 for an orthogonal R0 (a Givens rotation embedded in 4-d):
+    // the Procrustes solution of M must be R0 itself
+    val th = 0.7
+    val r0 = Array(
+      Array(math.cos(th), -math.sin(th), 0.0, 0.0),
+      Array(math.sin(th), math.cos(th), 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0, 1.0))
+    val m0 = r0.map(_.map(_ * 3.0))
+    val r = Similarity.procrustesRotation(m0)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(math.abs(r(i)(j) - r0(i)(j)) < 1e-9, s"r($i)($j)")
+    // rank-deficient input still yields an exactly orthogonal matrix
+    val degenerate = Array.tabulate(4, 4)((i, j) => if (i == 0 && j == 0) 2.0 else 0.0)
+    val rd = Similarity.procrustesRotation(degenerate)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(k => rd(i)(k) * rd(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RR^T($i)($j)")
+    }
+  }
+
+  test("opqTrain: deterministic; rotation orthogonal; distortion <= plain PQ on correlated data") {
+    import spark.implicits._
+    // cross-subspace correlation — the regime OPQ exists for: an
+    // anisotropic source (geometrically decaying stds) mixed by a
+    // Hadamard rotation, so every coordinate correlates with every
+    // other ACROSS subspace boundaries; axis-aligned subspaces quantize
+    // those correlations independently and waste bits, the learned R
+    // un-mixes them
+    val d = 8
+    val rnd = new scala.util.Random(13)
+    val h: Array[Array[Double]] = { // H8 / sqrt(8), orthogonal
+      def sign(i: Int, j: Int): Int = Integer.bitCount(i & j) % 2 * -2 + 1
+      Array.tabulate(d, d)((i, j) => sign(i, j) / math.sqrt(d))
+    }
+    val rows = (0 until 1200).map { i =>
+      val z = Array.tabulate(d)(j => (rnd.nextDouble() * 2 - 1) * math.pow(0.5, j))
+      (i.toLong, Array.tabulate(d)(a =>
+        (0 until d).map(b => h(a)(b) * z(b)).sum.toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val opq = Similarity.opqTrain(corpus, "vec_id", "embedding",
+      dim = d, m = 4, ksub = 8, iters = 3, opqIters = 6)
+    val opq2 = Similarity.opqTrain(corpus, "vec_id", "embedding",
+      dim = d, m = 4, ksub = 8, iters = 3, opqIters = 6)
+    assert(opq.rotation.isDefined)
+    assert(opq.rotation.get.flatten.toSeq == opq2.rotation.get.flatten.toSeq &&
+      opq.codebooks.flatten.flatten.toSeq == opq2.codebooks.flatten.flatten.toSeq,
+      "opqTrain must be a pure function of the data")
+    val r = opq.rotation.get
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8, s"RR^T($i)($j)")
+    }
+    val plain = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      dim = d, m = 4, ksub = 8, iters = 3)
+    // quantization distortion on the unit-normalized data, computed on
+    // the driver over all rows (rotation-invariant comparison: OPQ's
+    // reconstruction rotates back with R^T)
+    val units = rows.map { case (_, v) =>
+      val dv = v.map(_.toDouble)
+      val n = math.sqrt(dv.map(x => x * x).sum)
+      dv.map(_ / n)
+    }
+    def mse(model: Similarity.PqModel): Double = {
+      val dsub = model.dsub
+      units.map { u =>
+        val x = model.rotation match {
+          case Some(rot) => Array.tabulate(d)(a =>
+            (0 until d).map(b => rot(a)(b) * u(b)).sum)
+          case None => u
+        }
+        (0 until model.m).map { s =>
+          model.codebooks(s).map { cw =>
+            (0 until dsub).map(t => { val df = x(s * dsub + t) - cw(t); df * df }).sum
+          }.min
+        }.sum
+      }.sum / units.size
+    }
+    val mseOpq = mse(opq)
+    val msePlain = mse(plain)
+    assert(mseOpq <= msePlain * 1.001,
+      s"OPQ distortion ($mseOpq) must not exceed plain PQ ($msePlain) — " +
+        "the rotation minimizes exactly this objective")
+    // measured 18.5% here — in line with the 10-30% non-parametric OPQ
+    // reports on SIFT/GIST (Ge et al. CVPR'13, Table 1); gate at 10%
+    assert(mseOpq < msePlain * 0.9,
+      s"on Hadamard-mixed anisotropic data OPQ should clearly win: " +
+        s"opq=$mseOpq plain=$msePlain")
+  }
+
+  test("ivfPq+OPQ: narrowing-only proof holds and clustered recall does not regress") {
+    import spark.implicits._
+    val d = 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, d)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + 0.15f * (rnd.nextFloat() * 2 - 1)))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 16)
+    val exact = Similarity.topK(corpus, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", dim = d,
+      nlist = 8, ivfIters = 3, m = 16, ksub = 16, pqIters = 3, opqIters = 5)
+    assert(idx.model.rotation.isDefined)
+    // full probe + corpus-wide shortlist == exact ranking, rotation or not
+    val full = idx.topK(q, "vec_id", "embedding", k = 10,
+      nprobe = 8, shortlist = 2000, corpus = corpus)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "narrowing-only proof must survive the OPQ rotation")
+    // pruned probe on the SAME tight shortlist as the residual spec
+    val got = idx.topK(q, "vec_id", "embedding", k = 10,
+      nprobe = 2, shortlist = 50, corpus = corpus)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"OPQ-rotated IVFPQ clustered recall@10 = $recall — must hold the " +
+        "residual spec's floor (rotation can only cut distortion)")
+  }
+
+  test("IvfPqIndex save/load round-trips the OPQ rotation; probe equality") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-opq").toFile.getAbsolutePath
+    val built = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
+      nlist = 4, ivfIters = 2, m = 16, ksub = 16, pqIters = 2, opqIters = 4)
+    assert(built.model.rotation.isDefined)
+    built.save(tmp)
+    val loaded = Similarity.loadIvfPq(spark, tmp)
+    assert(loaded.model.rotation.isDefined &&
+      loaded.model.rotation.get.flatten.toSeq == built.model.rotation.get.flatten.toSeq)
+    val q = embs.filter(col("vec_id") < 10)
+    val want = built.topK(q, "vec_id", "embedding", k = 5,
+      nprobe = 2, shortlist = 40, corpus = embs).collect().map(_.toSeq).toSet
+    val got = loaded.topK(q, "vec_id", "embedding", k = 5,
+      nprobe = 2, shortlist = 40, corpus = embs).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("IvfPqIndex save/load round-trips; probe prunes the snapshot's cell partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq").toFile.getAbsolutePath
     val built = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,

@@ -1091,7 +1091,53 @@ object Similarity {
       private[graft] val coded: DataFrame, // (c, id long, codes)
       private[operators] val idType: org.apache.spark.sql.types.DataType) {
 
+    /**
+     * Refine-depth AUTO-TUNE (round 10): the recall knob at FIXED index
+     * bytes. At high compression (m=16 — 16 B/vector) the ADC score's
+     * within-cluster discrimination is noise-limited on densely
+     * clustered corpora, so recall@10 tracks the FRACTION of the
+     * scanned candidates that reaches the exact re-rank, not the code
+     * precision: measured at n=1M/64 clusters/nprobe=62-of-250
+     * (ANNBENCH corpus), recall@10 = 0.43 / 0.62 / 0.84 / 1.00 at
+     * shortlist 2000 / 4000 / 8000 / 16000 — with PROBE TIME FLAT
+     * (3.7 -> 3.3 s), because the shortlist heap dominates and the
+     * re-rank join stays bounded. The rule sizes the shortlist at 1/12
+     * of the worst-case scan (the `nprobe` widest cells), clamped to
+     * [max(2k, 200), 65536]; the cap is LOUD — when it binds, recall
+     * is memory-bounded by design and the message says what to raise.
+     * One groupBy-count job over the coded layout per call (nlist rows
+     * to the driver).
+     */
+    def autoShortlist(k: Int, nprobe: Int): Int = {
+      val widths = coded.groupBy("c").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc).limit(nprobe)
+        .collect().map(_.getLong(1))
+      val worstScan = widths.sum
+      val floor = math.max(2 * k, 200)
+      val cap = 65536
+      val raw = (worstScan / 12).toInt
+      val pick = math.min(cap, math.max(floor, raw))
+      if (raw > cap) System.err.println(
+        s"[graft] autoShortlist: the 1/12-of-scan rule wants $raw candidates " +
+          s"(worst-case scan $worstScan over the $nprobe widest cells) but is " +
+          s"capped at $cap — recall is now re-rank-bounded; raise the cap via " +
+          "an explicit shortlist, grow nlist (smaller cells), or widen m.")
+      pick
+    }
+
+    /** `shortlist <= 0` selects [[autoShortlist]]. */
     def topK(queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, nprobe: Int, shortlist: Int,
+        corpus: DataFrame): DataFrame = {
+      val shortlist0 = if (shortlist <= 0) {
+        val a = autoShortlist(k, nprobe)
+        System.err.println(s"[graft] IvfPqIndex.topK: auto shortlist = $a")
+        a
+      } else shortlist
+      topKWith(queries, idCol, vecCol, k, nprobe, shortlist0, corpus)
+    }
+
+    private def topKWith(queries: DataFrame, idCol: String, vecCol: String,
         k: Int, nprobe: Int, shortlist: Int,
         corpus: DataFrame): DataFrame = {
       require(shortlist >= k, s"IvfPqIndex.topK: shortlist=$shortlist must be >= k=$k")
@@ -1334,6 +1380,76 @@ object Similarity {
       opqIters: Int = 0): DataFrame =
     buildIvfPq(corpus, idCol, vecCol, dim, nlist, 3, m, ksub, 3, opqIters)
       .topK(queries, idCol, vecCol, k, nprobe, shortlist, corpus)
+
+  // ------------------------------------------------------------------
+  // Config-driven ANN surface: the tuning knowledge from the ANNBENCH
+  // grids, exposed where a user at scale actually is — session conf.
+  // ------------------------------------------------------------------
+
+  /**
+   * One documented ANN entry point driven by session configuration —
+   * `spark.graft.ann.*`:
+   *
+   *  - `algo`      exact | int8 | bq | pq | ivf | ivfpq   (default exact)
+   *  - `nlist`     IVF cells                  (default 16; scale ~sqrt(n)/4)
+   *  - `nprobe`    probed cells               (default 12; recall knob #1)
+   *  - `m`         PQ subspaces = bytes/vector (default 16)
+   *  - `ksub`      codewords per subspace     (default 32; 256 at scale)
+   *  - `shortlist` exact-re-rank depth, or `auto` (default auto for
+   *                ivfpq, 200 for pq, 400 for bq) — recall knob #2 at
+   *                FIXED index bytes (see [[IvfPqIndex.autoShortlist]])
+   *  - `opqIters`  OPQ rotation alternations  (default 0; 8 recommended
+   *                for anisotropic/real embedding corpora — no-op on
+   *                isotropic residuals, measured)
+   *
+   * Measured recall@10 guidance (ANNBENCH, d=64, 50-query batch):
+   * uniform n=1M — ivf 1.0, pq 1.0, ivfpq(m=16) 1.0, bq 0.78;
+   * clustered n=1M — ivf 1.0, ivfpq(m=16, shortlist=2000) 0.43,
+   * ivfpq(m=16, shortlist=auto) 1.0, ivfpq(m=32) 0.99, pq(global
+   * codes) 0.27 — residual encoding + refine depth are what hold the
+   * clustered regime, and `auto` sizes the refine depth to the scan.
+   * Every algo's output schema and tie-breaks match [[topK]].
+   */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int): DataFrame = {
+    val conf = corpus.sparkSession.conf
+    def i(key: String, dflt: Int): Int =
+      conf.getOption(s"spark.graft.ann.$key").map(_.trim.toInt).getOrElse(dflt)
+    def shortlistOr(dflt: Int): Int =
+      conf.getOption("spark.graft.ann.shortlist").map(_.trim) match {
+        case Some("auto") => -1
+        case Some(v) => v.toInt
+        case None => dflt
+      }
+    conf.getOption("spark.graft.ann.algo").map(_.trim.toLowerCase).getOrElse("exact") match {
+      case "exact" => topK(corpus, queries, idCol, vecCol, k)
+      case "int8" => topKInt8(corpus, queries, idCol, vecCol, k)
+      case "bq" =>
+        bqTopK(corpus, queries, idCol, vecCol, k, dim,
+          shortlist = math.max(k, shortlistOr(400)))
+      case "pq" =>
+        val m = i("m", 16); val ksub = i("ksub", 32)
+        val model =
+          if (i("opqIters", 0) > 0)
+            opqTrain(corpus, idCol, vecCol, dim, m, ksub, iters = 3,
+              opqIters = i("opqIters", 0))
+          else pqTrain(corpus, idCol, vecCol, dim, m, ksub)
+        pqTopK(corpus, queries, idCol, vecCol, k, model,
+          shortlist = math.max(k, shortlistOr(200)))
+      case "ivf" =>
+        ivfTopK(corpus, queries, idCol, vecCol, k, dim,
+          nlist = i("nlist", 16), nprobe = i("nprobe", 12))
+      case "ivfpq" =>
+        buildIvfPq(corpus, idCol, vecCol, dim,
+          nlist = i("nlist", 16), ivfIters = 3,
+          m = i("m", 16), ksub = i("ksub", 32), pqIters = 3,
+          opqIters = i("opqIters", 0))
+          .topK(queries, idCol, vecCol, k, nprobe = i("nprobe", 12),
+            shortlist = shortlistOr(-1), corpus = corpus)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.ann.algo=$other — expected exact|int8|bq|pq|ivf|ivfpq")
+    }
+  }
 
   // ------------------------------------------------------------------
   // PCA: dimensionality reduction for embedding pipelines (the

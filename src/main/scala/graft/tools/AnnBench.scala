@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /**
- * ANN scale grid: synthesize an embedding corpus at 100-500x the
+ * ANN scale grid: synthesize an embedding corpus at 100-5000x the
  * driver testdata and run every similarity path — exact brute force,
  * IVF, PQ, BQ, IVF+PQ — measuring build time, probe time, and
  * recall@10 against the exact ranking. Two distributions:
@@ -19,8 +19,17 @@ import graft.operators.Similarity
  *    real embedding corpora actually have. Shows the probe-cost and
  *    recall headroom the hostile case hides.
  *
+ * Round 10 additions: the m=16 (16 B/vector) rows carry BOTH the fixed
+ * shortlist=2000 figure and the `auto` refine-depth figure (the
+ * fixed-memory recall fix — see IvfPqIndex.autoShortlist), an OPQ row
+ * at n<=1M documents the rotation's measured effect on this corpus's
+ * isotropic residuals, and an n=10M tier (d=64, both dists) stresses
+ * the probe's cell-collect, the shortlist heap, and the sampled
+ * trainer one order up with a reduced algo set (exact / IVF /
+ * IVFPQ-m32 / IVFPQ-m16-auto).
+ *
  * Emits one JSON line per (dist, n, algo) and writes the whole grid to
- * ANNBENCH_r9.json. Build = index construction (amortized per corpus
+ * ANNBENCH_r10.json. Build = index construction (amortized per corpus
  * snapshot in production); probe = one 50-query batch end to end
  * (collect).
  */
@@ -29,7 +38,8 @@ object AnnBench {
       buildS: Double, probeS: Double, recall: Double)
 
   def main(args: Array[String]): Unit = {
-    val ns = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(200000L, 1000000L)
+    val ns = if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(200000L, 1000000L, 10000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -46,20 +56,22 @@ object AnnBench {
       // would otherwise ride into EVERY downstream plan (a >64 KB
       // codegen unit that trips Janino on the wider pipelines, and a
       // re-synthesis on every index probe) — and a parquet scan is what
-      // a real corpus read is anyway.
-      val ids = spark.range(n).select(col("id").as("vec_id"))
-      val coords = (0 until d).map { j =>
-        val u = (xxhash64(col("vec_id"), lit(j)).cast("double") / lit(Long.MaxValue.toDouble))
-        val expr = if (dist == "uniform") u else {
-          val center = when(
-            xxhash64(pmod(col("vec_id"), lit(64L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
-          center + u * lit(0.15)
-        }
-        expr.cast("float")
-      }
+      // a real corpus read is anyway. Reused across runs when present.
       val path = s"/tmp/annbench/${dist}_$n.parquet"
-      ids.select(col("vec_id"), array(coords: _*).as("embedding"))
-        .write.mode("overwrite").parquet(path)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val ids = spark.range(n).select(col("id").as("vec_id"))
+        val coords = (0 until d).map { j =>
+          val u = (xxhash64(col("vec_id"), lit(j)).cast("double") / lit(Long.MaxValue.toDouble))
+          val expr = if (dist == "uniform") u else {
+            val center = when(
+              xxhash64(pmod(col("vec_id"), lit(64L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
+            center + u * lit(0.15)
+          }
+          expr.cast("float")
+        }
+        ids.select(col("vec_id"), array(coords: _*).as("embedding"))
+          .write.mode("overwrite").parquet(path)
+      }
       spark.read.parquet(path)
     }
 
@@ -74,6 +86,7 @@ object AnnBench {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     for (dist <- Seq("uniform", "clustered"); n <- ns) {
+      val big = n > 2000000L
       val corpus = corpusOf(dist, n).persist()
       corpus.count()
       val queries = corpus.filter(col("vec_id") < 50)
@@ -92,39 +105,59 @@ object AnnBench {
       val (ivfRes, tIvfProbe) = timed(pairsOf(
         ivf.topK(queries, "vec_id", "embedding", k, nprobe)))
       entries += Entry(dist, n, s"ivf[$nlist/$nprobe]", tIvfBuild, tIvfProbe, rec(ivfRes))
+      ivf.unpersist()
 
-      // PQ: m=16 x 256 codewords, shortlist 2k
-      val (pqModel, tPqBuild) = timed(
-        Similarity.pqTrain(corpus, "vec_id", "embedding", d, m = 16, ksub = 256))
-      val (pqRes, tPqProbe) = timed(pairsOf(
-        Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k, pqModel, shortlist = 2000)))
-      entries += Entry(dist, n, "pq[16x256]", tPqBuild, tPqProbe, rec(pqRes))
+      if (!big) {
+        // PQ: m=16 x 256 codewords, shortlist 2k
+        val (pqModel, tPqBuild) = timed(
+          Similarity.pqTrain(corpus, "vec_id", "embedding", d, m = 16, ksub = 256))
+        val (pqRes, tPqProbe) = timed(pairsOf(
+          Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k, pqModel,
+            shortlist = 2000)))
+        entries += Entry(dist, n, "pq[16x256]", tPqBuild, tPqProbe, rec(pqRes))
 
-      // BQ: training-free, shortlist 2k
-      val (bqRes, tBqProbe) = timed(pairsOf(
-        Similarity.bqTopK(corpus, queries, "vec_id", "embedding", k, d, shortlist = 2000)))
-      entries += Entry(dist, n, "bq", 0.0, tBqProbe, rec(bqRes))
+        // BQ: training-free, shortlist 2k
+        val (bqRes, tBqProbe) = timed(pairsOf(
+          Similarity.bqTopK(corpus, queries, "vec_id", "embedding", k, d, shortlist = 2000)))
+        entries += Entry(dist, n, "bq", 0.0, tBqProbe, rec(bqRes))
+      }
 
-      // IVF+PQ at two code widths: m=16 (16 B/vector) and m=32
-      // (32 B/vector) — m is the recall knob on dense clusters (finer
-      // subspaces discriminate within-cell residuals; ksub buys less
-      // at equal bits)
-      for (m <- Seq(16, 32)) {
-        val (ivfpq, tIvfPqBuild) = timed {
+      // IVF+PQ. m is bytes/vector; at the headline m=16 budget the
+      // refine depth (shortlist) is the recall knob at fixed memory —
+      // both figures recorded. The m=32 build is skipped at n=10M for
+      // the uniform dist (m=16 already saturates there in every grid).
+      def ivfpqRows(m: Int, opqIters: Int, shortlists: Seq[(String, Int)]): Unit = {
+        val tag = if (opqIters > 0) s",opq$opqIters" else ""
+        val (ivfpq, tBuild) = timed {
           val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", d,
-            nlist = nlist, ivfIters = 3, m = m, ksub = 256, pqIters = 3)
-          idx.coded.persist().count() // materialize the coded layout like a snapshot would
+            nlist = nlist, ivfIters = 3, m = m, ksub = 256, pqIters = 3,
+            opqIters = opqIters)
+          idx.coded.persist().count() // materialize like a snapshot would
           idx
         }
-        val (ivfpqRes, tIvfPqProbe) = timed(pairsOf(
-          ivfpq.topK(queries, "vec_id", "embedding", k, nprobe, shortlist = 2000, corpus)))
-        entries += Entry(dist, n, s"ivfpq[$nlist/$nprobe,${m}x256]",
-          tIvfPqBuild, tIvfPqProbe, rec(ivfpqRes))
+        shortlists.foreach { case (label, s) =>
+          val (res, tProbe) = timed(pairsOf(
+            ivfpq.topK(queries, "vec_id", "embedding", k, nprobe, s, corpus)))
+          entries += Entry(dist, n, s"ivfpq[$nlist/$nprobe,${m}x256$tag,$label]",
+            tBuild, tProbe, rec(res))
+        }
         ivfpq.coded.unpersist(blocking = false)
+      }
+      if (!big) {
+        ivfpqRows(16, 0, Seq("s2000" -> 2000, "auto" -> -1))
+        // OPQ at the headline budget: measured no-op on THIS corpus's
+        // isotropic residuals (the spec's Hadamard data shows the win)
+        if (dist == "clustered" && n >= 1000000L)
+          ivfpqRows(16, 8, Seq("s2000" -> 2000))
+        ivfpqRows(32, 0, Seq("s2000" -> 2000))
+      } else {
+        ivfpqRows(16, 0, Seq("auto" -> -1))
+        if (dist == "clustered")
+          ivfpqRows(32, 0, Seq("s2000" -> 2000, "auto" -> -1))
       }
 
       entries.filter(e => e.dist == dist && e.n == n).foreach { e =>
-        println(f"[annbench] ${e.dist}%9s n=${e.n}%8d ${e.algo}%22s " +
+        println(f"[annbench] ${e.dist}%9s n=${e.n}%8d ${e.algo}%34s " +
           f"build=${e.buildS}%7.1f s probe=${e.probeS}%6.1f s recall=${e.recall}%.3f")
       }
       corpus.unpersist(blocking = false)
@@ -136,9 +169,9 @@ object AnnBench {
         f""""recall":${"%.4f".format(e.recall)}}"""
     }.mkString(",\n  ")
     val out = s"""{"artifact":"annbench","master":"local[32]","entries":[\n  $json\n]}\n"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("ANNBENCH_r9.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get("ANNBENCH_r10.json"),
       out.getBytes("UTF-8"))
-    println(s"[annbench] wrote ANNBENCH_r9.json with ${entries.size} entries")
+    println(s"[annbench] wrote ANNBENCH_r10.json with ${entries.size} entries")
     spark.stop()
   }
 }

@@ -437,6 +437,48 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("autoShortlist: floor binds on small corpora; shortlist<=0 dispatches to auto") {
+    val idx = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
+      nlist = 4, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    val auto = idx.autoShortlist(k = 10, nprobe = 2)
+    // sf0.001 embeddings: worst-2-cell scan / 12 is far below the floor
+    assert(auto == 200, s"floor must bind on the tiny corpus, got $auto")
+    val q = embs.filter(col("vec_id") < 10)
+    val viaSentinel = idx.topK(q, "vec_id", "embedding", k = 5,
+      nprobe = 2, shortlist = -1, corpus = embs).collect().map(_.toSeq).toSet
+    val viaExplicit = idx.topK(q, "vec_id", "embedding", k = 5,
+      nprobe = 2, shortlist = auto, corpus = embs).collect().map(_.toSeq).toSet
+    assert(viaSentinel == viaExplicit && viaSentinel.nonEmpty)
+  }
+
+  test("annTopK: session-conf dispatch equals the explicit-arg calls") {
+    def clear(): Unit = Seq("algo", "nlist", "nprobe", "m", "ksub", "shortlist",
+      "opqIters").foreach(s => spark.conf.unset(s"spark.graft.ann.$s"))
+    val q = embs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    try {
+      // default = exact
+      assert(rows(Similarity.annTopK(embs, q, "vec_id", "embedding", 5, 64)) ==
+        rows(Similarity.topK(embs, q, "vec_id", "embedding", 5)))
+      // ivfpq with every knob set, shortlist auto
+      spark.conf.set("spark.graft.ann.algo", "ivfpq")
+      spark.conf.set("spark.graft.ann.nlist", "4")
+      spark.conf.set("spark.graft.ann.nprobe", "2")
+      spark.conf.set("spark.graft.ann.m", "16")
+      spark.conf.set("spark.graft.ann.ksub", "16")
+      spark.conf.set("spark.graft.ann.shortlist", "auto")
+      val got = rows(Similarity.annTopK(embs, q, "vec_id", "embedding", 5, 64))
+      val want = rows(Similarity.buildIvfPq(embs, "vec_id", "embedding", 64,
+          nlist = 4, ivfIters = 3, m = 16, ksub = 16, pqIters = 3)
+        .topK(q, "vec_id", "embedding", 5, nprobe = 2, shortlist = -1, corpus = embs))
+      assert(got == want && got.nonEmpty)
+      spark.conf.set("spark.graft.ann.algo", "nope")
+      intercept[IllegalArgumentException] {
+        Similarity.annTopK(embs, q, "vec_id", "embedding", 5, 64)
+      }
+    } finally clear()
+  }
+
   test("pqTopK guards: shortlist < k trips loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(embs, embs.limit(1), "vec_id", "embedding", k = 10,

@@ -429,17 +429,45 @@ object Similarity {
     * algorithm and scale notes). */
   def buildIvf(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nlist: Int = 16, iters: Int = 3): IvfIndex = {
+      dim: Int, nlist: Int = 16, iters: Int = 3,
+      trainPointsPerCentroid: Int = 256): IvfIndex = {
     val idType = corpus.schema(idCol).dataType
     require(integralIdType(idType),
       s"buildIvf requires an integral id column, got $idType (pre-map ids to long)")
-    // Lloyd iterations re-scan the corpus; cache the projected vectors for
-    // the duration of training (the canonical iterative-ML pattern — at
+    require(trainPointsPerCentroid >= 1,
+      s"buildIvf: trainPointsPerCentroid=$trainPointsPerCentroid must be >= 1")
+    // Lloyd iterations re-scan the TRAINING set; cache it for the
+    // duration of training (the canonical iterative-ML pattern — at
     // cluster scale this is a MEMORY_AND_DISK persist of the same shape).
     // Vectors stay in their native width (float embeddings cache at half
     // the size); the kernels widen per element.
     val data = corpus.select(col(idCol).as("id"), nativeVec(corpus, vecCol).as("v"))
       .cache()
+    // SAMPLED coarse-quantizer training (round 10 — the FAISS
+    // `max_points_per_centroid` convention, same as pqTrainOn): full-
+    // corpus Lloyd is O(n·nlist·d) PER ITERATION plus an n·d-row
+    // posexplode shuffle for the mean update — at n=10M/nlist=256 that
+    // was the 330 s build, and at corpus scale it is THE blocker that
+    // forces nlist (and with it the probe's scan fraction) artificially
+    // low. Centroid quality saturates at a few hundred points per cell,
+    // so training runs on the `nlist * trainPointsPerCentroid` rows
+    // with the lowest xxhash64(id, salt) (ties to lower id — a pure
+    // function of the ids, deterministic across runs and partitionings),
+    // and the full corpus pays exactly ONE assignment map pass for the
+    // layout. A corpus at or under the cap keeps the ORIGINAL frame —
+    // bit-identical training to the unsampled path (no re-filter, no
+    // repartition), which pins every small-SF driver gate byte-stable.
+    val wellFormed = data
+      .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
+    val cap = nlist.toLong * trainPointsPerCentroid
+    val sampled = wellFormed.count() > cap
+    val train =
+      if (!sampled) data
+      else wellFormed
+        .orderBy(xxhash64(col("id"), lit("ivftrain")), col("id"))
+        .limit(cap.toInt)
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .cache()
 
     // All centroid distances from ONE fused kernel per row
     // ([[graft.functions.CentroidDistances]]); the per-centroid struct
@@ -464,7 +492,7 @@ object Similarity {
     // yields fewer centroids — every loop below runs over
     // centroids.length, never the requested nlist. getSeq[Number]: the
     // native column may be float or double.
-    var centroids: Array[Array[Double]] = data
+    var centroids: Array[Array[Double]] = train
       .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
       .orderBy("id").limit(nlist)
       .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
@@ -474,7 +502,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       // wrong-length vectors get NULL distances (kernel length contract)
       // and thus a null assignment — excluded from the mean update
-      val assigned = data.withColumn("c", assignExpr(col("v"), centroids))
+      val assigned = train.withColumn("c", assignExpr(col("v"), centroids))
         .filter(col("c").isNotNull)
       // one aggregation job per iteration; the (c, pos, mean) result is at
       // most nlist*dim rows — assembled driver-side, no second shuffle
@@ -498,6 +526,7 @@ object Similarity {
     // blocks. Probes recompute the assignment from source unless the
     // caller pins the index with IvfIndex.persist() — one extra scan per
     // probe batch, no leak either way.
+    if (sampled) train.unpersist(blocking = false)
     data.unpersist(blocking = false)
 
     // the index layout: centroid-assigned corpus with norms computed once
@@ -1091,6 +1120,11 @@ object Similarity {
       private[graft] val coded: DataFrame, // (c, id long, codes)
       private[operators] val idType: org.apache.spark.sql.types.DataType) {
 
+    /** Release the pinned coded layout ([[Similarity.buildIvfPq]]
+      * materializes it). A loaded snapshot reads from parquet — calling
+      * this on one is a harmless no-op. */
+    def unpersist(): IvfPqIndex = { coded.unpersist(blocking = false); this }
+
     /**
      * Refine-depth AUTO-TUNE (round 10): the recall knob at FIXED index
      * bytes. At high compression (m=16 — 16 B/vector) the ADC score's
@@ -1350,12 +1384,18 @@ object Similarity {
       if (n > 0) cvec.map(_ / n) else cvec
     }
     // residuals against the ASSIGNED cell's unit centroid, one map pass
-    // over the IVF layout (id, v=u, c)
+    // over the IVF layout (id, v=u, c). PINNED for the duration of the
+    // build (round 10): the coarse assignment upstream costs
+    // O(n·nlist·d) per materialization, and without the pin both the PQ
+    // trainer's sample job and the coded encode re-pay it — measured
+    // 767 s vs 330 s for the plain IVF build at n=10M. MEMORY_AND_DISK:
+    // at corpus scale the residual frame spills rather than OOMs.
     val resid = ivf.indexed
       .filter(col("c").isNotNull)
       .select(col("id"),
         graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"),
         col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // opqIters > 0 learns the Procrustes rotation over the residual
     // sample (OPQ — see [[PqModel.rotation]]); 0 keeps the axis-aligned
     // split. Both trainers cap at the same deterministic sample.
@@ -1365,10 +1405,18 @@ object Similarity {
           trainPointsPerCodeword = 256)
       else pqTrainOn(resid.select("id", "u"), dim, m, ksub, pqIters,
         trainPointsPerCodeword = 256)
+    // the coded layout is MATERIALIZED here (persist + count) before the
+    // residual pin is released: an index build's product is its layout —
+    // leaving it lazy would re-pay the whole assignment+encode chain on
+    // the first probe (and once per downstream branch). Callers drop it
+    // with IvfPqIndex.unpersist() when done; save() writes it to parquet.
     val coded = resid
       .select(col("c"), col("id").cast("long").as("id"),
         graft.functions.PqFunctions.pqAssignCodes(pqRotated(col("u"), model), model.codebooks).as("codes"))
       .filter(col("codes").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try coded.count()
+    finally resid.unpersist(blocking = false)
     new IvfPqIndex(ivf.centroids, unitCents, model, coded, corpus.schema(idCol).dataType)
   }
 

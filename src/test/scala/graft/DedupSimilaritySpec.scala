@@ -304,6 +304,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("buildIvf sampled training: deterministic, recall earned, probe still == exact at full width") {
+    import spark.implicits._
+    // 3000 rows over 4 clear sign clusters; tiny trainPointsPerCentroid
+    // FORCES the sampled path (cap = 4*8 = 32 << 3000)
+    val rnd = new scala.util.Random(31)
+    val centers = Array(Array(1f, 1f, 1f, 1f), Array(-1f, -1f, 1f, 1f),
+      Array(1f, -1f, -1f, 1f), Array(-1f, 1f, -1f, -1f))
+    val df = (0 until 3000).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.1f * (rnd.nextFloat() * 2 - 1)))
+    }.toDF("vec_id", "embedding")
+    val a = Similarity.buildIvf(df, "vec_id", "embedding", dim = 4,
+      nlist = 4, iters = 3, trainPointsPerCentroid = 8)
+    val b = Similarity.buildIvf(df, "vec_id", "embedding", dim = 4,
+      nlist = 4, iters = 3, trainPointsPerCentroid = 8)
+    assert(a.centroids.flatten.toSeq == b.centroids.flatten.toSeq,
+      "sampled training must stay a pure function of the data")
+    // full-width probe == exact ranking (the narrowing-only property is
+    // independent of how the centroids were trained)
+    val q = df.filter(col("vec_id") < 8)
+    val exact = Similarity.topK(df, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = a.topK(q, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // pruned probe on a 32-point training sample still resolves the 4
+    // clusters: recall earned, not assumed (nprobe=2: a lowest-id init
+    // can seed one cluster twice, which merges two clusters into one
+    // cell — an IVF init property independent of the sampling)
+    val pruned = a.topK(q, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((pruned & exact).size.toDouble / exact.size >= 0.9,
+      "32-row sampled centroids must still separate 4 clean sign clusters")
+  }
+
   test("LSH occupancy guard trips loudly on degenerate (constant) embeddings") {
     import spark.implicits._
     val constant = (0 until 300)

@@ -116,20 +116,29 @@ object AnnBench {
       val nprobe =
         if (big && dist == "clustered") math.max(16, nlist / 8)
         else math.max(4, nlist / 4)
+      // coarse-trainer sample budget: the <=1M tiers pin the UNSAMPLED
+      // path (tppc * nlist >= n) so their rows stay semantics-identical
+      // to r9; the 10M tier runs the scale path (FAISS's 256/centroid
+      // convention). The IvfSampleProbe dose-response (uniform 1M,
+      // nprobe=62): tppc 256 -> 0.830, 1024 -> 0.862, full -> 1.000 --
+      // structureless data is the one shape where sampling costs cell
+      // recall; clustered corpora measure insensitive.
+      val tppc = if (big) 256 else 4096
       // build time includes materializing the layout (persist+count) —
       // the production build-once/probe-many contract, same treatment
       // as the ivfpq coded layout below; without it every probe re-pays
       // the O(n·nlist·d) assignment, which at nlist=790/n=10M dwarfs
       // the actual scan
       val (ivf, tIvfBuild) = timed {
-        val i = Similarity.buildIvf(corpus, "vec_id", "embedding", d, nlist)
+        val i = Similarity.buildIvf(corpus, "vec_id", "embedding", d, nlist,
+          iters = 3, trainPointsPerCentroid = tppc)
         i.persist()
         i.topWidths(1) // any action over the layout fills the persisted blocks
         i
       }
       val (ivfRes, tIvfProbe) = timed(pairsOf(
         ivf.topK(queries, "vec_id", "embedding", k, nprobe)))
-      entries += Entry(dist, n, s"ivf[$nlist/$nprobe]", tIvfBuild, tIvfProbe, rec(ivfRes))
+      entries += Entry(dist, n, s"ivf[$nlist/$nprobe,t$tppc]", tIvfBuild, tIvfProbe, rec(ivfRes))
       ivf.unpersist()
 
       if (!big) {
@@ -156,14 +165,14 @@ object AnnBench {
         val (ivfpq, tBuild) = timed {
           val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", d,
             nlist = nlist, ivfIters = 3, m = m, ksub = 256, pqIters = 3,
-            opqIters = opqIters)
+            opqIters = opqIters, trainPointsPerCentroid = tppc)
           idx.coded.persist().count() // materialize like a snapshot would
           idx
         }
         shortlists.foreach { case (label, s) =>
           val (res, tProbe) = timed(pairsOf(
             ivfpq.topK(queries, "vec_id", "embedding", k, nprobe, s, corpus)))
-          entries += Entry(dist, n, s"ivfpq[$nlist/$nprobe,${m}x256$tag,$label]",
+          entries += Entry(dist, n, s"ivfpq[$nlist/$nprobe,${m}x256$tag,t$tppc,$label]",
             tBuild, tProbe, rec(res))
         }
         ivfpq.coded.unpersist(blocking = false)

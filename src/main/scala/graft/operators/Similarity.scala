@@ -293,6 +293,100 @@ object Similarity {
       indexed.groupBy("c").count().orderBy(col("count").desc).limit(k)
         .collect().map(_.getLong(1)).toSeq
 
+    /**
+     * Derive `nprobe` from a MEASURED cell-recall estimate instead of a
+     * fixed probe fraction (r10's `nlist/4` convention scanned 25% of a
+     * uniform 10M corpus for recall 0.91 — a bad trade with no dial).
+     *
+     * Estimator: take the `sampleQueries` lowest-id corpus vectors as
+     * pseudo-queries and their exact cosine top-`neighborsPerQuery`
+     * over a DETERMINISTIC hash-sampled corpus slice (at most
+     * `maxSampleRows` rows — true neighbors and sampled-slice neighbors
+     * have the same CELL-coverage distribution, which is all the
+     * estimate needs, so the exact ranking never touches the full
+     * corpus). For each (query, neighbor) pair, rank the neighbor's
+     * cell in the query's nearest-centroid order; the calibrated nprobe
+     * is the `targetCellRecall` quantile of those ranks — the smallest
+     * probe width at which that fraction of true neighbors' cells is
+     * probed. Costs one bounded scan (sampleQueries x maxSampleRows
+     * cosines) + one rank collect (sampleQueries x neighborsPerQuery
+     * rows); at 100 TB this is noise against a single probe batch.
+     *
+     * The answer is honest, not optimistic: on structureless (uniform)
+     * corpora cell recall genuinely tracks the probe fraction, and the
+     * calibration will return a LARGE nprobe — the documented refusal —
+     * rather than a flattering small one.
+     */
+    def calibrateNprobe(targetCellRecall: Double = 0.95,
+        sampleQueries: Int = 32, neighborsPerQuery: Int = 10,
+        maxSampleRows: Long = 500000L): Int = {
+      require(targetCellRecall > 0 && targetCellRecall <= 1.0,
+        s"calibrateNprobe: targetCellRecall=$targetCellRecall must be in (0, 1]")
+      val nlist = centroids.length
+      val wf = indexed.filter(col("c").isNotNull && col("vn") > 0)
+      val n = wf.count()
+      if (n == 0) return math.max(1, nlist / 4)
+      val step = math.max(1L, n / math.max(1L, maxSampleRows))
+      val qFrame = wf.orderBy("id").limit(sampleQueries)
+        .select(col("id").cast("long").as("query_id"), col("v").as("qv"),
+          col("vn").as("qn"))
+      val sample = wf.filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
+        // the cell tag below is id*nlist+c — exclude the (pathological)
+        // id magnitudes that would overflow it; the estimate only needs
+        // a representative slice, not any particular rows
+        .filter(abs(col("id").cast("long")) < lit(Long.MaxValue / (2L * nlist)))
+      // exact cosine top-n of each pseudo-query over the slice, carrying
+      // the neighbor's CELL through the heap (id is cell-tagged:
+      // id * nlist + c — both recovered below; ids here are longs and
+      // the tag is reversible for id < Long.MaxValue/nlist, which a
+      // calibration sample never approaches)
+      val scored = sample.crossJoin(broadcast(qFrame))
+        .filter(col("query_id") =!= col("id").cast("long"))
+        .select(col("query_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"),
+          (col("id").cast("long") * nlist + col("c")).as("tagged"))
+      val ranksPerQuery = scored.groupBy("query_id")
+        .agg(TopKFunctions.topKByScore(col("cos"), col("tagged"), neighborsPerQuery)
+          .as("_n"))
+        .select(col("query_id"), explode(col("_n.id")).as("tagged"))
+        .collect()
+        .map(r => r.getLong(0) -> java.lang.Math.floorMod(r.getLong(1), nlist.toLong).toInt)
+      if (ranksPerQuery.isEmpty) return math.max(1, nlist / 4)
+      // centroid order per query, computed driver-side (queries and
+      // centroids are both tiny): rank of cell c = its position in the
+      // (distance, index)-sorted cell list
+      val qVecs: Map[Long, Array[Double]] = qFrame.collect().map { r =>
+        r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray
+      }.toMap
+      def cellRanks(qv: Array[Double]): Array[Int] = {
+        val d2 = centroids.map { cvec =>
+          var s = 0.0
+          var i = 0
+          while (i < math.min(cvec.length, qv.length)) {
+            val diff = qv(i) - cvec(i); s += diff * diff; i += 1
+          }
+          s
+        }
+        val order = d2.zipWithIndex.sortBy { case (d, i) => (d, i) }.map(_._2)
+        val rank = new Array[Int](nlist)
+        order.zipWithIndex.foreach { case (cell, pos) => rank(cell) = pos + 1 }
+        rank
+      }
+      val rankCache = scala.collection.mutable.Map.empty[Long, Array[Int]]
+      val ranks = ranksPerQuery.flatMap { case (qid, cell) =>
+        qVecs.get(qid).map { qv =>
+          rankCache.getOrElseUpdate(qid, cellRanks(qv)).apply(cell)
+        }
+      }.sorted
+      val idx = math.min(ranks.length - 1,
+        math.max(0, math.ceil(targetCellRecall * ranks.length).toInt - 1))
+      val pick = math.min(nlist, math.max(1, ranks(idx)))
+      System.err.println(f"[graft] calibrateNprobe: target $targetCellRecall%.2f " +
+        s"-> nprobe $pick of $nlist (${ranks.length} neighbor-cell ranks, " +
+        s"sample step $step)")
+      pick
+    }
+
     /** Snapshot the index to storage: the centroid-assigned layout as a
       * parquet table PARTITIONED BY cell id (so a probe of `nprobe`
       * cells is a partition-pruned scan touching nprobe/nlist of the
@@ -368,8 +462,10 @@ object Similarity {
    */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
-    buildIvf(corpus, idCol, vecCol, dim, nlist, iters).topK(queries, idCol, vecCol, k, nprobe)
+      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainPointsPerCentroid: Int = 256): DataFrame =
+    buildIvf(corpus, idCol, vecCol, dim, nlist, iters, trainPointsPerCentroid)
+      .topK(queries, idCol, vecCol, k, nprobe)
 
   /**
    * Append new vectors to a saved [[IvfIndex.save]] snapshot WITHOUT
@@ -425,8 +521,25 @@ object Similarity {
     new IvfIndex(centroids, indexed, indexed.schema("id").dataType)
   }
 
+  /** Coarse-trainer AUTO sizing (`trainPointsPerCentroid = 0`): total
+    * training mass, not points-per-centroid, is what drives cell recall
+    * on structureless data (the hostile case) — the r10 10M-tier
+    * dose-response: 202k training rows -> recall 0.91, 1.05M -> 1.000
+    * at the same nprobe, and at n=1M the 262k-row sample measured 0.862
+    * vs full training's 1.000 (IvfSampleProbe). The rule trains on
+    * `min(n, max(nlist*256, 1.25M))` rows: corpora at or under ~1.25M
+    * train FULL (bit-identical to the unsampled path — keeps every
+    * small-SF gate byte-stable), larger corpora pay a FIXED ~1.25M-row
+    * training cost regardless of n — at 100 TB the build is one
+    * assignment pass plus a constant, which is the whole point of
+    * sampling. The nlist*256 floor keeps very wide codebooks
+    * (nlist > ~5k) at the FAISS points-per-centroid convention. */
+  private[graft] def autoTrainTarget(n: Long, nlist: Int): Long =
+    math.min(n, math.max(nlist.toLong * 256L, 1250000L))
+
   /** Train an [[IvfIndex]] on the corpus (see [[ivfTopK]] for the
-    * algorithm and scale notes). */
+    * algorithm and scale notes). `trainPointsPerCentroid = 0` selects
+    * the measured [[autoTrainTarget]] sizing. */
   def buildIvf(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nlist: Int = 16, iters: Int = 3,
@@ -434,8 +547,8 @@ object Similarity {
     val idType = corpus.schema(idCol).dataType
     require(integralIdType(idType),
       s"buildIvf requires an integral id column, got $idType (pre-map ids to long)")
-    require(trainPointsPerCentroid >= 1,
-      s"buildIvf: trainPointsPerCentroid=$trainPointsPerCentroid must be >= 1")
+    require(trainPointsPerCentroid >= 0,
+      s"buildIvf: trainPointsPerCentroid=$trainPointsPerCentroid must be >= 1 (or 0 = auto)")
     // Lloyd iterations re-scan the TRAINING set; cache it for the
     // duration of training (the canonical iterative-ML pattern — at
     // cluster scale this is a MEMORY_AND_DISK persist of the same shape).
@@ -459,13 +572,27 @@ object Similarity {
     // repartition), which pins every small-SF driver gate byte-stable.
     val wellFormed = data
       .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
-    val cap = nlist.toLong * trainPointsPerCentroid
-    val sampled = wellFormed.count() > cap
+    val nWellFormed = wellFormed.count()
+    val cap =
+      if (trainPointsPerCentroid == 0) autoTrainTarget(nWellFormed, nlist)
+      else nlist.toLong * trainPointsPerCentroid
+    // limit() takes an Int: a nlist*tppc product past Int.MaxValue would
+    // wrap negative in the cast — clamp loudly instead (2.1B training
+    // rows is already far past any quality saturation point)
+    val capInt =
+      if (cap <= Int.MaxValue.toLong) cap.toInt
+      else {
+        System.err.println(s"[graft] buildIvf: training cap $cap " +
+          s"(nlist=$nlist x trainPointsPerCentroid=$trainPointsPerCentroid) " +
+          s"exceeds Int.MaxValue — clamping to ${Int.MaxValue}")
+        Int.MaxValue
+      }
+    val sampled = nWellFormed > capInt
     val train =
       if (!sampled) data
       else wellFormed
         .orderBy(xxhash64(col("id"), lit("ivftrain")), col("id"))
-        .limit(cap.toInt)
+        .limit(capInt)
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .cache()
 
@@ -1121,6 +1248,35 @@ object Similarity {
    * compression only ever narrow the candidate set, the final ranking
    * is exact cosine.
    */
+  /** Depth ceiling for the HEAP shortlist engine: a bounded per-query
+    * top-k aggregate holds the full depth in every partial-aggregate
+    * buffer, so past this the probe selects via the spill-safe window
+    * rank instead (external sort — disk, not executor memory). */
+  private[graft] val HeapShortlistMax: Int = 65536
+
+  /** The 1/12-of-worst-case-scan refine-depth rule, Long end to end: at
+    * corpus scale a worst-case scan past ~25.8B rows would wrap an Int
+    * cast negative and silently bind the floor — exactly the regime the
+    * rule exists for. Clamps at Int.MaxValue (`row_number`'s range)
+    * loudly; depths past [[HeapShortlistMax]] just switch engines. */
+  private[graft] def autoShortlistRule(worstScan: Long, k: Int, nprobe: Int): Int = {
+    val floor = math.max(2L * k, 200L)
+    val pick = math.max(floor, worstScan / 12L)
+    if (pick > Int.MaxValue.toLong) {
+      System.err.println(
+        s"[graft] autoShortlist: the 1/12-of-scan rule wants $pick candidates " +
+          s"(worst-case scan $worstScan over the $nprobe widest cells) but " +
+          s"row_number caps at ${Int.MaxValue} — a multi-billion-row re-rank " +
+          "means the cells are far too wide; grow nlist.")
+      Int.MaxValue
+    } else {
+      if (pick > HeapShortlistMax) System.err.println(
+        s"[graft] autoShortlist: depth $pick exceeds the heap ceiling " +
+          s"$HeapShortlistMax — selecting via the spill-safe rank engine.")
+      pick.toInt
+    }
+  }
+
   final class IvfPqIndex private[operators] (
       private[graft] val assignCentroids: Array[Array[Double]], // raw means: cell choice
       private[graft] val unitCentroids: Array[Array[Double]],   // normalized: cdot scalar
@@ -1144,27 +1300,21 @@ object Similarity {
      * shortlist 2000 / 4000 / 8000 / 16000 — with PROBE TIME FLAT
      * (3.7 -> 3.3 s), because the shortlist heap dominates and the
      * re-rank join stays bounded. The rule sizes the shortlist at 1/12
-     * of the worst-case scan (the `nprobe` widest cells), clamped to
-     * [max(2k, 200), 65536]; the cap is LOUD — when it binds, recall
-     * is memory-bounded by design and the message says what to raise.
-     * One groupBy-count job over the coded layout per call (nlist rows
-     * to the driver).
+     * of the worst-case scan (the `nprobe` widest cells), floored at
+     * max(2k, 200). Depths past [[Similarity.HeapShortlistMax]] switch
+     * the selection engine from the bounded per-query heap to a
+     * SPILL-SAFE rank (window `row_number`, external sort) — see
+     * [[topK]] — so the depth is no longer memory-clamped: wide-cluster
+     * corpora (r10's clustered n=10M, ~156k-row cells) get the full
+     * 1/12-of-scan depth instead of the 65536 ceiling that held recall
+     * at 0.82. One groupBy-count job over the coded layout per call
+     * (nlist rows to the driver).
      */
     def autoShortlist(k: Int, nprobe: Int): Int = {
       val widths = coded.groupBy("c").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc).limit(nprobe)
         .collect().map(_.getLong(1))
-      val worstScan = widths.sum
-      val floor = math.max(2 * k, 200)
-      val cap = 65536
-      val raw = (worstScan / 12).toInt
-      val pick = math.min(cap, math.max(floor, raw))
-      if (raw > cap) System.err.println(
-        s"[graft] autoShortlist: the 1/12-of-scan rule wants $raw candidates " +
-          s"(worst-case scan $worstScan over the $nprobe widest cells) but is " +
-          s"capped at $cap — recall is now re-rank-bounded; raise the cap via " +
-          "an explicit shortlist, grow nlist (smaller cells), or widen m.")
-      pick
+      autoShortlistRule(widths.sum, k, nprobe)
     }
 
     /** `shortlist <= 0` selects [[autoShortlist]]. */
@@ -1215,9 +1365,29 @@ object Similarity {
         .withColumn("adc", col("cdot") +
           graft.functions.PqFunctions.pqAdcScore(col("codes"), col("tab"), model.m, model.ksub))
         .filter(col("adc").isNotNull)
-      val short = scored.groupBy("query_id")
-        .agg(TopKFunctions.topKByScore(col("adc"), col("id"), shortlist).as("_s"))
-        .select(col("query_id"), explode(col("_s.id")).as("neighbor_id"))
+      // Shortlist selection runs on one of two engines by depth:
+      //  - heap (depth <= HeapShortlistMax): bounded per-query top-k
+      //    aggregate — map-side partial heaps, nothing sorts, the right
+      //    engine for the usual few-hundred-to-few-thousand depths.
+      //  - rank (deeper): window row_number over (adc desc, id) — the
+      //    heap would hold the full depth in EVERY partial-aggregate
+      //    buffer, while Spark's window sort is an external (spilling)
+      //    sort of the scanned candidates, so arbitrarily deep refine
+      //    lists cost disk, not executor memory. This is what lifts the
+      //    r10 65536 recall clamp on wide-cluster corpora.
+      val short =
+        if (shortlist <= HeapShortlistMax)
+          scored.groupBy("query_id")
+            .agg(TopKFunctions.topKByScore(col("adc"), col("id"), shortlist).as("_s"))
+            .select(col("query_id"), explode(col("_s.id")).as("neighbor_id"))
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("adc").desc, col("id").asc)
+          scored.select(col("query_id"), col("id").as("neighbor_id"),
+              row_number().over(w).as("_rn"))
+            .filter(col("_rn") <= shortlist)
+            .select(col("query_id"), col("neighbor_id"))
+        }
       val cv = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
         .withColumn("neighbor_id", col("neighbor_id").cast("long"))
       val qv = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
@@ -1430,13 +1600,19 @@ object Similarity {
   }
 
   /** One-shot convenience: build + probe (a real deployment builds the
-    * index once per corpus snapshot and probes many times). */
+    * index once per corpus snapshot and probes many times). The result
+    * is materialized (`localCheckpoint`) so the transient index's
+    * pinned coded layout can be RELEASED before returning — without
+    * that, every one-shot call leaked a session-lifetime cached frame
+    * (disk-backed blocks are not LRU-reclaimed until unpersist). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 16, ksub: Int = 32, shortlist: Int = 200,
-      opqIters: Int = 0): DataFrame =
-    buildIvfPq(corpus, idCol, vecCol, dim, nlist, 3, m, ksub, 3, opqIters)
-      .topK(queries, idCol, vecCol, k, nprobe, shortlist, corpus)
+      opqIters: Int = 0): DataFrame = {
+    val idx = buildIvfPq(corpus, idCol, vecCol, dim, nlist, 3, m, ksub, 3, opqIters)
+    try idx.topK(queries, idCol, vecCol, k, nprobe, shortlist, corpus).localCheckpoint()
+    finally idx.unpersist()
+  }
 
   // ------------------------------------------------------------------
   // Config-driven ANN surface: the tuning knowledge from the ANNBENCH
@@ -1454,7 +1630,13 @@ object Similarity {
    *  - `ksub`      codewords per subspace     (default 32; 256 at scale)
    *  - `shortlist` exact-re-rank depth, or `auto` (default auto for
    *                ivfpq, 200 for pq, 400 for bq) — recall knob #2 at
-   *                FIXED index bytes (see [[IvfPqIndex.autoShortlist]])
+   *                FIXED index bytes (see [[IvfPqIndex.autoShortlist]]);
+   *                for bq/pq — which have no probed scan to size
+   *                against — `auto` IS the per-algo default
+   *  - `tppc`      ivf/ivfpq coarse-trainer points per centroid
+   *                (default 256), or `auto` — the measured total-mass
+   *                rule ([[autoTrainTarget]]): full training at or
+   *                under ~1.25M rows, a fixed ~1.25M-row sample above
    *  - `opqIters`  OPQ rotation alternations  (default 0; 8 recommended
    *                for anisotropic/real embedding corpora — no-op on
    *                isotropic residuals, measured)
@@ -1472,9 +1654,23 @@ object Similarity {
     val conf = corpus.sparkSession.conf
     def i(key: String, dflt: Int): Int =
       conf.getOption(s"spark.graft.ann.$key").map(_.trim.toInt).getOrElse(dflt)
-    def shortlistOr(dflt: Int): Int =
+    // coarse-trainer budget for ivf/ivfpq: an int is FAISS-style
+    // points-per-centroid, `auto` (-> 0) the measured total-mass rule
+    // ([[autoTrainTarget]]). Default stays 256 — the pre-r11 behavior.
+    val tppc: Int =
+      conf.getOption("spark.graft.ann.tppc").map(_.trim) match {
+        case Some("auto") => 0
+        case Some(v) => v.toInt
+        case None => 256
+      }
+    // `auto` means "let the algo size the refine depth": ivfpq has a
+    // probed scan to size against (autoShortlist — the -1 sentinel);
+    // bq/pq have no probe structure, so `auto` resolves to the
+    // documented per-algo default instead of silently collapsing the
+    // depth to k (the pre-r11 bug: -1 reached math.max(k, -1)).
+    def shortlistOr(dflt: Int, autoValue: Int): Int =
       conf.getOption("spark.graft.ann.shortlist").map(_.trim) match {
-        case Some("auto") => -1
+        case Some("auto") => autoValue
         case Some(v) => v.toInt
         case None => dflt
       }
@@ -1483,7 +1679,7 @@ object Similarity {
       case "int8" => topKInt8(corpus, queries, idCol, vecCol, k)
       case "bq" =>
         bqTopK(corpus, queries, idCol, vecCol, k, dim,
-          shortlist = math.max(k, shortlistOr(400)))
+          shortlist = math.max(k, shortlistOr(400, 400)))
       case "pq" =>
         val m = i("m", 16); val ksub = i("ksub", 32)
         val model =
@@ -1492,17 +1688,20 @@ object Similarity {
               opqIters = i("opqIters", 0))
           else pqTrain(corpus, idCol, vecCol, dim, m, ksub)
         pqTopK(corpus, queries, idCol, vecCol, k, model,
-          shortlist = math.max(k, shortlistOr(200)))
+          shortlist = math.max(k, shortlistOr(200, 200)))
       case "ivf" =>
         ivfTopK(corpus, queries, idCol, vecCol, k, dim,
-          nlist = i("nlist", 16), nprobe = i("nprobe", 12))
+          nlist = i("nlist", 16), nprobe = i("nprobe", 12),
+          trainPointsPerCentroid = tppc)
       case "ivfpq" =>
-        buildIvfPq(corpus, idCol, vecCol, dim,
+        val idx = buildIvfPq(corpus, idCol, vecCol, dim,
           nlist = i("nlist", 16), ivfIters = 3,
           m = i("m", 16), ksub = i("ksub", 32), pqIters = 3,
-          opqIters = i("opqIters", 0))
-          .topK(queries, idCol, vecCol, k, nprobe = i("nprobe", 12),
-            shortlist = shortlistOr(-1), corpus = corpus)
+          opqIters = i("opqIters", 0), trainPointsPerCentroid = tppc)
+        try idx.topK(queries, idCol, vecCol, k, nprobe = i("nprobe", 12),
+            shortlist = shortlistOr(-1, -1), corpus = corpus)
+          .localCheckpoint()
+        finally idx.unpersist()
       case other => throw new IllegalArgumentException(
         s"spark.graft.ann.algo=$other — expected exact|int8|bq|pq|ivf|ivfpq")
     }

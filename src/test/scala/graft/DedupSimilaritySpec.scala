@@ -374,6 +374,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall unexpectedly low: $recall")
   }
 
+  test("calibrateNprobe: clustered corpora calibrate narrow; target is monotone; bounds hold") {
+    import spark.implicits._
+    // 4 well-separated sign-pattern clusters in 4-d: a query's true
+    // neighbors are its cluster-mates, which share its cell, so the
+    // measured cell recall saturates at a tiny probe width
+    val pats = Seq(Seq(1.0, 1.0, 1.0, 1.0), Seq(-1.0, -1.0, 1.0, 1.0),
+      Seq(1.0, -1.0, -1.0, 1.0), Seq(-1.0, 1.0, -1.0, -1.0))
+    val rows = (0L until 400L).map { i =>
+      val p = pats((i % 4).toInt)
+      val jitter = 0.05 * ((i / 4 % 7).toDouble / 7.0 - 0.5)
+      (i, p.map(_ * (1.0 + jitter)).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvf(df, "vec_id", "embedding", dim = 4,
+      nlist = 4, iters = 4)
+    val tight = idx.calibrateNprobe(targetCellRecall = 0.95, sampleQueries = 16,
+      neighborsPerQuery = 5)
+    assert(tight >= 1 && tight <= 2,
+      s"well-separated clusters should calibrate to ~1 probed cell, got $tight")
+    val loose = idx.calibrateNprobe(targetCellRecall = 0.5, sampleQueries = 16,
+      neighborsPerQuery = 5)
+    assert(loose <= tight, s"calibration must be monotone in the target: $loose > $tight")
+    // the calibrated width actually earns the recall it promised
+    val q = df.filter(col("vec_id") < 8)
+    val exact = Similarity.topK(df, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val probed = idx.topK(q, "vec_id", "embedding", k = 5, nprobe = tight)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val recall = probed.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"calibrated nprobe=$tight under-delivers: recall $recall")
+    // uniform-ish real testdata: result stays in [1, nlist]
+    val idx2 = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, iters = 2)
+    val p2 = idx2.calibrateNprobe(targetCellRecall = 0.9, sampleQueries = 8)
+    assert(p2 >= 1 && p2 <= 8)
+  }
+
   test("IVF survives a corpus smaller than nlist (fewer centroids than requested)") {
     val tiny = embs.filter(col("vec_id") < 5) // 5 vectors, nlist = 16
     val queries = tiny.filter(col("vec_id") < 2)

@@ -486,4 +486,76 @@ class PqSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("shortlist"))
   }
+
+  test("rank shortlist engine (depth > heap ceiling) equals the heap engine at full coverage") {
+    // A depth past HeapShortlistMax (65536) routes selection through the
+    // spill-safe window rank instead of the bounded heap. Both engines at
+    // corpus-exceeding depth + full probe must reproduce the EXACT
+    // ranking (narrowing-only proof holds on either engine), hence each
+    // other.
+    val idx = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    val q = embs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val viaHeap = rows(idx.topK(q, "vec_id", "embedding", k = 5,
+      nprobe = 8, shortlist = 65536, corpus = embs))
+    val viaRank = rows(idx.topK(q, "vec_id", "embedding", k = 5,
+      nprobe = 8, shortlist = 65537, corpus = embs))
+    val exact = rows(Similarity.topK(embs, q, "vec_id", "embedding", k = 5))
+    assert(viaRank == exact && viaHeap == exact && viaRank.nonEmpty)
+    idx.unpersist()
+  }
+
+  test("autoShortlistRule: Long arithmetic — no Int wrap at corpus-scale scans") {
+    // floor binds
+    assert(Similarity.autoShortlistRule(1000L, k = 10, nprobe = 4) == 200)
+    assert(Similarity.autoShortlistRule(1000L, k = 500, nprobe = 4) == 1000)
+    // 1/12 rule in range
+    assert(Similarity.autoShortlistRule(2400000L, k = 10, nprobe = 4) == 200000)
+    // past the heap ceiling: the depth is RETURNED (engine switches),
+    // not clamped to 65536
+    assert(Similarity.autoShortlistRule(2560000L, k = 10, nprobe = 98) == 213333)
+    // a 26B-row worst scan used to wrap (26e9/12).toInt negative and
+    // silently bind the floor; now it clamps loudly at Int.MaxValue
+    assert(Similarity.autoShortlistRule(26000000000L, k = 10, nprobe = 4) == Int.MaxValue)
+    // just under the wrap boundary stays exact
+    assert(Similarity.autoShortlistRule(12L * Int.MaxValue - 12L, k = 10, nprobe = 4) ==
+      Int.MaxValue - 1)
+  }
+
+  test("buildIvf trainPointsPerCentroid=0 (auto) trains FULL on small corpora — centroids identical") {
+    // autoTrainTarget(n, nlist) = min(n, max(nlist*256, 1.25M)): every
+    // corpus at or under 1.25M rows trains unsampled, so auto must be
+    // bit-identical to an explicit unsampled budget here.
+    assert(Similarity.autoTrainTarget(6000L, 8) == 6000L)
+    assert(Similarity.autoTrainTarget(10000000L, 790) == 1250000L)
+    assert(Similarity.autoTrainTarget(10000000L, 8192) == 8192L * 256L)
+    val auto = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, iters = 2, trainPointsPerCentroid = 0)
+    val full = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, iters = 2, trainPointsPerCentroid = Int.MaxValue / 8)
+    assert(auto.centroids.map(_.toSeq).toSeq == full.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("annTopK: shortlist=auto with algo=pq/bq resolves to the per-algo default, not k") {
+    def clear(): Unit = Seq("algo", "m", "ksub", "shortlist")
+      .foreach(s => spark.conf.unset(s"spark.graft.ann.$s"))
+    val q = embs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    try {
+      spark.conf.set("spark.graft.ann.algo", "pq")
+      spark.conf.set("spark.graft.ann.m", "16")
+      spark.conf.set("spark.graft.ann.ksub", "32")
+      spark.conf.set("spark.graft.ann.shortlist", "auto")
+      val gotPq = rows(Similarity.annTopK(embs, q, "vec_id", "embedding", 5, 64))
+      val wantPq = rows(Similarity.pqTopK(embs, q, "vec_id", "embedding", k = 5,
+        dim = 64, m = 16, ksub = 32, iters = 3, shortlist = 200))
+      assert(gotPq == wantPq && gotPq.nonEmpty)
+      spark.conf.set("spark.graft.ann.algo", "bq")
+      val gotBq = rows(Similarity.annTopK(embs, q, "vec_id", "embedding", 5, 64))
+      val wantBq = rows(Similarity.bqTopK(embs, q, "vec_id", "embedding", k = 5,
+        dim = 64, shortlist = 400))
+      assert(gotBq == wantBq && gotBq.nonEmpty)
+    } finally clear()
+  }
 }

@@ -61,6 +61,11 @@ object Verify {
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // registry self-documentation (round 11): query name -> operator
+    // family, so correctness artifacts read as per-family coverage
+    val famJson = SparkEntry.families.filter(kv => keep(kv._1)).toSeq.sorted
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/families.json"), famJson)
     spark.stop()
   }
 }

@@ -521,21 +521,24 @@ object Similarity {
     new IvfIndex(centroids, indexed, indexed.schema("id").dataType)
   }
 
-  /** Coarse-trainer AUTO sizing (`trainPointsPerCentroid = 0`): total
-    * training mass, not points-per-centroid, is what drives cell recall
-    * on structureless data (the hostile case) — the r10 10M-tier
-    * dose-response: 202k training rows -> recall 0.91, 1.05M -> 1.000
-    * at the same nprobe, and at n=1M the 262k-row sample measured 0.862
-    * vs full training's 1.000 (IvfSampleProbe). The rule trains on
-    * `min(n, max(nlist*256, 1.25M))` rows: corpora at or under ~1.25M
-    * train FULL (bit-identical to the unsampled path — keeps every
-    * small-SF gate byte-stable), larger corpora pay a FIXED ~1.25M-row
-    * training cost regardless of n — at 100 TB the build is one
-    * assignment pass plus a constant, which is the whole point of
-    * sampling. The nlist*256 floor keeps very wide codebooks
-    * (nlist > ~5k) at the FAISS points-per-centroid convention. */
-  private[graft] def autoTrainTarget(n: Long, nlist: Int): Long =
-    math.min(n, math.max(nlist.toLong * 256L, 1250000L))
+  /** Coarse-trainer AUTO sizing (`trainPointsPerCentroid = 0`): the
+    * PER-ITERATION batch budget. Corpora at or under the target train
+    * FULL (bit-identical to the unsampled path — keeps every small-SF
+    * gate byte-stable); larger corpora train MINI-BATCH, a fresh
+    * deterministic ~this-many-row slice per Lloyd iteration with
+    * cumulative running-mean centroids (see [[buildIvf]]) — total
+    * training mass is effIters x target (~the full corpus at 10M)
+    * while each iteration costs a CONSTANT O(target * nlist * d)
+    * regardless of n, which is the whole point at 100 TB. Sizing:
+    * total mass, not points-per-centroid, is what drives cell recall
+    * on structureless data — the r10/r11 dose-response: one static
+    * 202k sample -> recall 0.91, one 1.25M sample -> 0.904, full ->
+    * ~1.0 at the same 25% probe. The nlist*256 floor keeps very wide
+    * codebooks (nlist > ~5k) at the FAISS points-per-centroid
+    * convention. */
+  private[graft] def autoTrainTarget(n: Long, nlist: Int,
+      floor: Long = 1250000L): Long =
+    math.min(n, math.max(nlist.toLong * 256L, floor))
 
   /** Train an [[IvfIndex]] on the corpus (see [[ivfTopK]] for the
     * algorithm and scale notes). `trainPointsPerCentroid = 0` selects
@@ -573,8 +576,14 @@ object Similarity {
     val wellFormed = data
       .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
     val nWellFormed = wellFormed.count()
+    val autoMode = trainPointsPerCentroid == 0
+    // per-iteration auto budget floor — a tuning/testing surface (specs
+    // shrink it to exercise the mini-batch path on small corpora)
+    val autoFloor = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.autoTrainFloor").map(_.trim.toLong)
+      .getOrElse(1250000L)
     val cap =
-      if (trainPointsPerCentroid == 0) autoTrainTarget(nWellFormed, nlist)
+      if (autoMode) autoTrainTarget(nWellFormed, nlist, autoFloor)
       else nlist.toLong * trainPointsPerCentroid
     // limit() takes an Int: a nlist*tppc product past Int.MaxValue would
     // wrap negative in the cast — clamp loudly instead (2.1B training
@@ -588,13 +597,27 @@ object Similarity {
         Int.MaxValue
       }
     val sampled = nWellFormed > capInt
+    // AUTO mode past the cap trains MINI-BATCH (Sculley, WWW'10): each
+    // Lloyd iteration assigns a FRESH deterministic hash slice of ~cap
+    // rows (salt = iteration index) and centroids are the cumulative
+    // per-cell running means across all batches. A static sample of the
+    // same size leaves measurable cell recall on structureless data —
+    // r11 10M-uniform measurement: static 1.25M sample 0.904 at a 25%
+    // probe vs full training ~1.0 — because the final centroids carry
+    // the one sample's jitter; the mini-batch accumulator integrates
+    // effIters x cap draws (~the whole corpus at 10M) while each
+    // iteration still costs O(cap * nlist * d): full-training quality
+    // at a per-iteration cost that is CONSTANT in n. Static explicit
+    // budgets (tppc > 0) keep the r9/r10 one-sample semantics.
+    val miniBatch = sampled && autoMode
     val train =
-      if (!sampled) data
+      if (!sampled || miniBatch) data
       else wellFormed
         .orderBy(xxhash64(col("id"), lit("ivftrain")), col("id"))
         .limit(capInt)
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .cache()
+    val batchStep = math.max(1L, nWellFormed / math.max(1L, cap))
 
     // All centroid distances from ONE fused kernel per row
     // ([[graft.functions.CentroidDistances]]); the per-centroid struct
@@ -634,24 +657,54 @@ object Similarity {
     // iterations at the same nprobe; ≥10 iterations recover it). The
     // unsampled path keeps the caller's `iters` untouched.
     val effIters = if (sampled) math.max(iters, 10) else iters
-    for (_ <- 1 to effIters) {
+    // mini-batch accumulator: cumulative per-cell sums and counts across
+    // iterations; centroid(c) = cumSum(c)/cumN(c) (the running mean —
+    // Sculley's per-center 1/N learning rate in aggregate form)
+    val cumSum = Array.fill(centroids.length)(new Array[Double](dim))
+    val cumN = new Array[Long](centroids.length)
+    for (it <- 1 to effIters) {
+      val batch =
+        if (miniBatch)
+          wellFormed.filter(
+            pmod(xxhash64(col("id"), lit(s"ivfmb$it")), lit(batchStep)) === 0)
+        else train
       // wrong-length vectors get NULL distances (kernel length contract)
       // and thus a null assignment — excluded from the mean update
-      val assigned = train.withColumn("c", assignExpr(col("v"), centroids))
+      val assigned = batch.withColumn("c", assignExpr(col("v"), centroids))
         .filter(col("c").isNotNull)
-      // one aggregation job per iteration; the (c, pos, mean) result is at
+      // one aggregation job per iteration; the (c, pos, stat) result is at
       // most nlist*dim rows — assembled driver-side, no second shuffle
-      val means = assigned
-        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("c", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .collect()
       val updated = centroids.map(_.clone())
-      means.foreach { row =>
-        val c = row.getInt(0)
-        val pos = row.getInt(1)
-        // belt-and-braces vs the length contract above: never write past
-        // a centroid's end on unexpected input shapes
-        if (pos < updated(c).length) updated(c)(pos) = row.getDouble(2)
+      if (miniBatch) {
+        val stats = assigned
+          .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("c", "pos")
+          .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("m"))
+          .collect()
+        stats.foreach { row =>
+          val c = row.getInt(0)
+          val pos = row.getInt(1)
+          // belt-and-braces vs the length contract above: never write
+          // past a centroid's end on unexpected input shapes
+          if (c < cumSum.length && pos < dim) {
+            cumSum(c)(pos) += row.getDouble(2)
+            if (pos == 0) cumN(c) += row.getLong(3)
+          }
+        }
+        for (c <- centroids.indices if cumN(c) > 0; p <- 0 until math.min(dim, updated(c).length))
+          updated(c)(p) = cumSum(c)(p) / cumN(c)
+      } else {
+        val means = assigned
+          .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("c", "pos").agg(avg(col("x").cast("double")).as("m"))
+          .collect()
+        means.foreach { row =>
+          val c = row.getInt(0)
+          val pos = row.getInt(1)
+          // belt-and-braces vs the length contract above: never write past
+          // a centroid's end on unexpected input shapes
+          if (pos < updated(c).length) updated(c)(pos) = row.getDouble(2)
+        }
       }
       centroids = updated
     }
@@ -661,7 +714,7 @@ object Similarity {
     // blocks. Probes recompute the assignment from source unless the
     // caller pins the index with IvfIndex.persist() — one extra scan per
     // probe batch, no leak either way.
-    if (sampled) train.unpersist(blocking = false)
+    if (sampled && !miniBatch) train.unpersist(blocking = false)
     data.unpersist(blocking = false)
 
     // the index layout: centroid-assigned corpus with norms computed once

@@ -374,6 +374,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall unexpectedly low: $recall")
   }
 
+  test("mini-batch auto trainer: deterministic, and the layout probes exactly at full width") {
+    // shrink the auto floor so the mini-batch path engages on the tiny
+    // corpus (cap = max(nlist*256, floor) = 1024 < n)
+    spark.conf.set("spark.graft.ann.autoTrainFloor", "64")
+    try {
+      val a = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+        nlist = 4, iters = 2, trainPointsPerCentroid = 0)
+      val b = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+        nlist = 4, iters = 2, trainPointsPerCentroid = 0)
+      assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
+        "mini-batch training must be a pure function of the data (hash-salted batches)")
+      // the mini-batch centroids differ from the static one-sample path
+      // (different training mass) but the LAYOUT contract is unchanged:
+      // full-width probe == exact brute force, whatever the centroids
+      val q = embs.filter(col("vec_id") < 5)
+      val exact = Similarity.topK(embs, q, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+      val got = a.topK(q, "vec_id", "embedding", k = 3, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+      assert(got == exact)
+      // every corpus row landed in a cell (no rows dropped by batching)
+      assert(a.topWidths(4).sum == embs.count())
+    } finally spark.conf.unset("spark.graft.ann.autoTrainFloor")
+  }
+
   test("calibrateNprobe: clustered corpora calibrate narrow; target is monotone; bounds hold") {
     import spark.implicits._
     // 4 well-separated sign-pattern clusters in 4-d: a query's true

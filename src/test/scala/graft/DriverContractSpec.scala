@@ -17,6 +17,23 @@ class DriverContractSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracle entries without queries: $dangling")
   }
 
+  test("families: covers queries exactly; family group maps are disjoint") {
+    assert(SparkEntry.families.keySet == SparkEntry.queries.keySet,
+      "families must label every query and nothing else")
+    // ++ of the group maps would silently drop a name duplicated across
+    // groups — the concatenated size must equal the sum of group sizes
+    assert(SparkEntry.familyGroupSizes.sum == SparkEntry.queries.size,
+      "a query name is duplicated across family groups")
+    // every stream_-prefixed query reports the stream family regardless
+    // of which group map it lives in
+    val misfiled = SparkEntry.families.filter { case (n, f) =>
+      n.startsWith("stream_") && f != "stream" }
+    assert(misfiled.isEmpty, s"stream_ queries not labeled stream: $misfiled")
+    val counts = SparkEntry.families.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("sky", "relational", "text", "dedup", "ann",
+      "pipeline", "stream", "multimodal", "scoring"))
+  }
+
   test("every opOnly / compositeDerived key has a matching queries entry") {
     val danglingOp = SparkEntry.opOnly.keySet -- SparkEntry.queries.keySet
     assert(danglingOp.isEmpty, s"opOnly entries without queries: $danglingOp")

@@ -1040,6 +1040,26 @@ object SparkEntry {
             shortlist = -1, corpus = e),
         q, "recall_ge_090", 0.9)
     }),
+    "ann_ivfpq_rank" -> ((s, dir) => {
+      // Round 11: the SPILL-SAFE RANK shortlist engine, driven through
+      // the driver contract. Depths past the 65536 heap ceiling select
+      // the exact-re-rank candidates via window row_number (external
+      // sort — disk, not executor memory) instead of per-query heaps;
+      // at full probe width and corpus-exceeding depth the narrowing-
+      // only property makes the result EQUAL the exact ranking, so the
+      // oracle is the strongest form — DuckDB's exact top-10, hash-
+      // compared row for row (not a gate boolean). At 100 TB this
+      // engine is what lets wide-cluster corpora take 200k+ refine
+      // depths without clamping recall at the heap bound (r10's 0.82).
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      val idx = Similarity.buildIvfPq(e, "vec_id", "embedding", dim = 64,
+        nlist = 16, ivfIters = 3, m = 16, ksub = 32, pqIters = 3)
+      try idx.topK(q, "vec_id", "embedding", k = 10, nprobe = 16,
+          shortlist = 65537, corpus = e)
+        .localCheckpoint()
+      finally idx.unpersist()
+    }),
     "stream_ann_probe" -> ((s, dir) => {
       // ONLINE ANN serving: query vectors arrive as a STREAM and probe
       // the IVFPQ index per micro-batch (foreachBatch — the probe's
@@ -2845,6 +2865,19 @@ object SparkEntry {
            |  FROM sym WHERE query_id < 50)
            |SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
            |  count(*)::BIGINT AS n_exact_rows, true AS recall_ge_080
+           |FROM ranked WHERE rank <= 10""".stripMargin,
+      // Rank-engine probe (round 11): full width + corpus-exceeding
+      // depth == the exact ranking (narrowing-only), so the oracle IS
+      // the exact top-10 — the strongest compare form, hash row for row.
+      "ann_ivfpq_rank" ->
+        s"""$dotPairs,
+           |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv
+           |        UNION ALL
+           |        SELECT id2, id1, c FROM cosv),
+           |ranked AS (SELECT query_id, neighbor_id, c,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           |  FROM sym WHERE query_id < 50)
+           |SELECT query_id, neighbor_id, rank, round(c, 4) AS cos
            |FROM ranked WHERE rank <= 10""".stripMargin,
       // IVFPQ auto-depth gate (round 10): same anchor shape; the
       // tighter 0.9 recall boolean is earned Spark-side.

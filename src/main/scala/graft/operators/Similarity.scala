@@ -319,73 +319,12 @@ object Similarity {
      */
     def calibrateNprobe(targetCellRecall: Double = 0.95,
         sampleQueries: Int = 32, neighborsPerQuery: Int = 10,
-        maxSampleRows: Long = 500000L): Int = {
-      require(targetCellRecall > 0 && targetCellRecall <= 1.0,
-        s"calibrateNprobe: targetCellRecall=$targetCellRecall must be in (0, 1]")
-      val nlist = centroids.length
-      val wf = indexed.filter(col("c").isNotNull && col("vn") > 0)
-      val n = wf.count()
-      if (n == 0) return math.max(1, nlist / 4)
-      val step = math.max(1L, n / math.max(1L, maxSampleRows))
-      val qFrame = wf.orderBy("id").limit(sampleQueries)
-        .select(col("id").cast("long").as("query_id"), col("v").as("qv"),
-          col("vn").as("qn"))
-      val sample = wf.filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
-        // the cell tag below is id*nlist+c — exclude the (pathological)
-        // id magnitudes that would overflow it; the estimate only needs
-        // a representative slice, not any particular rows
-        .filter(abs(col("id").cast("long")) < lit(Long.MaxValue / (2L * nlist)))
-      // exact cosine top-n of each pseudo-query over the slice, carrying
-      // the neighbor's CELL through the heap (id is cell-tagged:
-      // id * nlist + c — both recovered below; ids here are longs and
-      // the tag is reversible for id < Long.MaxValue/nlist, which a
-      // calibration sample never approaches)
-      val scored = sample.crossJoin(broadcast(qFrame))
-        .filter(col("query_id") =!= col("id").cast("long"))
-        .select(col("query_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"),
-          (col("id").cast("long") * nlist + col("c")).as("tagged"))
-      val ranksPerQuery = scored.groupBy("query_id")
-        .agg(TopKFunctions.topKByScore(col("cos"), col("tagged"), neighborsPerQuery)
-          .as("_n"))
-        .select(col("query_id"), explode(col("_n.id")).as("tagged"))
-        .collect()
-        .map(r => r.getLong(0) -> java.lang.Math.floorMod(r.getLong(1), nlist.toLong).toInt)
-      if (ranksPerQuery.isEmpty) return math.max(1, nlist / 4)
-      // centroid order per query, computed driver-side (queries and
-      // centroids are both tiny): rank of cell c = its position in the
-      // (distance, index)-sorted cell list
-      val qVecs: Map[Long, Array[Double]] = qFrame.collect().map { r =>
-        r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray
-      }.toMap
-      def cellRanks(qv: Array[Double]): Array[Int] = {
-        val d2 = centroids.map { cvec =>
-          var s = 0.0
-          var i = 0
-          while (i < math.min(cvec.length, qv.length)) {
-            val diff = qv(i) - cvec(i); s += diff * diff; i += 1
-          }
-          s
-        }
-        val order = d2.zipWithIndex.sortBy { case (d, i) => (d, i) }.map(_._2)
-        val rank = new Array[Int](nlist)
-        order.zipWithIndex.foreach { case (cell, pos) => rank(cell) = pos + 1 }
-        rank
-      }
-      val rankCache = scala.collection.mutable.Map.empty[Long, Array[Int]]
-      val ranks = ranksPerQuery.flatMap { case (qid, cell) =>
-        qVecs.get(qid).map { qv =>
-          rankCache.getOrElseUpdate(qid, cellRanks(qv)).apply(cell)
-        }
-      }.sorted
-      val idx = math.min(ranks.length - 1,
-        math.max(0, math.ceil(targetCellRecall * ranks.length).toInt - 1))
-      val pick = math.min(nlist, math.max(1, ranks(idx)))
-      System.err.println(f"[graft] calibrateNprobe: target $targetCellRecall%.2f " +
-        s"-> nprobe $pick of $nlist (${ranks.length} neighbor-cell ranks, " +
-        s"sample step $step)")
-      pick
-    }
+        maxSampleRows: Long = 500000L): Int =
+      calibrateNprobeFrom(
+        indexed.filter(col("c").isNotNull && col("vn") > 0),
+        centroids, targetCellRecall, sampleQueries, neighborsPerQuery,
+        maxSampleRows)
+
 
     /** Snapshot the index to storage: the centroid-assigned layout as a
       * parquet table PARTITIONED BY cell id (so a probe of `nprobe`
@@ -449,6 +388,79 @@ object Similarity {
         .withColumn("neighbor_id", col("id"))
       rankTopK(scored, k, idType)
     }
+  }
+
+  /** Shared calibration body (see [[IvfIndex.calibrateNprobe]]): `wf`
+    * is a cell-assigned layout (id, v, vn, c) — [[IvfIndex]] passes its
+    * own, [[IvfPqIndex]] assigns a corpus slice on the fly. */
+  private def calibrateNprobeFrom(wf: DataFrame,
+      centroids: Array[Array[Double]], targetCellRecall: Double,
+      sampleQueries: Int, neighborsPerQuery: Int,
+      maxSampleRows: Long): Int = {
+      require(targetCellRecall > 0 && targetCellRecall <= 1.0,
+        s"calibrateNprobe: targetCellRecall=$targetCellRecall must be in (0, 1]")
+      val nlist = centroids.length
+      val n = wf.count()
+      if (n == 0) return math.max(1, nlist / 4)
+      val step = math.max(1L, n / math.max(1L, maxSampleRows))
+      val qFrame = wf.orderBy("id").limit(sampleQueries)
+        .select(col("id").cast("long").as("query_id"), col("v").as("qv"),
+          col("vn").as("qn"))
+      val sample = wf.filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
+        // the cell tag below is id*nlist+c — exclude the (pathological)
+        // id magnitudes that would overflow it; the estimate only needs
+        // a representative slice, not any particular rows
+        .filter(abs(col("id").cast("long")) < lit(Long.MaxValue / (2L * nlist)))
+      // exact cosine top-n of each pseudo-query over the slice, carrying
+      // the neighbor's CELL through the heap (id is cell-tagged:
+      // id * nlist + c — both recovered below; ids here are longs and
+      // the tag is reversible for id < Long.MaxValue/nlist, which a
+      // calibration sample never approaches)
+      val scored = sample.crossJoin(broadcast(qFrame))
+        .filter(col("query_id") =!= col("id").cast("long"))
+        .select(col("query_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"),
+          (col("id").cast("long") * nlist + col("c")).as("tagged"))
+      val ranksPerQuery = scored.groupBy("query_id")
+        .agg(TopKFunctions.topKByScore(col("cos"), col("tagged"), neighborsPerQuery)
+          .as("_n"))
+        .select(col("query_id"), explode(col("_n.id")).as("tagged"))
+        .collect()
+        .map(r => r.getLong(0) -> java.lang.Math.floorMod(r.getLong(1), nlist.toLong).toInt)
+      if (ranksPerQuery.isEmpty) return math.max(1, nlist / 4)
+      // centroid order per query, computed driver-side (queries and
+      // centroids are both tiny): rank of cell c = its position in the
+      // (distance, index)-sorted cell list
+      val qVecs: Map[Long, Array[Double]] = qFrame.collect().map { r =>
+        r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray
+      }.toMap
+      def cellRanks(qv: Array[Double]): Array[Int] = {
+        val d2 = centroids.map { cvec =>
+          var s = 0.0
+          var i = 0
+          while (i < math.min(cvec.length, qv.length)) {
+            val diff = qv(i) - cvec(i); s += diff * diff; i += 1
+          }
+          s
+        }
+        val order = d2.zipWithIndex.sortBy { case (d, i) => (d, i) }.map(_._2)
+        val rank = new Array[Int](nlist)
+        order.zipWithIndex.foreach { case (cell, pos) => rank(cell) = pos + 1 }
+        rank
+      }
+      val rankCache = scala.collection.mutable.Map.empty[Long, Array[Int]]
+      val ranks = ranksPerQuery.flatMap { case (qid, cell) =>
+        qVecs.get(qid).map { qv =>
+          rankCache.getOrElseUpdate(qid, cellRanks(qv)).apply(cell)
+        }
+      }.sorted
+      val idx = math.min(ranks.length - 1,
+        math.max(0, math.ceil(targetCellRecall * ranks.length).toInt - 1))
+      val pick = math.min(nlist, math.max(1, ranks(idx)))
+      System.err.println(f"[graft] calibrateNprobe: target $targetCellRecall%.2f " +
+        s"-> nprobe $pick of $nlist (${ranks.length} neighbor-cell ranks, " +
+        s"sample step $step)")
+      pick
   }
 
   /**
@@ -663,10 +675,15 @@ object Similarity {
     val cumSum = Array.fill(centroids.length)(new Array[Double](dim))
     val cumN = new Array[Long](centroids.length)
     for (it <- 1 to effIters) {
+      // hash-slice FIRST, well-formedness second: the length/null guard
+      // carries an interpreted higher-order `exists` — running it after
+      // the cheap hash predicate scans ~cap rows per iteration instead
+      // of the whole corpus (measured 305 -> ~150 s at 10M x 10 iters)
       val batch =
         if (miniBatch)
-          wellFormed.filter(
+          data.filter(
             pmod(xxhash64(col("id"), lit(s"ivfmb$it")), lit(batchStep)) === 0)
+            .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
         else train
       // wrong-length vectors get NULL distances (kernel length contract)
       // and thus a null assignment — excluded from the mean update
@@ -676,19 +693,24 @@ object Similarity {
       // most nlist*dim rows — assembled driver-side, no second shuffle
       val updated = centroids.map(_.clone())
       if (miniBatch) {
-        val stats = assigned
-          .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("c", "pos")
-          .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("m"))
+        // fused typed aggregate (VectorAvgAggExpr): one nlist x (dim+1)
+        // partial per task instead of the 64x-row posexplode expansion —
+        // the mean update is no longer the iteration's dominant shuffle
+        val stats = assigned.groupBy("c")
+          .agg(VectorAggFunctions.vectorAvg(col("v")).as("mean"),
+            count(lit(1)).as("m"))
           .collect()
         stats.foreach { row =>
           val c = row.getInt(0)
-          val pos = row.getInt(1)
-          // belt-and-braces vs the length contract above: never write
-          // past a centroid's end on unexpected input shapes
-          if (c < cumSum.length && pos < dim) {
-            cumSum(c)(pos) += row.getDouble(2)
-            if (pos == 0) cumN(c) += row.getLong(3)
+          if (c >= 0 && c < cumSum.length && !row.isNullAt(1)) {
+            val mean = row.getSeq[Double](1)
+            val m = row.getLong(2)
+            // belt-and-braces vs the length contract above: never write
+            // past a centroid's end on unexpected input shapes
+            val lim = math.min(dim, mean.length)
+            var p = 0
+            while (p < lim) { cumSum(c)(p) += mean(p) * m; p += 1 }
+            cumN(c) += m
           }
         }
         for (c <- centroids.indices if cumN(c) > 0; p <- 0 until math.min(dim, updated(c).length))
@@ -1368,6 +1390,25 @@ object Similarity {
         .orderBy(col("n").desc).limit(nprobe)
         .collect().map(_.getLong(1))
       autoShortlistRule(widths.sum, k, nprobe)
+    }
+
+    /** [[IvfIndex.calibrateNprobe]] for this index's OWN coarse
+      * quantizer: the corpus slice is unit-normalized and assigned to
+      * `assignCentroids` on the fly (cell choice here is directional by
+      * construction — the index was trained on unit vectors), then the
+      * shared rank-quantile estimate runs. Pass the same corpus the
+      * probes re-rank against. */
+    def calibrateNprobe(corpus: DataFrame, idCol: String, vecCol: String,
+        targetCellRecall: Double = 0.95, sampleQueries: Int = 32,
+        neighborsPerQuery: Int = 10, maxSampleRows: Long = 500000L): Int = {
+      val dists = graft.functions.HashFunctions.centroidDistances(
+        col("u"), assignCentroids)
+      val layout = unitized(corpus, idCol, vecCol, "id")
+        .select(col("id"), col("u").as("v"), lit(1.0).as("vn"),
+          (array_position(dists, array_min(dists)) - lit(1L)).cast("int").as("c"))
+        .filter(col("c").isNotNull)
+      calibrateNprobeFrom(layout, assignCentroids, targetCellRecall,
+        sampleQueries, neighborsPerQuery, maxSampleRows)
     }
 
     /** `shortlist <= 0` selects [[autoShortlist]]. */

@@ -9,33 +9,48 @@ import graft.operators.Similarity
  * ANN scale grid: synthesize an embedding corpus at 100-5000x the
  * driver testdata and run every similarity path — exact brute force,
  * IVF, PQ, BQ, IVF+PQ — measuring build time, probe time, and
- * recall@10 against the exact ranking. Two distributions:
+ * recall@10 against the exact ranking. Distributions:
  *
- *  - `uniform`: i.i.d. coordinates — the HOSTILE case (no cluster
- *    structure for IVF cells, cosines concentrate near 0 so 1-bit and
- *    8-bit codes are all variance). Lower-bounds every approximate
- *    path's recall.
+ *  - `uniform`: i.i.d. coordinates — hostile to POSITIONAL structure
+ *    (no clusters), but in d=64 the norms concentrate, so a
+ *    directionally-trained coarse quantizer partitions it well — the
+ *    round-11 trainer/calibration work exposed this: full-quality
+ *    centroids + calibrated nprobe reach recall 1.0 at a ~1-cell scan.
  *  - `clustered`: 64 sign-pattern centers + 0.15 noise — the shape
- *    real embedding corpora actually have. Shows the probe-cost and
- *    recall headroom the hostile case hides.
+ *    real embedding corpora actually have, and the WIDE-CLUSTER stress
+ *    for the refine depth (a query's ~156k-row cluster at n=10M).
+ *  - `aniso` (n=1M only, round 11): clustered latents with per-dim
+ *    decaying scales, Hadamard-mixed — ANISOTROPIC residuals, the
+ *    regime OPQ's learned rotation exists for (Ge et al. CVPR'13);
+ *    the paired opq0/opq8 rows put the rotation's win IN the grid
+ *    instead of only in a unit spec.
  *
- * Round 10 additions: the m=16 (16 B/vector) rows carry BOTH the fixed
- * shortlist=2000 figure and the `auto` refine-depth figure (the
- * fixed-memory recall fix — see IvfPqIndex.autoShortlist), an OPQ row
- * at n<=1M documents the rotation's measured effect on this corpus's
- * isotropic residuals, and an n=10M tier (d=64, both dists) stresses
- * the probe's cell-collect, the shortlist heap, and the sampled
- * trainer one order up with a reduced algo set (exact / IVF /
- * IVFPQ-m32 / IVFPQ-m16-auto).
+ * Round 11: coarse training uses the AUTO budget everywhere
+ * (trainPointsPerCentroid = 0 -> full training at or under ~1.25M
+ * rows — bit-identical to the r9/r10 unsampled tiers — and the
+ * MINI-BATCH trainer above it, which recovers full-training recall at
+ * a per-iteration cost constant in n; the r10 one-sample t256 commit
+ * had regressed uniform 10M recall to 0.91). Each 10M tier also
+ * carries a CALIBRATED-nprobe row ([[graft.operators.Similarity.IvfIndex.calibrateNprobe]]
+ * at target 0.95) next to the fixed-fraction row, and the m=16 auto
+ * refine depth past the 65536 heap ceiling now runs on the spill-safe
+ * rank engine instead of clamping (r10's clustered-0.82 cap).
+ *
+ * Corpora are materialized to parquet (the synthesis expression would
+ * otherwise ride into every downstream plan) and reused ONLY when the
+ * generator fingerprint stamp matches — a changed synthesis
+ * regenerates instead of silently measuring stale data.
  *
  * Emits one JSON line per (dist, n, algo) and writes the whole grid to
- * ANNBENCH_r10.json. Build = index construction (amortized per corpus
+ * ANNBENCH_r11.json. Build = index construction (amortized per corpus
  * snapshot in production); probe = one 50-query batch end to end
  * (collect).
  */
 object AnnBench {
   private case class Entry(dist: String, n: Long, algo: String,
       buildS: Double, probeS: Double, recall: Double)
+
+  private val GenVer = 2 // bump when any synthesis expression changes
 
   def main(args: Array[String]): Unit = {
     val ns = if (args.nonEmpty) args.map(_.toLong).toSeq
@@ -49,30 +64,51 @@ object AnnBench {
     val k = 10
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
 
+    // H64/sqrt(64): the orthogonal mixing matrix for the aniso corpus
+    lazy val hadamard: Array[Array[Double]] = {
+      def sign(i: Int, j: Int): Int = Integer.bitCount(i & j) % 2 * -2 + 1
+      Array.tabulate(d, d)((i, j) => sign(i, j) / math.sqrt(d))
+    }
+
     def corpusOf(dist: String, n: Long): DataFrame = {
-      // u_j in [-1, 1] from xxhash64(id, j); clustered adds a sign
-      // center per (id % 64) cluster with 0.15 noise amplitude.
-      // Materialized to parquet: the 64-coordinate synthesis expression
-      // would otherwise ride into EVERY downstream plan (a >64 KB
-      // codegen unit that trips Janino on the wider pipelines, and a
-      // re-synthesis on every index probe) — and a parquet scan is what
-      // a real corpus read is anyway. Reused across runs when present.
-      val path = s"/tmp/annbench/${dist}_$n.parquet"
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val params = s"""{"dist":"$dist","n":$n,"d":$d,"genver":$GenVer}"""
+      val path = s"/tmp/annbench/${dist}_${n}_d${d}_v$GenVer.parquet"
+      val stamp = new java.io.File(s"$path/_params.json")
+      val fresh = new java.io.File(path, "_SUCCESS").exists() &&
+        stamp.exists() &&
+        new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8") == params
+      if (!fresh) {
         val ids = spark.range(n).select(col("id").as("vec_id"))
         val coords = (0 until d).map { j =>
           val u = (xxhash64(col("vec_id"), lit(j)).cast("double") / lit(Long.MaxValue.toDouble))
-          val expr = if (dist == "uniform") u else {
-            val center = when(
-              xxhash64(pmod(col("vec_id"), lit(64L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
-            center + u * lit(0.15)
+          val expr = dist match {
+            case "uniform" => u
+            case "clustered" =>
+              val center = when(
+                xxhash64(pmod(col("vec_id"), lit(64L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
+              center + u * lit(0.15)
+            case "aniso" =>
+              // clustered latent with per-dim DECAYING residual scale
+              // (0.5^(j/8): 1 -> ~0.004 across 64 dims) — Hadamard-mixed
+              // below so the anisotropy is not axis-aligned
+              val center = when(
+                xxhash64(pmod(col("vec_id"), lit(64L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
+              center + u * lit(0.15 * math.pow(0.5, j / 8.0))
           }
-          expr.cast("float")
+          expr.cast("double")
         }
-        ids.select(col("vec_id"), array(coords: _*).as("embedding"))
-          .write.mode("overwrite").parquet(path)
+        val latent = ids.select(col("vec_id"), array(coords: _*).as("z"))
+        val mixed =
+          if (dist == "aniso")
+            latent.select(col("vec_id"),
+              graft.functions.VectorFunctions.matrixProject(
+                col("z"), hadamard, new Array[Double](d)).cast("array<float>")
+                .as("embedding"))
+          else latent.select(col("vec_id"), col("z").cast("array<float>").as("embedding"))
+        mixed.write.mode("overwrite").parquet(path)
+        java.nio.file.Files.write(stamp.toPath, params.getBytes("UTF-8"))
       }
-      spark.read.parquet(path)
+      spark.read.parquet(path).select("vec_id", "embedding")
     }
 
     def timed[T](f: => T): (T, Double) = {
@@ -85,7 +121,9 @@ object AnnBench {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    for (dist <- Seq("uniform", "clustered"); n <- ns) {
+    val dists = Seq("uniform", "clustered", "aniso")
+    for (dist <- dists; n <- ns
+         if !(dist == "aniso" && n != 1000000L)) { // aniso: the 1M OPQ tier only
       val big = n > 2000000L
       val corpus = corpusOf(dist, n).persist()
       corpus.count()
@@ -97,38 +135,29 @@ object AnnBench {
       def rec(s: Set[(Long, Long)]): Double =
         if (exact.isEmpty) 1.0 else (s & exact).size.toDouble / exact.size
 
-      // IVF: nlist scales with sqrt(n)/4 (the sampled coarse trainer —
-      // round 10 — makes this affordable: training cost is bounded by
-      // nlist*256 rows, the corpus pays one assignment pass). The <=1M
-      // tiers keep the r9 configs (256 cap, probe a quarter) so rows
-      // stay comparable across rounds; the 10M tier runs the sqrt
-      // scaling with an nlist/8 probe fraction — bigger nlist is what
-      // BUYS the sublinear probe fraction at equal cell recall, and it
-      // shrinks the worst-case scan that sizes the auto refine depth.
-      // big-tier probe fraction is per-dist: clustered corpora keep cell
-      // recall at 1/8 (a query's cluster spans ~nlist/64 cells and the
-      // nearest-centroid order finds them), while uniform data has no
-      // structure for cells to exploit — cell recall IS the probe
-      // fraction there, so it keeps the 1/4 the <=1M tiers use
+      // nlist: <=1M tiers keep the r9/r10 sqrt(n)/4-capped-at-256 shape
+      // so rows stay comparable across rounds. At 10M the two regimes
+      // diverge: clustered data is where MANY cells pay (sublinear
+      // probes at equal cell recall, smaller worst-case scans), so it
+      // keeps the sqrt scaling (790); uniform data has no positional
+      // structure for extra cells to exploit — more cells only inflate
+      // the O(n*nlist*d) assignment pass — so it stays at 256.
       val nlist =
-        if (big) math.max(16, math.sqrt(n.toDouble).toInt / 4)
+        if (big && dist == "clustered") math.max(16, math.sqrt(n.toDouble).toInt / 4)
         else math.min(256, math.max(16, math.sqrt(n.toDouble).toInt / 4))
       val nprobe =
         if (big && dist == "clustered") math.max(16, nlist / 8)
         else math.max(4, nlist / 4)
-      // coarse-trainer sample budget: the <=1M tiers pin the UNSAMPLED
-      // path (tppc * nlist >= n) so their rows stay semantics-identical
-      // to r9; the 10M tier runs the scale path (FAISS's 256/centroid
-      // convention). The IvfSampleProbe dose-response (uniform 1M,
-      // nprobe=62): tppc 256 -> 0.830, 1024 -> 0.862, full -> 1.000 --
-      // structureless data is the one shape where sampling costs cell
-      // recall; clustered corpora measure insensitive.
-      val tppc = if (big) 256 else 4096
+      // Coarse training: AUTO everywhere (round 11). At or under ~1.25M
+      // rows this is EXACTLY the unsampled full training the r9/r10
+      // small tiers pinned; above it the mini-batch trainer holds
+      // full-training cell recall (uniform 10M: one-sample t256 0.91,
+      // one-sample 1.25M 0.904, mini-batch 1.000) at a per-iteration
+      // cost constant in n.
+      val tppc = 0
+
       // build time includes materializing the layout (persist+count) —
-      // the production build-once/probe-many contract, same treatment
-      // as the ivfpq coded layout below; without it every probe re-pays
-      // the O(n·nlist·d) assignment, which at nlist=790/n=10M dwarfs
-      // the actual scan
+      // the production build-once/probe-many contract
       val (ivf, tIvfBuild) = timed {
         val i = Similarity.buildIvf(corpus, "vec_id", "embedding", d, nlist,
           iters = 3, trainPointsPerCentroid = tppc)
@@ -138,7 +167,17 @@ object AnnBench {
       }
       val (ivfRes, tIvfProbe) = timed(pairsOf(
         ivf.topK(queries, "vec_id", "embedding", k, nprobe)))
-      entries += Entry(dist, n, s"ivf[$nlist/$nprobe,t$tppc]", tIvfBuild, tIvfProbe, rec(ivfRes))
+      entries += Entry(dist, n, s"ivf[$nlist/$nprobe,auto]", tIvfBuild, tIvfProbe, rec(ivfRes))
+
+      // calibrated probe width (round 11): nprobe from a MEASURED
+      // cell-recall estimate at target 0.95 instead of a fixed fraction
+      // — the big tiers record the honest scan-fraction trade
+      if (big) {
+        val (cal, tCal) = timed(ivf.calibrateNprobe(0.95))
+        val (calRes, tCalProbe) = timed(pairsOf(
+          ivf.topK(queries, "vec_id", "embedding", k, cal)))
+        entries += Entry(dist, n, s"ivf[$nlist/c$cal,auto]", tCal, tCalProbe, rec(calRes))
+      }
       ivf.unpersist()
 
       if (!big) {
@@ -156,11 +195,12 @@ object AnnBench {
         entries += Entry(dist, n, "bq", 0.0, tBqProbe, rec(bqRes))
       }
 
-      // IVF+PQ. m is bytes/vector; at the headline m=16 budget the
-      // refine depth (shortlist) is the recall knob at fixed memory —
-      // both figures recorded. The m=32 build is skipped at n=10M for
-      // the uniform dist (m=16 already saturates there in every grid).
-      def ivfpqRows(m: Int, opqIters: Int, shortlists: Seq[(String, Int)]): Unit = {
+      // IVF+PQ. m is bytes/vector; at the headline m=16 budget the auto
+      // refine depth is the recall knob at fixed memory — and past the
+      // 65536 heap ceiling it now runs on the spill-safe rank engine
+      // instead of clamping (the r10 clustered-10M 0.82).
+      def ivfpqRows(m: Int, opqIters: Int, probes: Seq[(Int, String, Int)],
+          calibrate: Boolean = false): Unit = {
         val tag = if (opqIters > 0) s",opq$opqIters" else ""
         val (ivfpq, tBuild) = timed {
           val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", d,
@@ -169,29 +209,43 @@ object AnnBench {
           idx.coded.persist().count() // materialize like a snapshot would
           idx
         }
-        shortlists.foreach { case (label, s) =>
+        // calibrated width against THIS index's own coarse quantizer
+        val allProbes = probes ++ (if (calibrate) {
+          val c = ivfpq.calibrateNprobe(corpus, "vec_id", "embedding", 0.95)
+          Seq((c, s"c$c,auto", -1))
+        } else Seq.empty)
+        allProbes.foreach { case (np, label, s) =>
           val (res, tProbe) = timed(pairsOf(
-            ivfpq.topK(queries, "vec_id", "embedding", k, nprobe, s, corpus)))
-          entries += Entry(dist, n, s"ivfpq[$nlist/$nprobe,${m}x256$tag,t$tppc,$label]",
+            ivfpq.topK(queries, "vec_id", "embedding", k, np, s, corpus)))
+          entries += Entry(dist, n, s"ivfpq[$nlist/$np,${m}x256$tag,$label]",
             tBuild, tProbe, rec(res))
         }
         ivfpq.coded.unpersist(blocking = false)
       }
       if (!big) {
-        ivfpqRows(16, 0, Seq("s2000" -> 2000, "auto" -> -1))
-        // OPQ at the headline budget: measured no-op on THIS corpus's
-        // isotropic residuals (the spec's Hadamard data shows the win)
-        if (dist == "clustered" && n >= 1000000L)
-          ivfpqRows(16, 8, Seq("s2000" -> 2000))
-        ivfpqRows(32, 0, Seq("s2000" -> 2000))
+        if (dist == "aniso") {
+          // the OPQ pair: identical index bytes + fixed depth, rotation
+          // off vs on — isolates what the learned rotation buys on
+          // anisotropic residuals
+          ivfpqRows(16, 0, Seq((nprobe, "s2000", 2000)))
+          ivfpqRows(16, 8, Seq((nprobe, "s2000", 2000)))
+        } else {
+          ivfpqRows(16, 0, Seq((nprobe, "s2000", 2000), (nprobe, "auto", -1)))
+          if (dist == "clustered" && n >= 1000000L)
+            ivfpqRows(16, 8, Seq((nprobe, "s2000", 2000)))
+          ivfpqRows(32, 0, Seq((nprobe, "s2000", 2000)))
+        }
       } else {
-        ivfpqRows(16, 0, Seq("auto" -> -1))
+        // the headline 16 B/vector budget, fixed-fraction AND calibrated
+        // probe widths (the latter against the ivfpq index's own coarse
+        // quantizer — see IvfPqIndex.calibrateNprobe)
+        ivfpqRows(16, 0, Seq((nprobe, "auto", -1)), calibrate = true)
         if (dist == "clustered")
-          ivfpqRows(32, 0, Seq("s2000" -> 2000, "auto" -> -1))
+          ivfpqRows(32, 0, Seq((nprobe, "s2000", 2000), (nprobe, "auto", -1)))
       }
 
       entries.filter(e => e.dist == dist && e.n == n).foreach { e =>
-        println(f"[annbench] ${e.dist}%9s n=${e.n}%8d ${e.algo}%34s " +
+        println(f"[annbench] ${e.dist}%9s n=${e.n}%8d ${e.algo}%36s " +
           f"build=${e.buildS}%7.1f s probe=${e.probeS}%6.1f s recall=${e.recall}%.3f")
       }
       corpus.unpersist(blocking = false)
@@ -203,9 +257,9 @@ object AnnBench {
         f""""recall":${"%.4f".format(e.recall)}}"""
     }.mkString(",\n  ")
     val out = s"""{"artifact":"annbench","master":"local[32]","entries":[\n  $json\n]}\n"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("ANNBENCH_r10.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get("ANNBENCH_r11.json"),
       out.getBytes("UTF-8"))
-    println(s"[annbench] wrote ANNBENCH_r10.json with ${entries.size} entries")
+    println(s"[annbench] wrote ANNBENCH_r11.json with ${entries.size} entries")
     spark.stop()
   }
 }

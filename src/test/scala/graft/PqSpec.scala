@@ -537,6 +537,33 @@ class PqSpec extends AnyFunSuite {
     assert(auto.centroids.map(_.toSeq).toSeq == full.centroids.map(_.toSeq).toSeq)
   }
 
+  test("IvfPqIndex.calibrateNprobe: calibrated width earns its target on clustered data") {
+    import spark.implicits._
+    val d = 16
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8, d)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + 0.15f * (rnd.nextFloat() * 2 - 1)))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfPq(corpus, "vec_id", "embedding", dim = d,
+      nlist = 8, ivfIters = 3, m = 8, ksub = 16, pqIters = 3)
+    val cal = idx.calibrateNprobe(corpus, "vec_id", "embedding",
+      targetCellRecall = 0.95, sampleQueries = 16, neighborsPerQuery = 5)
+    assert(cal >= 1 && cal <= 8)
+    assert(cal <= 3, s"8 well-separated clusters over 8 cells should calibrate narrow, got $cal")
+    val q = corpus.filter(col("vec_id") < 16)
+    val exact = Similarity.topK(corpus, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val probed = idx.topK(q, "vec_id", "embedding", k = 5, nprobe = cal,
+        shortlist = 2000, corpus = corpus)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val recall = probed.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"calibrated nprobe=$cal under-delivers: recall $recall")
+    idx.unpersist()
+  }
+
   test("annTopK: shortlist=auto with algo=pq/bq resolves to the per-algo default, not k") {
     def clear(): Unit = Seq("algo", "m", "ksub", "shortlist")
       .foreach(s => spark.conf.unset(s"spark.graft.ann.$s"))

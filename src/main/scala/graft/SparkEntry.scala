@@ -1031,14 +1031,20 @@ object SparkEntry {
       // (cell recall at nprobe=12/nlist=16 is the residual limiter).
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 50)
+      // transient index: materialize the probe (localCheckpoint), then
+      // release the pinned coded layout — the same no-session-leak
+      // pattern as ivfPqTopK (ADVICE r10)
+      val idx = Similarity.buildIvfPq(e, "vec_id", "embedding", dim = 64,
+        nlist = 16, ivfIters = 3, m = 16, ksub = 32, pqIters = 3,
+        opqIters = 4)
+      val approx =
+        try idx.topK(q, "vec_id", "embedding", k = 10, nprobe = 12,
+            shortlist = -1, corpus = e)
+          .localCheckpoint()
+        finally idx.unpersist()
       annGate(
         Similarity.topK(e, q, "vec_id", "embedding", k = 10),
-        Similarity.buildIvfPq(e, "vec_id", "embedding", dim = 64,
-          nlist = 16, ivfIters = 3, m = 16, ksub = 32, pqIters = 3,
-          opqIters = 4)
-          .topK(q, "vec_id", "embedding", k = 10, nprobe = 12,
-            shortlist = -1, corpus = e),
-        q, "recall_ge_090", 0.9)
+        approx, q, "recall_ge_090", 0.9)
     }),
     "ann_ivfpq_rank" -> ((s, dir) => {
       // Round 11: the SPILL-SAFE RANK shortlist engine, driven through
@@ -1078,10 +1084,18 @@ object SparkEntry {
         .filter(col("vec_id") < 50)
       val sink = java.nio.file.Files.createTempDirectory("graft-annstream")
         .toFile.getAbsolutePath
-      val streamed = idx.topKStream(qStream, "vec_id", "embedding",
-        k = 10, nprobe = 12, shortlist = 200, corpus = e, sinkDir = sink)
-      val batch = idx.topK(e.filter(col("vec_id") < 50), "vec_id", "embedding",
-        k = 10, nprobe = 12, shortlist = 200, corpus = e)
+      // streamed is materialized by the drain (parquet sink); batch is
+      // pinned with localCheckpoint so the transient index's coded
+      // layout can be released before the compare composes (ADVICE r10)
+      val (streamed, batch) =
+        try {
+          val st = idx.topKStream(qStream, "vec_id", "embedding",
+            k = 10, nprobe = 12, shortlist = 200, corpus = e, sinkDir = sink)
+          val b = idx.topK(e.filter(col("vec_id") < 50), "vec_id", "embedding",
+            k = 10, nprobe = 12, shortlist = 200, corpus = e)
+            .localCheckpoint()
+          (st, b)
+        } finally idx.unpersist()
       val onlyS = streamed.join(batch, streamed.columns.toSeq, "left_anti")
         .agg(count(lit(1)).as("_extra"))
       val onlyB = batch.join(streamed, batch.columns.toSeq, "left_anti")

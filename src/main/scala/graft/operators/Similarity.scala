@@ -1719,7 +1719,11 @@ object Similarity {
    *
    *  - `algo`      exact | int8 | bq | pq | ivf | ivfpq   (default exact)
    *  - `nlist`     IVF cells                  (default 16; scale ~sqrt(n)/4)
-   *  - `nprobe`    probed cells               (default 12; recall knob #1)
+   *  - `nprobe`    probed cells (default 12; recall knob #1), or `auto`
+   *                — calibrated from the measured cell-recall estimate
+   *                at `cellRecallTarget` (default 0.95; see
+   *                [[IvfIndex.calibrateNprobe]]). With tppc=auto and
+   *                shortlist=auto, algo=ivfpq is fully self-tuning.
    *  - `m`         PQ subspaces = bytes/vector (default 16)
    *  - `ksub`      codewords per subspace     (default 32; 256 at scale)
    *  - `shortlist` exact-re-rank depth, or `auto` (default auto for
@@ -1757,6 +1761,19 @@ object Similarity {
         case Some(v) => v.toInt
         case None => 256
       }
+    // probe width: an int, or `auto` (-> -1 sentinel) to CALIBRATE it
+    // from the measured cell-recall estimate at `cellRecallTarget`
+    // (see [[IvfIndex.calibrateNprobe]]) — with tppc=auto and
+    // shortlist=auto this makes algo=ivfpq fully self-tuning.
+    def nprobeOr(dflt: Int): Int =
+      conf.getOption("spark.graft.ann.nprobe").map(_.trim) match {
+        case Some("auto") => -1
+        case Some(v) => v.toInt
+        case None => dflt
+      }
+    val calTarget: Double =
+      conf.getOption("spark.graft.ann.cellRecallTarget").map(_.trim.toDouble)
+        .getOrElse(0.95)
     // `auto` means "let the algo size the refine depth": ivfpq has a
     // probed scan to size against (autoShortlist — the -1 sentinel);
     // bq/pq have no probe structure, so `auto` resolves to the
@@ -1784,15 +1801,23 @@ object Similarity {
         pqTopK(corpus, queries, idCol, vecCol, k, model,
           shortlist = math.max(k, shortlistOr(200, 200)))
       case "ivf" =>
-        ivfTopK(corpus, queries, idCol, vecCol, k, dim,
-          nlist = i("nlist", 16), nprobe = i("nprobe", 12),
-          trainPointsPerCentroid = tppc)
+        val idx = buildIvf(corpus, idCol, vecCol, dim,
+          nlist = i("nlist", 16), iters = 3, trainPointsPerCentroid = tppc)
+        val np = nprobeOr(12) match {
+          case -1 => idx.calibrateNprobe(calTarget)
+          case v => v
+        }
+        idx.topK(queries, idCol, vecCol, k, np)
       case "ivfpq" =>
         val idx = buildIvfPq(corpus, idCol, vecCol, dim,
           nlist = i("nlist", 16), ivfIters = 3,
           m = i("m", 16), ksub = i("ksub", 32), pqIters = 3,
           opqIters = i("opqIters", 0), trainPointsPerCentroid = tppc)
-        try idx.topK(queries, idCol, vecCol, k, nprobe = i("nprobe", 12),
+        val np = nprobeOr(12) match {
+          case -1 => idx.calibrateNprobe(corpus, idCol, vecCol, calTarget)
+          case v => v
+        }
+        try idx.topK(queries, idCol, vecCol, k, nprobe = np,
             shortlist = shortlistOr(-1, -1), corpus = corpus)
           .localCheckpoint()
         finally idx.unpersist()

@@ -101,6 +101,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq rank engine: window row_number selection, no CartesianProduct, broadcast re-rank") {
+    // the spill-safe deep-shortlist path (depth > 65536): selection must
+    // be a Window (external sort — spills to disk, never a driver or
+    // executor-memory bound), the probe joins must not degrade to a
+    // CartesianProduct, and the exact re-rank keeps its broadcast shape.
+    // Built directly (the gate query localCheckpoints, which hides the
+    // probe plan behind an RDD scan).
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = graft.operators.Similarity.buildIvfPq(e, "vec_id", "embedding",
+      dim = 64, nlist = 8, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    try {
+      val probe = idx.topK(e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlist = 65537, corpus = e)
+      val p = probe.queryExecution.explainString(FormattedMode)
+      assert(p.contains("Window"), s"deep shortlist must select via window rank:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"rank-engine probe must never be a CartesianProduct:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the exact re-rank joins must broadcast:\n$p")
+      assert(p.contains("partial_topk_agg"),
+        s"the final k-heap must keep its partial/final split:\n$p")
+    } finally idx.unpersist()
+  }
+
   test("q_split_assign is map-side only: no exchange anywhere in the plan") {
     val p = plan("q_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")

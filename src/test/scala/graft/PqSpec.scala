@@ -479,6 +479,23 @@ class PqSpec extends AnyFunSuite {
     } finally clear()
   }
 
+  test("annTopK: nprobe=auto calibrates and equals the explicit calibrate+probe") {
+    def clear(): Unit = Seq("algo", "nlist", "nprobe", "m", "ksub", "shortlist")
+      .foreach(s => spark.conf.unset(s"spark.graft.ann.$s"))
+    val q = embs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    try {
+      spark.conf.set("spark.graft.ann.algo", "ivf")
+      spark.conf.set("spark.graft.ann.nlist", "8")
+      spark.conf.set("spark.graft.ann.nprobe", "auto")
+      val got = rows(Similarity.annTopK(embs, q, "vec_id", "embedding", 5, 64))
+      val idx = Similarity.buildIvf(embs, "vec_id", "embedding", 64, nlist = 8, iters = 3)
+      val cal = idx.calibrateNprobe(0.95)
+      val want = rows(idx.topK(q, "vec_id", "embedding", 5, cal))
+      assert(got == want && got.nonEmpty)
+    } finally clear()
+  }
+
   test("pqTopK guards: shortlist < k trips loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(embs, embs.limit(1), "vec_id", "embedding", k = 10,

@@ -1226,15 +1226,45 @@ object Similarity {
       .agg(TopKFunctions.topKByScore(col("adc"), col("cid"), shortlist).as("_s"))
       .select(col("query_id"), explode(col("_s.id")).as("neighbor_id"))
     // ... then exact cosines on shortlist rows only
+    rerankExact(short, corpus, queries, idCol, vecCol, k, idType,
+      nQueriesTimesShortlist(queries, idCol, shortlist))
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist — the
+    * shared refine stage of every compressed probe. When the shortlist
+    * is provably bounded (`boundedRows`), it BROADCASTS against the
+    * corpus scan: without the hint the join has no size stats for the
+    * aggregate-derived shortlist side and falls to a sort-merge join
+    * that SORTS THE CORPUS — measured 30.8 s of a 10M-row probe whose
+    * scan was 2M rows (r11). The deep rank-engine shortlists exceed the
+    * bound and keep the shuffle join (they are genuinely large). */
+  private def rerankExact(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      idType: org.apache.spark.sql.types.DataType,
+      boundedRows: Option[Long]): DataFrame = {
     val cv = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
       .withColumn("neighbor_id", col("neighbor_id").cast("long"))
     val qv = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
-    val exactScored = short
+    val shortSide =
+      if (boundedRows.exists(_ <= BroadcastShortlistRows)) broadcast(short)
+      else short
+    val exactScored = shortSide
       .join(cv, "neighbor_id")
       .join(broadcast(qv), "query_id")
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     rankTopK(exactScored, k, idType)
   }
+
+  /** Shortlist-side row bound for the broadcast re-rank: 4M (query_id,
+    * neighbor_id) longs ~ 64 MB built — safely under executor budgets. */
+  private val BroadcastShortlistRows = 4000000L
+
+  /** Upper bound on shortlist rows = |queries| x depth. The queries
+    * frame is small by contract (it rides broadcast through every
+    * probe), so the count is noise next to the probe itself. */
+  private def nQueriesTimesShortlist(queries: DataFrame, idCol: String,
+      shortlist: Long): Option[Long] =
+    Some(queries.select(col(idCol)).count() * shortlist)
 
   /** One-shot convenience: train + encode + probe (see [[pqTrain]] /
     * [[pqTopK]]; a real deployment trains once and probes many times). */
@@ -1284,14 +1314,8 @@ object Similarity {
       .agg(TopKFunctions.topKByScore(col("ham").cast("double"), col("cid"),
         shortlist, largest = false).as("_s"))
       .select(col("query_id"), explode(col("_s.id")).as("neighbor_id"))
-    val cv = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-      .withColumn("neighbor_id", col("neighbor_id").cast("long"))
-    val qv = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
-    val exactScored = short
-      .join(cv, "neighbor_id")
-      .join(broadcast(qv), "query_id")
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    rankTopK(exactScored, k, idType)
+    rerankExact(short, corpus, queries, idCol, vecCol, k, idType,
+      nQueriesTimesShortlist(queries, idCol, shortlist))
   }
 
   /**
@@ -1482,14 +1506,11 @@ object Similarity {
             .filter(col("_rn") <= shortlist)
             .select(col("query_id"), col("neighbor_id"))
         }
-      val cv = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-        .withColumn("neighbor_id", col("neighbor_id").cast("long"))
-      val qv = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
-      val exactScored = short
-        .join(cv, "neighbor_id")
-        .join(broadcast(qv), "query_id")
-        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      rankTopK(exactScored, k, idType)
+      // query count from the PINNED probe set (localCheckpoint above) —
+      // no extra evaluation of a possibly-nondeterministic queries frame
+      val nQ = probed.select("query_id").distinct().count()
+      rerankExact(short, corpus, queries, idCol, vecCol, k, idType,
+        Some(nQ * shortlist.toLong))
     }
 
     /**

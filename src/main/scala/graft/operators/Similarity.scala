@@ -629,7 +629,10 @@ object Similarity {
         .limit(capInt)
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .cache()
-    val batchStep = math.max(1L, nWellFormed / math.max(1L, cap))
+    // ceiling division: floor would make corpora just past the cap
+    // (cap < n < 2*cap) take step=1 — a FULL pass per iteration
+    val batchStep = math.max(1L,
+      (nWellFormed + math.max(1L, cap) - 1L) / math.max(1L, cap))
 
     // All centroid distances from ONE fused kernel per row
     // ([[graft.functions.CentroidDistances]]); the per-centroid struct

@@ -375,27 +375,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("mini-batch auto trainer: deterministic, and the layout probes exactly at full width") {
-    // shrink the auto floor so the mini-batch path engages on the tiny
-    // corpus (cap = max(nlist*256, floor) = 1024 < n)
+    import spark.implicits._
+    // 3000 rows with nlist=4 and a shrunk floor: cap = max(4*256, 64) =
+    // 1024 < 3000, so the MINI-BATCH path engages (batchStep =
+    // ceil(3000/1024) = 3 — each Lloyd iteration sees a fresh ~1000-row
+    // hash slice)
+    val corpus = (0L until 3000L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
     spark.conf.set("spark.graft.ann.autoTrainFloor", "64")
     try {
-      val a = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+      val a = Similarity.buildIvf(corpus, "vec_id", "embedding", dim = 8,
         nlist = 4, iters = 2, trainPointsPerCentroid = 0)
-      val b = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+      val b = Similarity.buildIvf(corpus, "vec_id", "embedding", dim = 8,
         nlist = 4, iters = 2, trainPointsPerCentroid = 0)
       assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
         "mini-batch training must be a pure function of the data (hash-salted batches)")
       // the mini-batch centroids differ from the static one-sample path
       // (different training mass) but the LAYOUT contract is unchanged:
       // full-width probe == exact brute force, whatever the centroids
-      val q = embs.filter(col("vec_id") < 5)
-      val exact = Similarity.topK(embs, q, "vec_id", "embedding", k = 3)
+      val static = Similarity.buildIvf(corpus, "vec_id", "embedding", dim = 8,
+        nlist = 4, iters = 2, trainPointsPerCentroid = 256)
+      assert(a.centroids.map(_.toSeq).toSeq != static.centroids.map(_.toSeq).toSeq,
+        "the mini-batch path must actually have engaged (cap < n)")
+      val q = corpus.filter(col("vec_id") < 5)
+      val exact = Similarity.topK(corpus, q, "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
       val got = a.topK(q, "vec_id", "embedding", k = 3, nprobe = 4)
         .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
       assert(got == exact)
       // every corpus row landed in a cell (no rows dropped by batching)
-      assert(a.topWidths(4).sum == embs.count())
+      assert(a.topWidths(4).sum == 3000L)
     } finally spark.conf.unset("spark.graft.ann.autoTrainFloor")
   }
 

@@ -569,7 +569,14 @@ object Similarity {
     // cluster scale this is a MEMORY_AND_DISK persist of the same shape).
     // Vectors stay in their native width (float embeddings cache at half
     // the size); the kernels widen per element.
+    // well-formedness is computed ONCE into the cache as a boolean: the
+    // length/null guard carries an interpreted higher-order `exists`,
+    // and the mini-batch loop re-filters per iteration — with the
+    // predicate re-evaluated over the cached corpus every time, it
+    // measured ~60 of the 77 s/iteration at 10M/nlist=790 (r11
+    // IvfBuildProfile). A cached boolean costs one byte per row.
     val data = corpus.select(col(idCol).as("id"), nativeVec(corpus, vecCol).as("v"))
+      .withColumn("_wf", size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
       .cache()
     // SAMPLED coarse-quantizer training (round 10 — the FAISS
     // `max_points_per_centroid` convention, same as pqTrainOn): full-
@@ -585,8 +592,7 @@ object Similarity {
     // layout. A corpus at or under the cap keeps the ORIGINAL frame —
     // bit-identical training to the unsampled path (no re-filter, no
     // repartition), which pins every small-SF driver gate byte-stable.
-    val wellFormed = data
-      .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
+    val wellFormed = data.filter(col("_wf"))
     val nWellFormed = wellFormed.count()
     val autoMode = trainPointsPerCentroid == 0
     // per-iteration auto budget floor — a tuning/testing surface (specs
@@ -624,7 +630,7 @@ object Similarity {
     val miniBatch = sampled && autoMode
     val train =
       if (!sampled || miniBatch) data
-      else wellFormed
+      else wellFormed.drop("_wf")
         .orderBy(xxhash64(col("id"), lit("ivftrain")), col("id"))
         .limit(capInt)
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
@@ -671,6 +677,16 @@ object Similarity {
     // recall@10 1.00 with full-corpus training vs 0.85 with 3 sampled
     // iterations at the same nprobe; ≥10 iterations recover it). The
     // unsampled path keeps the caller's `iters` untouched.
+    // phase timing for build diagnosis (stderr), enabled via env
+    val timing = sys.env.contains("SPARK_GRAFT_IVF_TIMING")
+    var tPhase = System.nanoTime()
+    def phase(label: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[graft] buildIvf phase $label: ${(now - tPhase) / 1e9}%.1f s")
+      tPhase = now
+    }
+    phase("init-collect")
+
     val effIters = if (sampled) math.max(iters, 10) else iters
     // mini-batch accumulator: cumulative per-cell sums and counts across
     // iterations; centroid(c) = cumSum(c)/cumN(c) (the running mean —
@@ -678,15 +694,14 @@ object Similarity {
     val cumSum = Array.fill(centroids.length)(new Array[Double](dim))
     val cumN = new Array[Long](centroids.length)
     for (it <- 1 to effIters) {
-      // hash-slice FIRST, well-formedness second: the length/null guard
-      // carries an interpreted higher-order `exists` — running it after
-      // the cheap hash predicate scans ~cap rows per iteration instead
-      // of the whole corpus (measured 305 -> ~150 s at 10M x 10 iters)
+      // per-iteration slice: hash predicate + the CACHED well-formed
+      // boolean — nothing interpreted runs here (see the _wf comment on
+      // the data cache above)
       val batch =
         if (miniBatch)
           data.filter(
-            pmod(xxhash64(col("id"), lit(s"ivfmb$it")), lit(batchStep)) === 0)
-            .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
+            pmod(xxhash64(col("id"), lit(s"ivfmb$it")), lit(batchStep)) === 0
+              && col("_wf"))
         else train
       // wrong-length vectors get NULL distances (kernel length contract)
       // and thus a null assignment — excluded from the mean update
@@ -732,6 +747,7 @@ object Similarity {
         }
       }
       centroids = updated
+      phase(s"iter-$it")
     }
 
     // Training is over (the collect loops above materialized the cache);
@@ -744,7 +760,7 @@ object Similarity {
 
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows
-    new IvfIndex(centroids, assignedLayout(data, centroids), idType)
+    new IvfIndex(centroids, assignedLayout(data.drop("_wf"), centroids), idType)
   }
 
   /** Nearest-centroid assignment + norm annotation of an (id, v) frame —

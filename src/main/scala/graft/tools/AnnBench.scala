@@ -71,8 +71,11 @@ object AnnBench {
     }
 
     def corpusOf(dist: String, n: Long): DataFrame = {
-      val params = s"""{"dist":"$dist","n":$n,"d":$d,"genver":$GenVer}"""
-      val path = s"/tmp/annbench/${dist}_${n}_d${d}_v$GenVer.parquet"
+      // per-dist synthesis version: bumping one dist's generator must
+      // not force regeneration of the (unchanged) others
+      val synthVer = Map("aniso" -> 2).getOrElse(dist, 1)
+      val params = s"""{"dist":"$dist","n":$n,"d":$d,"genver":$GenVer,"synth":$synthVer}"""
+      val path = s"/tmp/annbench/${dist}_${n}_d${d}_v${GenVer}s$synthVer.parquet"
       val stamp = new java.io.File(s"$path/_params.json")
       val fresh = new java.io.File(path, "_SUCCESS").exists() &&
         stamp.exists() &&
@@ -90,9 +93,13 @@ object AnnBench {
             case "aniso" =>
               // clustered latent with per-dim DECAYING residual scale
               // (0.5^(j/8): 1 -> ~0.004 across 64 dims) — Hadamard-mixed
-              // below so the anisotropy is not axis-aligned
+              // below so the anisotropy is not axis-aligned. 1024 NARROW
+              // clusters (~n/1024 rows each, under any tested refine
+              // depth) so the paired opq0/opq8 rows isolate ADC code
+              // quality — the wide-cluster depth effect lives in the
+              // `clustered` dist
               val center = when(
-                xxhash64(pmod(col("vec_id"), lit(64L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
+                xxhash64(pmod(col("vec_id"), lit(1024L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
               center + u * lit(0.15 * math.pow(0.5, j / 8.0))
           }
           expr.cast("double")

@@ -1372,14 +1372,31 @@ object Similarity {
     * rank instead (external sort — disk, not executor memory). */
   private[graft] val HeapShortlistMax: Int = 65536
 
-  /** The 1/12-of-worst-case-scan refine-depth rule, Long end to end: at
-    * corpus scale a worst-case scan past ~25.8B rows would wrap an Int
-    * cast negative and silently bind the floor — exactly the regime the
-    * rule exists for. Clamps at Int.MaxValue (`row_number`'s range)
-    * loudly; depths past [[HeapShortlistMax]] just switch engines. */
+  /** Refine-depth rule, Long end to end (at corpus scale a worst-case
+    * scan past ~25.8B rows would wrap an Int cast negative and silently
+    * bind the floor — exactly the regime the rule exists for):
+    *
+    *   depth = max(floor, min(scan, max(HeapShortlistMax, scan/12)))
+    *
+    * three regimes, monotone in the scan —
+    *  - scan <= 65536: re-rank EVERYTHING scanned. Compressed-code
+    *    selection cannot beat exactness when exactness is affordable;
+    *    this is what makes narrow CALIBRATED probes work at m=16 (r11:
+    *    clustered 10M at nprobe=1 scanned ~41k rows, and the old
+    *    1/12 rule's 3.4k depth collapsed recall to 0.26 even though
+    *    cell recall was 0.998 — the information was one broadcast-able
+    *    re-rank away).
+    *  - 65536 < scan <= ~786k: the heap-engine ceiling — bounded
+    *    memory, recall-safer than 1/12 in the regime where 1/12 would
+    *    dip below it.
+    *  - above: 1/12 of the scan (the r10-measured wide-cluster knee),
+    *    on the spill-safe rank engine.
+    *
+    * Clamps at Int.MaxValue (`row_number`'s range) loudly. */
   private[graft] def autoShortlistRule(worstScan: Long, k: Int, nprobe: Int): Int = {
     val floor = math.max(2L * k, 200L)
-    val pick = math.max(floor, worstScan / 12L)
+    val pick = math.max(floor,
+      math.min(worstScan, math.max(HeapShortlistMax.toLong, worstScan / 12L)))
     if (pick > Int.MaxValue.toLong) {
       System.err.println(
         s"[graft] autoShortlist: the 1/12-of-scan rule wants $pick candidates " +

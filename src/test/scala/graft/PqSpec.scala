@@ -437,12 +437,18 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
-  test("autoShortlist: floor binds on small corpora; shortlist<=0 dispatches to auto") {
+  test("autoShortlist: small scans re-rank everything; shortlist<=0 dispatches to auto") {
     val idx = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
       nlist = 4, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
     val auto = idx.autoShortlist(k = 10, nprobe = 2)
-    // sf0.001 embeddings: worst-2-cell scan / 12 is far below the floor
-    assert(auto == 200, s"floor must bind on the tiny corpus, got $auto")
+    // sf0.001 embeddings (500 rows): the worst-2-cell scan is under the
+    // heap ceiling, so auto = the whole scan (r11 rule: exactness is
+    // affordable — re-rank everything scanned), floored at 200
+    val worst2 = idx.coded.groupBy("c").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc)
+      .limit(2).collect().map(_.getLong(1)).sum
+    assert(auto == math.max(200L, worst2),
+      s"auto must equal max(floor, whole small scan): got $auto, scan $worst2")
     val q = embs.filter(col("vec_id") < 10)
     val viaSentinel = idx.topK(q, "vec_id", "embedding", k = 5,
       nprobe = 2, shortlist = -1, corpus = embs).collect().map(_.toSeq).toSet
@@ -523,15 +529,23 @@ class PqSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
-  test("autoShortlistRule: Long arithmetic — no Int wrap at corpus-scale scans") {
-    // floor binds
-    assert(Similarity.autoShortlistRule(1000L, k = 10, nprobe = 4) == 200)
+  test("autoShortlistRule: three regimes, monotone, no Int wrap at corpus-scale scans") {
+    // small scan: re-rank EVERYTHING scanned (exactness is affordable)
+    assert(Similarity.autoShortlistRule(1000L, k = 10, nprobe = 4) == 1000)
+    assert(Similarity.autoShortlistRule(41000L, k = 10, nprobe = 1) == 41000)
+    // the floor binds below it
+    assert(Similarity.autoShortlistRule(100L, k = 10, nprobe = 4) == 200)
     assert(Similarity.autoShortlistRule(1000L, k = 500, nprobe = 4) == 1000)
-    // 1/12 rule in range
+    // mid scans: the heap ceiling holds until 1/12 exceeds it
+    assert(Similarity.autoShortlistRule(200000L, k = 10, nprobe = 8) == 65536)
+    assert(Similarity.autoShortlistRule(786431L, k = 10, nprobe = 8) == 65536)
+    // deep scans: 1/12 of the scan on the rank engine
     assert(Similarity.autoShortlistRule(2400000L, k = 10, nprobe = 4) == 200000)
-    // past the heap ceiling: the depth is RETURNED (engine switches),
-    // not clamped to 65536
     assert(Similarity.autoShortlistRule(2560000L, k = 10, nprobe = 98) == 213333)
+    // monotone across the regime boundaries
+    val pts = Seq(100L, 1000L, 65536L, 65537L, 786431L, 786444L, 2400000L, 100000000L)
+      .map(s => Similarity.autoShortlistRule(s, k = 10, nprobe = 8).toLong)
+    assert(pts == pts.sorted, s"rule must be monotone in the scan: $pts")
     // a 26B-row worst scan used to wrap (26e9/12).toInt negative and
     // silently bind the floor; now it clamps loudly at Int.MaxValue
     assert(Similarity.autoShortlistRule(26000000000L, k = 10, nprobe = 4) == Int.MaxValue)

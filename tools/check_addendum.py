@@ -76,12 +76,23 @@ def annbench_value(fname, selector):
     raise KeyError(f"no entry {dist}/{n}/{algo} in {fname}")
 
 
+def opqcheck_value(fname, selector):
+    ksub, opq, shortlist, field = selector.split("|")
+    data = json.load(open(os.path.join(ROOT, fname)))
+    for e in data["entries"]:
+        if (str(e["ksub"]), str(e["opq"]), str(e["shortlist"])) == (ksub, opq, shortlist):
+            return e[field]
+    raise KeyError(f"no entry {ksub}/{opq}/{shortlist} in {fname}")
+
+
 def evaluate(artifact, selector):
     if artifact == "testreports":
         assert selector == "count", "testreports only supports `count`"
         return testcase_count()
     if artifact.startswith("annbench:"):
         return annbench_value(artifact.split(":", 1)[1], selector)
+    if artifact.startswith("opqcheck:"):
+        return opqcheck_value(artifact.split(":", 1)[1], selector)
     return select(json.load(open(os.path.join(ROOT, artifact))), selector)
 
 

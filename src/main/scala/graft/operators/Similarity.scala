@@ -276,7 +276,22 @@ object Similarity {
   final class IvfIndex private[operators] (
       val centroids: Array[Array[Double]],
       private[operators] val indexed: DataFrame,
-      private[operators] val idType: org.apache.spark.sql.types.DataType) {
+      private[operators] val idType: org.apache.spark.sql.types.DataType,
+      // well-formed row count, known at build time — saves calibration
+      // a counting pass over the (possibly unpersisted, assignment-
+      // deriving) layout; None on loaded snapshots (parquet counts are
+      // metadata-cheap there)
+      private[operators] val rowCountHint: Option[Long] = None) {
+
+    // calibration memo (VERDICT r11 item 5): `nprobe=auto` callers were
+    // re-paying the bounded-but-real calibration scan (~2 s at 10M) on
+    // every probe of the SAME index — the width is a pure function of
+    // (index, estimator params), so it is computed once per key.
+    private val calibMemo =
+      scala.collection.mutable.Map.empty[(Double, Int, Int, Long), Int]
+    /** Test hook: how many calibration SCANS this index has run (memo
+      * hits don't increment). */
+    private[graft] var calibrationScans: Int = 0
 
     /** Pin the layout for repeated probing. CAVEAT: Spark's columnar
       * cache ENCODES array columns on its slow generic path — building
@@ -316,14 +331,25 @@ object Similarity {
      * corpora cell recall genuinely tracks the probe fraction, and the
      * calibration will return a LARGE nprobe — the documented refusal —
      * rather than a flattering small one.
+     *
+     * Memoized per estimator-parameter key (the width is a pure
+     * function of this index and the params): repeated `nprobe=auto`
+     * probes of one index pay the calibration scan exactly once.
      */
     def calibrateNprobe(targetCellRecall: Double = 0.95,
         sampleQueries: Int = 32, neighborsPerQuery: Int = 10,
-        maxSampleRows: Long = 500000L): Int =
-      calibrateNprobeFrom(
-        indexed.filter(col("c").isNotNull && col("vn") > 0),
-        centroids, targetCellRecall, sampleQueries, neighborsPerQuery,
-        maxSampleRows)
+        maxSampleRows: Long = 500000L): Int = calibMemo.getOrElseUpdate(
+      (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
+        calibrationScans += 1
+        // c is PRUNED from the pool projection: the count and the
+        // pseudo-query scan must not re-derive the O(n*nlist*d)
+        // assignment on an unpersisted layout — only the bounded sample
+        // slice is assigned (inside calibrateNprobeFrom)
+        calibrateNprobeFrom(
+          indexed.select(col("id"), col("v"), col("vn")).filter(col("vn") > 0),
+          centroids, rowCountHint, targetCellRecall, sampleQueries,
+          neighborsPerQuery, maxSampleRows)
+      })
 
 
     /** Snapshot the index to storage: the centroid-assigned layout as a
@@ -390,44 +416,64 @@ object Similarity {
     }
   }
 
-  /** Shared calibration body (see [[IvfIndex.calibrateNprobe]]): `wf`
-    * is a cell-assigned layout (id, v, vn, c) — [[IvfIndex]] passes its
-    * own, [[IvfPqIndex]] assigns a corpus slice on the fly. */
-  private def calibrateNprobeFrom(wf: DataFrame,
-      centroids: Array[Array[Double]], targetCellRecall: Double,
+  /** Shared calibration body (see [[IvfIndex.calibrateNprobe]]): `pool`
+    * is a well-formed (id, v, vn) projection — NO cell column, so
+    * neither the count nor the pseudo-query scan pays an assignment
+    * pass; only the bounded sample slice is assigned here (against
+    * `centroids`, the same argmin the layout uses). `totalRows` skips
+    * the counting pass when the caller already knows it (build-time
+    * count, persisted-layout count). */
+  private def calibrateNprobeFrom(pool: DataFrame,
+      centroids: Array[Array[Double]], totalRows: Option[Long],
+      targetCellRecall: Double,
       sampleQueries: Int, neighborsPerQuery: Int,
       maxSampleRows: Long): Int = {
       require(targetCellRecall > 0 && targetCellRecall <= 1.0,
         s"calibrateNprobe: targetCellRecall=$targetCellRecall must be in (0, 1]")
       val nlist = centroids.length
-      val n = wf.count()
-      if (n == 0) return math.max(1, nlist / 4)
+      val n = totalRows.getOrElse(pool.count())
+      if (n == 0) {
+        System.err.println("[graft] calibrateNprobe: EMPTY pool — falling " +
+          s"back to nprobe = nlist/4 = ${math.max(1, nlist / 4)} (uncalibrated)")
+        return math.max(1, nlist / 4)
+      }
       val step = math.max(1L, n / math.max(1L, maxSampleRows))
-      val qFrame = wf.orderBy("id").limit(sampleQueries)
+      val qFrame = pool.orderBy("id").limit(sampleQueries)
         .select(col("id").cast("long").as("query_id"), col("v").as("qv"),
           col("vn").as("qn"))
-      val sample = wf.filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
-        // the cell tag below is id*nlist+c — exclude the (pathological)
-        // id magnitudes that would overflow it; the estimate only needs
-        // a representative slice, not any particular rows
-        .filter(abs(col("id").cast("long")) < lit(Long.MaxValue / (2L * nlist)))
+      // assign ONLY the sampled slice (<= maxSampleRows rows) to its
+      // nearest centroid — the hash predicate pushes below this project,
+      // so the kernel never runs on unsampled rows. The cell rides the
+      // top-k heap DIRECTLY as the entry id (the heap keeps raw
+      // (score, id) pairs, no dedup), which works for every id range —
+      // the r11 id*nlist+c packing silently discarded hashed/full-range
+      // long ids via its overflow guard (ADVICE r11).
+      val dcol = graft.functions.HashFunctions.centroidDistances(col("v"), centroids)
+      val sample = pool
+        .filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
+        .withColumn("c", (array_position(dcol, array_min(dcol)) - lit(1L)).cast("int"))
+        .filter(col("c").isNotNull)
       // exact cosine top-n of each pseudo-query over the slice, carrying
-      // the neighbor's CELL through the heap (id is cell-tagged:
-      // id * nlist + c — both recovered below; ids here are longs and
-      // the tag is reversible for id < Long.MaxValue/nlist, which a
-      // calibration sample never approaches)
+      // the neighbor's CELL through the heap (exact-score ties now break
+      // to the lower cell instead of the lower neighbor id — immaterial
+      // for a rank-quantile estimate, still deterministic)
       val scored = sample.crossJoin(broadcast(qFrame))
         .filter(col("query_id") =!= col("id").cast("long"))
         .select(col("query_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"),
-          (col("id").cast("long") * nlist + col("c")).as("tagged"))
+          col("c").cast("long").as("cell"))
       val ranksPerQuery = scored.groupBy("query_id")
-        .agg(TopKFunctions.topKByScore(col("cos"), col("tagged"), neighborsPerQuery)
+        .agg(TopKFunctions.topKByScore(col("cos"), col("cell"), neighborsPerQuery)
           .as("_n"))
-        .select(col("query_id"), explode(col("_n.id")).as("tagged"))
+        .select(col("query_id"), explode(col("_n.id")).as("cell"))
         .collect()
-        .map(r => r.getLong(0) -> java.lang.Math.floorMod(r.getLong(1), nlist.toLong).toInt)
-      if (ranksPerQuery.isEmpty) return math.max(1, nlist / 4)
+        .map(r => r.getLong(0) -> r.getLong(1).toInt)
+      if (ranksPerQuery.isEmpty) {
+        System.err.println("[graft] calibrateNprobe: EMPTY neighbor sample " +
+          s"(pool $n rows, step $step, $sampleQueries pseudo-queries) — " +
+          s"falling back to nprobe = nlist/4 = ${math.max(1, nlist / 4)} (uncalibrated)")
+        return math.max(1, nlist / 4)
+      }
       // centroid order per query, computed driver-side (queries and
       // centroids are both tiny): rank of cell c = its position in the
       // (distance, index)-sorted cell list
@@ -552,6 +598,16 @@ object Similarity {
       floor: Long = 1250000L): Long =
     math.min(n, math.max(nlist.toLong * 256L, floor))
 
+  /** `nlist = 0` (auto) sizing: ~sqrt(n)/4 cells — the shape the
+    * ANNBENCH clustered tiers hand-tuned to (n=1M -> 250, n=10M -> 790;
+    * [[graft.operators.Dedup]]'s semanticPairs uses the same heuristic).
+    * Floor 16 keeps tiny corpora probing meaningfully; cap 65536 bounds
+    * the per-row assignment kernel (O(nlist*d)) and the driver-side
+    * centroid state — past that, grow a second quantizer level, not
+    * this one. */
+  private[graft] def autoNlist(n: Long): Int =
+    math.min(65536L, math.max(16L, (math.sqrt(math.max(0L, n).toDouble) / 4.0).toLong)).toInt
+
   /** Train an [[IvfIndex]] on the corpus (see [[ivfTopK]] for the
     * algorithm and scale notes). `trainPointsPerCentroid = 0` selects
     * the measured [[autoTrainTarget]] sizing. */
@@ -563,7 +619,8 @@ object Similarity {
     require(integralIdType(idType),
       s"buildIvf requires an integral id column, got $idType (pre-map ids to long)")
     require(trainPointsPerCentroid >= 0,
-      s"buildIvf: trainPointsPerCentroid=$trainPointsPerCentroid must be >= 1 (or 0 = auto)")
+      s"buildIvf: trainPointsPerCentroid=$trainPointsPerCentroid must be >= 0 (0 = auto)")
+    require(nlist >= 0, s"buildIvf: nlist=$nlist must be >= 0 (0 = auto ~ sqrt(n)/4)")
     // Lloyd iterations re-scan the TRAINING set; cache it for the
     // duration of training (the canonical iterative-ML pattern — at
     // cluster scale this is a MEMORY_AND_DISK persist of the same shape).
@@ -594,6 +651,15 @@ object Similarity {
     // repartition), which pins every small-SF driver gate byte-stable.
     val wellFormed = data.filter(col("_wf"))
     val nWellFormed = wellFormed.count()
+    // nlist=0 derives the cell count from the corpus ([[autoNlist]]):
+    // the fixed default of 16 cells that made sense at test SF is a
+    // 6%-of-corpus scan PER PROBED CELL at 10M+ (VERDICT r11 item 4)
+    val nCells = if (nlist == 0) {
+      val a = autoNlist(nWellFormed)
+      System.err.println(s"[graft] buildIvf: nlist=auto -> $a cells " +
+        s"(n=$nWellFormed well-formed rows)")
+      a
+    } else nlist
     val autoMode = trainPointsPerCentroid == 0
     // per-iteration auto budget floor — a tuning/testing surface (specs
     // shrink it to exercise the mini-batch path on small corpora)
@@ -601,8 +667,8 @@ object Similarity {
       .getOption("spark.graft.ann.autoTrainFloor").map(_.trim.toLong)
       .getOrElse(1250000L)
     val cap =
-      if (autoMode) autoTrainTarget(nWellFormed, nlist, autoFloor)
-      else nlist.toLong * trainPointsPerCentroid
+      if (autoMode) autoTrainTarget(nWellFormed, nCells, autoFloor)
+      else nCells.toLong * trainPointsPerCentroid
     // limit() takes an Int: a nlist*tppc product past Int.MaxValue would
     // wrap negative in the cast — clamp loudly instead (2.1B training
     // rows is already far past any quality saturation point)
@@ -610,7 +676,7 @@ object Similarity {
       if (cap <= Int.MaxValue.toLong) cap.toInt
       else {
         System.err.println(s"[graft] buildIvf: training cap $cap " +
-          s"(nlist=$nlist x trainPointsPerCentroid=$trainPointsPerCentroid) " +
+          s"(nlist=$nCells x trainPointsPerCentroid=$trainPointsPerCentroid) " +
           s"exceeds Int.MaxValue — clamping to ${Int.MaxValue}")
         Int.MaxValue
       }
@@ -665,18 +731,20 @@ object Similarity {
     // native column may be float or double.
     var centroids: Array[Array[Double]] = train
       .filter(size(col("v")) === lit(dim) && !exists(col("v"), _.isNull))
-      .orderBy("id").limit(nlist)
+      .orderBy("id").limit(nCells)
       .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     require(centroids.nonEmpty, "buildIvf: no well-formed vectors in corpus " +
       s"(need non-null arrays of length $dim)")
 
-    // Sample mode runs AT LEAST 10 Lloyd iterations: each iteration
-    // costs O(cap·nlist·d) — noise against the full-corpus passes the
-    // sample just saved — while UNDER-trained sampled centroids
-    // measurably cost cell recall on structureless data (uniform n=1M:
-    // recall@10 1.00 with full-corpus training vs 0.85 with 3 sampled
-    // iterations at the same nprobe; ≥10 iterations recover it). The
-    // unsampled path keeps the caller's `iters` untouched.
+    // Sample mode runs UP TO max(iters, 10) Lloyd iterations: each
+    // iteration costs O(cap·nlist·d) — noise against the full-corpus
+    // passes the sample just saved — while UNDER-trained sampled
+    // centroids measurably cost cell recall on structureless data
+    // (uniform n=1M: recall@10 1.00 with full-corpus training vs 0.85
+    // with 3 sampled iterations at the same nprobe). The MINI-BATCH
+    // path additionally stops early once the per-iteration centroid
+    // shift converges (see trainStopShift above). The unsampled path
+    // keeps the caller's `iters` untouched.
     // phase timing for build diagnosis (stderr), enabled via env
     val timing = sys.env.contains("SPARK_GRAFT_IVF_TIMING")
     var tPhase = System.nanoTime()
@@ -688,12 +756,31 @@ object Similarity {
     phase("init-collect")
 
     val effIters = if (sampled) math.max(iters, 10) else iters
+    // Mini-batch EARLY STOP (VERDICT r11 item 3): the running-mean
+    // accumulator's per-iteration centroid movement decays as the
+    // accumulated mass grows, and once the relative shift
+    // sqrt(sum ||c_new - c_old||^2 / sum ||c_new||^2) is under
+    // `trainStopShift`, further batches buy recall the calibration can
+    // no longer measure — r11 burned a fixed 10 iterations (283 s of
+    // the 367 s clustered-10M IVFPQ build) where the shift trajectory
+    // says the centroids stop moving materially after ~5. Floors at
+    // `trainMinIters` so one quiet batch can't truncate training;
+    // applies ONLY to the mini-batch path — full and static-sample
+    // training keep their exact r9-r11 iteration counts (and hashes).
+    val trainStopShift = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.trainStopShift").map(_.trim.toDouble)
+      .getOrElse(0.002)
+    val trainMinIters = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.trainMinIters").map(_.trim.toInt)
+      .getOrElse(4)
     // mini-batch accumulator: cumulative per-cell sums and counts across
     // iterations; centroid(c) = cumSum(c)/cumN(c) (the running mean —
     // Sculley's per-center 1/N learning rate in aggregate form)
     val cumSum = Array.fill(centroids.length)(new Array[Double](dim))
     val cumN = new Array[Long](centroids.length)
-    for (it <- 1 to effIters) {
+    var it = 1
+    var converged = false
+    while (it <= effIters && !converged) {
       // per-iteration slice: hash predicate + the CACHED well-formed
       // boolean — nothing interpreted runs here (see the _wf comment on
       // the data cache above)
@@ -746,8 +833,30 @@ object Similarity {
           if (pos < updated(c).length) updated(c)(pos) = row.getDouble(2)
         }
       }
+      if (miniBatch) {
+        // relative centroid shift this iteration — driver-side over
+        // nlist x dim doubles, microseconds
+        var num = 0.0
+        var den = 0.0
+        for (c <- centroids.indices) {
+          val lim = math.min(updated(c).length, centroids(c).length)
+          var p = 0
+          while (p < lim) {
+            val dd = updated(c)(p) - centroids(c)(p)
+            num += dd * dd
+            den += updated(c)(p) * updated(c)(p)
+            p += 1
+          }
+        }
+        val rel = math.sqrt(num / math.max(den, java.lang.Double.MIN_NORMAL))
+        if (it >= trainMinIters && rel < trainStopShift) converged = true
+        System.err.println(f"[graft] buildIvf mini-batch iter $it/$effIters: " +
+          f"centroid shift $rel%.5f" +
+          (if (converged) f" < $trainStopShift%.5f — converged, stopping" else ""))
+      }
       centroids = updated
       phase(s"iter-$it")
+      it += 1
     }
 
     // Training is over (the collect loops above materialized the cache);
@@ -760,7 +869,8 @@ object Similarity {
 
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows
-    new IvfIndex(centroids, assignedLayout(data.drop("_wf"), centroids), idType)
+    new IvfIndex(centroids, assignedLayout(data.drop("_wf"), centroids), idType,
+      rowCountHint = Some(nWellFormed))
   }
 
   /** Nearest-centroid assignment + norm annotation of an (id, v) frame —
@@ -1264,8 +1374,11 @@ object Similarity {
     val cv = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
       .withColumn("neighbor_id", col("neighbor_id").cast("long"))
     val qv = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val broadcastMax = short.sparkSession.conf
+      .getOption("spark.graft.ann.broadcastShortlistRows").map(_.trim.toLong)
+      .getOrElse(BroadcastShortlistRows)
     val shortSide =
-      if (boundedRows.exists(_ <= BroadcastShortlistRows)) broadcast(short)
+      if (boundedRows.exists(_ <= broadcastMax)) broadcast(short)
       else short
     val exactScored = shortSide
       .join(cv, "neighbor_id")
@@ -1274,8 +1387,17 @@ object Similarity {
     rankTopK(exactScored, k, idType)
   }
 
-  /** Shortlist-side row bound for the broadcast re-rank: 4M (query_id,
-    * neighbor_id) longs ~ 64 MB built — safely under executor budgets. */
+  /** Shortlist-side row bound for the broadcast re-rank, overridable
+    * via `spark.graft.ann.broadcastShortlistRows`. HONEST size: the 4M
+    * (query_id, neighbor_id) rows are ~64 MB of payload but build into
+    * a HashedRelation at ~100-150 B/entry (UnsafeRow + hash-table
+    * overhead), i.e. ~400-600 MB RESIDENT on the driver and every
+    * executor — deliberately past autoBroadcastJoinThreshold because
+    * the alternative is a sort-merge join that sorts the full corpus
+    * (measured 30.8 s of a 10M probe, r11), and this harness runs one
+    * 128 GiB JVM. Deployments with small executors should shrink the
+    * conf (1M rows ~ 100-150 MB built) and let deep shortlists take
+    * the shuffle join. */
   private val BroadcastShortlistRows = 4000000L
 
   /** Upper bound on shortlist rows = |queries| x depth. The queries
@@ -1424,6 +1546,12 @@ object Similarity {
       * this on one is a harmless no-op. */
     def unpersist(): IvfPqIndex = { coded.unpersist(blocking = false); this }
 
+    // calibration memo — see [[IvfIndex.calibrateNprobe]]'s memo notes
+    private val calibMemo =
+      scala.collection.mutable.Map.empty[(Double, Int, Int, Long), Int]
+    /** Test hook: calibration SCANS run (memo hits don't increment). */
+    private[graft] var calibrationScans: Int = 0
+
     /**
      * Refine-depth AUTO-TUNE (round 10): the recall knob at FIXED index
      * bytes. At high compression (m=16 — 16 B/vector) the ADC score's
@@ -1453,23 +1581,25 @@ object Similarity {
     }
 
     /** [[IvfIndex.calibrateNprobe]] for this index's OWN coarse
-      * quantizer: the corpus slice is unit-normalized and assigned to
-      * `assignCentroids` on the fly (cell choice here is directional by
-      * construction — the index was trained on unit vectors), then the
-      * shared rank-quantile estimate runs. Pass the same corpus the
-      * probes re-rank against. */
+      * quantizer: the corpus pool is unit-normalized (vn = 1 by
+      * construction) and only the bounded sample slice is assigned to
+      * `assignCentroids` inside the shared estimator. Pass the same
+      * corpus the probes re-rank against — the memo keys on the
+      * estimator params only (one index serves one corpus; a different
+      * corpus means a different/retrained index). The counting pass
+      * reuses the materialized coded layout (persisted at build,
+      * metadata-cheap on a loaded snapshot). */
     def calibrateNprobe(corpus: DataFrame, idCol: String, vecCol: String,
         targetCellRecall: Double = 0.95, sampleQueries: Int = 32,
-        neighborsPerQuery: Int = 10, maxSampleRows: Long = 500000L): Int = {
-      val dists = graft.functions.HashFunctions.centroidDistances(
-        col("u"), assignCentroids)
-      val layout = unitized(corpus, idCol, vecCol, "id")
-        .select(col("id"), col("u").as("v"), lit(1.0).as("vn"),
-          (array_position(dists, array_min(dists)) - lit(1L)).cast("int").as("c"))
-        .filter(col("c").isNotNull)
-      calibrateNprobeFrom(layout, assignCentroids, targetCellRecall,
-        sampleQueries, neighborsPerQuery, maxSampleRows)
-    }
+        neighborsPerQuery: Int = 10, maxSampleRows: Long = 500000L): Int =
+      calibMemo.getOrElseUpdate(
+        (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
+          calibrationScans += 1
+          val pool = unitized(corpus, idCol, vecCol, "id")
+            .select(col("id"), col("u").as("v"), lit(1.0).as("vn"))
+          calibrateNprobeFrom(pool, assignCentroids, Some(coded.count()),
+            targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
+        })
 
     /** `shortlist <= 0` selects [[autoShortlist]]. */
     def topK(queries: DataFrame, idCol: String, vecCol: String,
@@ -1775,7 +1905,10 @@ object Similarity {
    * `spark.graft.ann.*`:
    *
    *  - `algo`      exact | int8 | bq | pq | ivf | ivfpq   (default exact)
-   *  - `nlist`     IVF cells                  (default 16; scale ~sqrt(n)/4)
+   *  - `nlist`     IVF cells (default 16), or `auto` — ~sqrt(n)/4 from
+   *                the corpus's well-formed row count
+   *                ([[autoNlist]]; floor 16, cap 65536) — at 10M+ the
+   *                fixed 16 is a 6%-of-corpus scan per probed cell
    *  - `nprobe`    probed cells (default 12; recall knob #1), or `auto`
    *                — calibrated from the measured cell-recall estimate
    *                at `cellRecallTarget` (default 0.95; see
@@ -1809,6 +1942,15 @@ object Similarity {
     val conf = corpus.sparkSession.conf
     def i(key: String, dflt: Int): Int =
       conf.getOption(s"spark.graft.ann.$key").map(_.trim.toInt).getOrElse(dflt)
+    // IVF cell count: an int, or `auto` (-> the 0 sentinel buildIvf
+    // resolves via [[autoNlist]] from its well-formed row count — no
+    // extra counting job, buildIvf counts anyway)
+    val nlistConf: Int =
+      conf.getOption("spark.graft.ann.nlist").map(_.trim) match {
+        case Some("auto") => 0
+        case Some(v) => v.toInt
+        case None => 16
+      }
     // coarse-trainer budget for ivf/ivfpq: an int is FAISS-style
     // points-per-centroid, `auto` (-> 0) the measured total-mass rule
     // ([[autoTrainTarget]]). Default stays 256 — the pre-r11 behavior.
@@ -1859,7 +2001,7 @@ object Similarity {
           shortlist = math.max(k, shortlistOr(200, 200)))
       case "ivf" =>
         val idx = buildIvf(corpus, idCol, vecCol, dim,
-          nlist = i("nlist", 16), iters = 3, trainPointsPerCentroid = tppc)
+          nlist = nlistConf, iters = 3, trainPointsPerCentroid = tppc)
         val np = nprobeOr(12) match {
           case -1 => idx.calibrateNprobe(calTarget)
           case v => v
@@ -1867,7 +2009,7 @@ object Similarity {
         idx.topK(queries, idCol, vecCol, k, np)
       case "ivfpq" =>
         val idx = buildIvfPq(corpus, idCol, vecCol, dim,
-          nlist = i("nlist", 16), ivfIters = 3,
+          nlist = nlistConf, ivfIters = 3,
           m = i("m", 16), ksub = i("ksub", 32), pqIters = 3,
           opqIters = i("opqIters", 0), trainPointsPerCentroid = tppc)
         val np = nprobeOr(12) match {

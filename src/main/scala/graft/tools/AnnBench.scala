@@ -41,10 +41,15 @@ import graft.operators.Similarity
  * generator fingerprint stamp matches — a changed synthesis
  * regenerates instead of silently measuring stale data.
  *
+ * Round 12: the 10M uniform tier adds an `nlist=auto` row (buildIvf's
+ * 0 sentinel — ~sqrt(n)/4 cells) next to the hand-tuned 256-cell row,
+ * and the mini-batch trainer early-stops on centroid-shift
+ * convergence (both VERDICT r11 items).
+ *
  * Emits one JSON line per (dist, n, algo) and writes the whole grid to
- * ANNBENCH_r11.json. Build = index construction (amortized per corpus
- * snapshot in production); probe = one 50-query batch end to end
- * (collect).
+ * ANNBENCH_r12.json (override via SPARK_GRAFT_ANNBENCH_OUT). Build =
+ * index construction (amortized per corpus snapshot in production);
+ * probe = one 50-query batch end to end (collect).
  */
 object AnnBench {
   private case class Entry(dist: String, n: Long, algo: String,
@@ -187,6 +192,26 @@ object AnnBench {
       }
       ivf.unpersist()
 
+      // nlist=auto at 10M (round 12): the conf-surface sizing rule
+      // (~sqrt(n)/4) measured against the hand-tuned row above. On
+      // clustered data auto == the hand-tuned 790, so the uniform tier
+      // carries the row where the rule actually deviates (790 vs 256).
+      if (big && dist == "uniform") {
+        val (aivf, tABuild) = timed {
+          val i = Similarity.buildIvf(corpus, "vec_id", "embedding", d,
+            nlist = 0, iters = 3, trainPointsPerCentroid = 0)
+          i.persist()
+          i.topWidths(1)
+          i
+        }
+        val anl = aivf.centroids.length
+        val (acal, _) = timed(aivf.calibrateNprobe(0.95))
+        val (aRes, tAProbe) = timed(pairsOf(
+          aivf.topK(queries, "vec_id", "embedding", k, acal)))
+        entries += Entry(dist, n, s"ivf[a$anl/c$acal,auto]", tABuild, tAProbe, rec(aRes))
+        aivf.unpersist()
+      }
+
       if (!big) {
         // PQ: m=16 x 256 codewords, shortlist 2k
         val (pqModel, tPqBuild) = timed(
@@ -264,9 +289,10 @@ object AnnBench {
         f""""recall":${"%.4f".format(e.recall)}}"""
     }.mkString(",\n  ")
     val out = s"""{"artifact":"annbench","master":"local[32]","entries":[\n  $json\n]}\n"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("ANNBENCH_r11.json"),
+    val outName = sys.env.getOrElse("SPARK_GRAFT_ANNBENCH_OUT", "ANNBENCH_r12.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       out.getBytes("UTF-8"))
-    println(s"[annbench] wrote ANNBENCH_r11.json with ${entries.size} entries")
+    println(s"[annbench] wrote $outName with ${entries.size} entries")
     spark.stop()
   }
 }

@@ -17,7 +17,8 @@ object IvfBuildProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val path = args.headOption.getOrElse("/tmp/annbench/clustered_10000000_d64_v2.parquet")
+    // default matches AnnBench's fingerprinted naming (dist_n_d64_v<gen>s<synth>)
+    val path = args.headOption.getOrElse("/tmp/annbench/clustered_10000000_d64_v2s1.parquet")
     val nlist = args.lift(1).map(_.toInt).getOrElse(790)
     val corpus = spark.read.parquet(path).persist()
     corpus.count()

@@ -27,7 +27,8 @@ object R11Probe {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val corpus = spark.read.parquet("/tmp/annbench/uniform_10000000.parquet").persist()
+    // AnnBench's fingerprinted naming (dist_n_d64_v<gen>s<synth>)
+    val corpus = spark.read.parquet("/tmp/annbench/uniform_10000000_d64_v2s1.parquet").persist()
     val n = corpus.count()
     val queries = corpus.filter(col("vec_id") < 50)
     val nlist = 256

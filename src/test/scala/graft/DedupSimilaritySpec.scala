@@ -446,6 +446,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p2 >= 1 && p2 <= 8)
   }
 
+  test("calibrateNprobe: full-range long ids calibrate normally (no silent sample loss)") {
+    import spark.implicits._
+    // r11 regression: the cell tag was id*nlist+c with an overflow guard
+    // abs(id) < Long.MaxValue/(2*nlist) — hashed/full-range ids (the id
+    // shape a real ingestion pipeline produces) silently failed the
+    // guard, emptied the sample, and calibration fell back to nlist/4
+    // with no diagnostic. The cell now rides the heap directly, so id
+    // magnitude is irrelevant: huge-id clustered data must calibrate as
+    // narrow as small-id data, not to the nlist/4(=4) fallback.
+    val pats = (0 until 16).map(p =>
+      Array.tabulate(8)(j => if (((p >> (j % 4)) & 1) == 1) 1.0 else -1.0))
+    val base = Long.MaxValue - 100000L // all ids fail the old guard
+    val rows = (0L until 800L).map { i =>
+      val p = pats((i % 16).toInt)
+      val jitter = 0.05 * ((i / 16 % 7).toDouble / 7.0 - 0.5)
+      (base - i, p.map(_ * (1.0 + jitter)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvf(df, "vec_id", "embedding", dim = 8,
+      nlist = 16, iters = 4)
+    val cal = idx.calibrateNprobe(targetCellRecall = 0.95, sampleQueries = 16,
+      neighborsPerQuery = 5)
+    assert(cal >= 1 && cal <= 2,
+      s"well-separated huge-id clusters must calibrate narrow (old bug fell back to 4), got $cal")
+  }
+
   test("IVF survives a corpus smaller than nlist (fewer centroids than requested)") {
     val tiny = embs.filter(col("vec_id") < 5) // 5 vectors, nlist = 16
     val queries = tiny.filter(col("vec_id") < 2)

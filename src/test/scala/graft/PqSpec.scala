@@ -595,6 +595,96 @@ class PqSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("autoNlist + buildIvf nlist=0: ~sqrt(n)/4 cells, floor 16, cap 65536; conf `auto` dispatches") {
+    // the sizing rule itself
+    assert(Similarity.autoNlist(500L) == 16, "floor binds on tiny corpora")
+    assert(Similarity.autoNlist(1000000L) == 250)
+    assert(Similarity.autoNlist(10000000L) == 790)
+    assert(Similarity.autoNlist(100000000000L) == 65536, "cap binds at extreme n")
+    assert(Similarity.autoNlist(0L) == 16)
+    // buildIvf's 0 sentinel resolves from the well-formed count
+    val auto = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+      nlist = 0, iters = 2)
+    assert(auto.centroids.length == 16,
+      s"sf0.001 embeddings (500 rows) should auto-size to 16 cells, got ${auto.centroids.length}")
+    // negative nlist trips loudly
+    intercept[IllegalArgumentException] {
+      Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64, nlist = -1)
+    }
+    // conf surface: nlist=auto == explicit auto-sized build, full width == exact
+    def clear(): Unit = Seq("algo", "nlist", "nprobe")
+      .foreach(s => spark.conf.unset(s"spark.graft.ann.$s"))
+    val q = embs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    try {
+      spark.conf.set("spark.graft.ann.algo", "ivf")
+      spark.conf.set("spark.graft.ann.nlist", "auto")
+      spark.conf.set("spark.graft.ann.nprobe", "16")
+      val got = rows(Similarity.annTopK(embs, q, "vec_id", "embedding", 5, 64))
+      assert(got == rows(auto.topK(q, "vec_id", "embedding", 5, 16)) && got.nonEmpty)
+      assert(got == rows(Similarity.topK(embs, q, "vec_id", "embedding", 5)),
+        "full-width probe of the auto-sized index must equal exact")
+    } finally clear()
+  }
+
+  test("mini-batch early stop: trainStopShift/trainMinIters govern iterations, deterministically") {
+    import spark.implicits._
+    // same corpus shape as the mini-batch determinism gate: cap =
+    // max(4*256, 64) = 1024 < 3000 rows -> mini-batch engages
+    val corpus = (0L until 3000L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def build() = Similarity.buildIvf(corpus, "vec_id", "embedding", dim = 8,
+      nlist = 4, iters = 2, trainPointsPerCentroid = 0)
+    def cents(i: Similarity.IvfIndex) = i.centroids.map(_.toSeq).toSeq
+    val keys = Seq("autoTrainFloor", "trainStopShift", "trainMinIters")
+    try {
+      spark.conf.set("spark.graft.ann.autoTrainFloor", "64")
+      // a huge threshold converges at the minimum-iterations floor ...
+      spark.conf.set("spark.graft.ann.trainStopShift", "1e9")
+      spark.conf.set("spark.graft.ann.trainMinIters", "1")
+      val one = build()
+      // ... and the floor is honored: more minimum iterations = more
+      // accumulated batches = different centroids
+      spark.conf.set("spark.graft.ann.trainMinIters", "6")
+      val six = build()
+      assert(cents(one) != cents(six),
+        "trainMinIters must gate when the (always-met) threshold may stop training")
+      // a zero threshold never stops early: all 10 sampled iterations
+      spark.conf.set("spark.graft.ann.trainStopShift", "0")
+      spark.conf.set("spark.graft.ann.trainMinIters", "1")
+      val never = build()
+      assert(cents(six) != cents(never),
+        "stopShift=0 must run past 6 iterations (the r11 fixed-10 behavior)")
+      assert(cents(never) == cents(build()), "early-stop logic must stay deterministic")
+      // whatever the trainer did, the LAYOUT contract holds: full-width
+      // probe == exact, even on the least-trained index
+      val q = corpus.filter(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+      assert(rows(one.topK(q, "vec_id", "embedding", 3, 4)) ==
+        rows(Similarity.topK(corpus, q, "vec_id", "embedding", 3)))
+    } finally keys.foreach(k => spark.conf.unset(s"spark.graft.ann.$k"))
+  }
+
+  test("calibrateNprobe memo: one scan per estimator key on both index kinds") {
+    val ivf = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, iters = 2)
+    assert(ivf.calibrationScans == 0)
+    val a = ivf.calibrateNprobe(0.9, sampleQueries = 8)
+    val b = ivf.calibrateNprobe(0.9, sampleQueries = 8)
+    assert(a == b && ivf.calibrationScans == 1,
+      s"second identical call must be a memo hit (scans=${ivf.calibrationScans})")
+    ivf.calibrateNprobe(0.5, sampleQueries = 8)
+    assert(ivf.calibrationScans == 2, "a different target is a different key")
+    val pq = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
+      nlist = 4, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    val c = pq.calibrateNprobe(embs, "vec_id", "embedding", 0.9, sampleQueries = 8)
+    val d = pq.calibrateNprobe(embs, "vec_id", "embedding", 0.9, sampleQueries = 8)
+    assert(c == d && pq.calibrationScans == 1)
+    pq.unpersist()
+  }
+
   test("annTopK: shortlist=auto with algo=pq/bq resolves to the per-algo default, not k") {
     def clear(): Unit = Seq("algo", "m", "ksub", "shortlist")
       .foreach(s => spark.conf.unset(s"spark.graft.ann.$s"))

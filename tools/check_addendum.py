@@ -1,18 +1,32 @@
 #!/usr/bin/env python3
-"""Mechanized addendum-figure integrity check (VERDICT r10 item 2).
+"""Mechanized addendum-figure integrity check (VERDICT r10 item 2,
+hardened per VERDICT r11 item 2).
 
 Two rounds in a row, SURVEY addendum prose quoted figures that the
 committed artifacts contradicted (r9: a stale bench total; r10: a
-retuned-away ANN tier + a mid-round bench total + a stale test count).
-The process fix: every number an addendum quotes must be backed by an
-inline assertion the snapshot re-evaluates against the committed
-artifact, so prose cannot drift from artifacts without this script
-failing.
+retuned-away ANN tier + a mid-round bench total + a stale test count),
+and in r11 the addendum shipped literal ⟪placeholder⟫ tokens plus an
+artifact whose tiers the assembly section contradicted — and this
+script passed vacuously because it only validated the checks that
+existed. The process fix: every number an addendum quotes must be
+backed by an inline assertion the snapshot re-evaluates against the
+committed artifact, AND the checker now fails on what r11 shipped:
 
-Convention — anywhere in SURVEY.md (typically right after the prose
+  1. any unexpanded ⟪…⟫ placeholder anywhere in SURVEY.md;
+  2. a `tiers` assertion whose artifact is missing a named tier;
+  3. a current-round measurement artifact (ANNBENCH_/SKYBENCH_/
+     OPQCHECK_ at the highest committed round number) that no check
+     references — current-round ANNBENCH files additionally require a
+     `tiers` assertion, so the assembly section's tier claims are
+     machine-checked against the committed file. (Driver-written
+     BENCH_r*/CORRECTNESS_r* appear AFTER snapshot time and are
+     exempt; their figures are covered via bench_sf0.1.json checks.)
+
+Conventions — anywhere in SURVEY.md (typically right after the prose
 that quotes the figure):
 
     <!--check: <artifact> <selector> <expected> [tol]-->
+    <!--tiers: <annbench-file> n1,n2,...-->
 
 where <artifact> is either
   * a JSON file path relative to the repo root (dotted-key selector
@@ -22,13 +36,17 @@ where <artifact> is either
     number of <testcase> elements across target/test-reports/*.xml, or
   * the pseudo-artifact `annbench:<file>` with selector
     `<dist>|<n>|<algo>|<field>` over the entries list (| because algo
-    labels contain slashes).
+    labels contain slashes), or
+  * the pseudo-artifact `opqcheck:<file>` with selector
+    `<ksub>|<opq>|<shortlist>|<field>`.
 
 <expected> is a number; [tol] an optional absolute tolerance (default:
 exact for ints, 1e-9 for floats — quote artifact values verbatim).
 
 Exit 0 iff every check passes; prints one line per check.
-`--selftest` additionally proves a deliberately stale figure fails.
+`--selftest` additionally proves all four failure modes fail: a stale
+figure, a ⟪placeholder⟫, a missing tier, and an unreferenced
+current-round artifact.
 """
 import json
 import re
@@ -40,6 +58,9 @@ import xml.etree.ElementTree as ET
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHECK_RE = re.compile(r"<!--check:\s*(\S+)\s+(\S+)\s+(-?[\d.]+)(?:\s+([\d.eE+-]+))?\s*-->")
+TIERS_RE = re.compile(r"<!--tiers:\s*(\S+)\s+([\d,]+)\s*-->")
+PLACEHOLDER_RE = re.compile(r"⟪[^⟫\n]{0,120}⟫")
+ROUND_FILE_RE = re.compile(r"^(ANNBENCH|SKYBENCH|OPQCHECK)_r(\d+)\.json$")
 
 
 def select(obj, selector):
@@ -96,14 +117,54 @@ def evaluate(artifact, selector):
     return select(json.load(open(os.path.join(ROOT, artifact))), selector)
 
 
-def run_checks(text):
+def current_round_files(names):
+    """The measurement artifacts of the HIGHEST committed round among
+    the builder-owned prefixes — the files rule 3 makes mandatory to
+    reference."""
+    rounds = {}
+    for name in names:
+        m = ROUND_FILE_RE.match(name)
+        if m:
+            rounds.setdefault(int(m.group(2)), []).append(name)
+    if not rounds:
+        return []
+    return sorted(rounds[max(rounds)])
+
+
+def run_checks(text, repo_files=None):
     failures = []
+
+    # rule 1: no unexpanded placeholders anywhere
+    for tok in PLACEHOLDER_RE.findall(text):
+        print(f"FAIL placeholder token shipped in SURVEY.md: {tok}")
+        failures.append(f"unexpanded placeholder {tok}")
+
+    # rule 2: tier assertions — every named tier exists in the artifact
+    tier_refs = set()
+    for fname, ns in TIERS_RE.findall(text):
+        tier_refs.add(fname)
+        try:
+            present = {str(e["n"]) for e in
+                       json.load(open(os.path.join(ROOT, fname)))["entries"]}
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  tiers {fname}: {e}")
+            failures.append(f"tiers {fname}: unreadable ({e})")
+            continue
+        for n in ns.split(","):
+            ok = n in present
+            print(f"{'OK  ' if ok else 'FAIL'} tiers {fname}: n={n} "
+                  f"{'present' if ok else 'MISSING — the addendum names a tier the artifact lacks'}")
+            if not ok:
+                failures.append(f"tiers {fname}: tier n={n} missing from artifact")
+
     checks = CHECK_RE.findall(text)
     if not checks:
         print("check_addendum: NO check comments found — closing numbers "
               "must carry <!--check: ...--> assertions")
-        return ["no checks present"]
+        return failures + ["no checks present"]
+    checked_files = set(tier_refs)
     for artifact, selector, expected, tol in checks:
+        checked_files.add(artifact.split(":", 1)[1] if ":" in artifact else artifact)
         exp = float(expected)
         tol_v = float(tol) if tol else (0.0 if exp == int(exp) and "." not in expected else 1e-9)
         try:
@@ -117,7 +178,43 @@ def run_checks(text):
               f"quoted {expected}, artifact {got}")
         if not ok:
             failures.append(f"{artifact} {selector}: quoted {expected} != artifact {got}")
+
+    # rule 3: every current-round measurement artifact is referenced by
+    # at least one check; current-round ANNBENCH files also need tiers
+    if repo_files is None:
+        repo_files = os.listdir(ROOT)
+    for name in current_round_files(repo_files):
+        if name not in checked_files:
+            print(f"FAIL current-round artifact {name} has NO inline check — "
+                  "the round's own headline must be assertion-backed")
+            failures.append(f"current-round artifact {name} unreferenced by any check")
+        if name.startswith("ANNBENCH") and name not in tier_refs:
+            print(f"FAIL current-round artifact {name} has no <!--tiers:--> "
+                  "assertion — assembly-section tier claims must be machine-checked")
+            failures.append(f"current-round artifact {name} missing tiers assertion")
     return failures
+
+
+def selftest(text):
+    # mode 0 (r10): a deliberately stale figure fails
+    stale = '<!--check: bench_sf0.1.json total_median_sec 999.9-->'
+    bad = run_checks(text + "\n" + stale)
+    assert any("999.9" in f for f in bad), "stale figure did not fail"
+    # mode 1 (r11): an unexpanded placeholder fails
+    bad = run_checks(text + "\n⟪10M-NUMBERS⟫")
+    assert any("placeholder" in f for f in bad), "placeholder did not fail"
+    # mode 2 (r11): a tier named by the addendum but missing from the
+    # artifact fails (99 is no tier of any committed annbench)
+    art = sorted(f for f in os.listdir(ROOT) if ROUND_FILE_RE.match(f)
+                 and f.startswith("ANNBENCH"))[-1]
+    bad = run_checks(text + f"\n<!--tiers: {art} 99-->")
+    assert any("n=99 missing" in f for f in bad), "missing tier did not fail"
+    # mode 3 (r11): a current-round artifact nothing references fails
+    bad = run_checks(text, repo_files=list(os.listdir(ROOT)) + ["ANNBENCH_r99.json"])
+    assert any("ANNBENCH_r99.json" in f for f in bad), \
+        "unreferenced current-round artifact did not fail"
+    print("SELFTEST OK: stale figure, placeholder, missing tier, and "
+          "unreferenced current-round artifact all fail")
 
 
 def main():
@@ -125,14 +222,9 @@ def main():
     text = open(path).read()
     failures = run_checks(text)
     if "--selftest" in sys.argv:
-        stale = '<!--check: bench_sf0.1.json total_median_sec 999.9-->'
-        bad = run_checks(text + "\n" + stale)
-        if not any("999.9" in f for f in bad):
-            print("SELFTEST FAIL: a deliberately stale figure did not fail")
-            sys.exit(2)
-        print("SELFTEST OK: stale figure detected")
+        selftest(text)
     if failures:
-        print(f"== {len(failures)} figure(s) drifted from artifacts ==")
+        print(f"== {len(failures)} figure(s)/invariant(s) drifted from artifacts ==")
         sys.exit(1)
     print("== all quoted figures match committed artifacts ==")
 

@@ -379,6 +379,99 @@ case class CentroidDistances(child: Expression, centsFlat: Array[Double], ncent:
 }
 
 /**
+ * Nearest-centroid ARGMIN in one pass — the assignment form of
+ * [[CentroidDistances]]. Semantically identical to
+ * `array_position(d, array_min(d)) - 1` over that kernel's output
+ * (strictly-less update = ties to the lower index; comparisons via
+ * `java.lang.Double.compare` = Spark's double ordering, NaN largest;
+ * wrong length / null element -> null), but it never MATERIALIZES the
+ * distance array: the r12 encode profile measured the materializing
+ * form at 66 s for one 10M x nlist=790 assignment pass — a 6 KB
+ * `UnsafeArrayData` allocation per row plus two generic array scans —
+ * where this kernel allocates nothing and EARLY-EXITS each centroid's
+ * accumulation once the partial sum reaches the current best (squared
+ * distances grow monotonically, so the argmin is unchanged — on
+ * clustered data most centroids exit within a few dimensions).
+ */
+case class NearestCentroid(child: Expression, centsFlat: Array[Double], ncent: Int, dim: Int)
+    extends UnaryExpression with ArrayKernel {
+
+  require(centsFlat.length == ncent * dim, "centroid shape mismatch")
+  require(ncent >= 1, "need at least one centroid")
+
+  override protected def acceptedElementTypes: Seq[DataType] = Seq(DoubleType, FloatType)
+  override protected def kernelName: String = prettyName
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    if (elemNullable) {
+      var j = 0
+      while (j < dim) { if (arr.isNullAt(j)) return null; j += 1 }
+    }
+    var best = 0
+    var bestS = Double.NaN // sentinel: first centroid always installs below
+    var c = 0
+    while (c < ncent) {
+      val base = c * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim && !(s >= bestS)) { // NaN bestS compares false -> full sum
+        val d = numGetEval(arr, j) - centsFlat(base + j)
+        s += d * d
+        j += 1
+      }
+      if (c == 0 || java.lang.Double.compare(s, bestS) < 0) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", centsFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      val nullGuard = if (elemNullable) {
+        s"""if (!${ev.isNull}) {
+           |  for (int $j = 0; $j < $dim; $j++) {
+           |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  }
+           |}""".stripMargin
+      } else ""
+      s"""
+         |if ($a.numElements() != $dim) { ${ev.isNull} = true; }
+         |$nullGuard
+         |if (!${ev.isNull}) {
+         |  int $best = 0;
+         |  double $bestS = Double.NaN;
+         |  for (int $c = 0; $c < $ncent; $c++) {
+         |    int $base = $c * $dim;
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $dim && !($s >= $bestS); $j++) {
+         |      double $d = ${numGet(a, j)} - $centsRef[$base + $j];
+         |      $s += $d * $d;
+         |    }
+         |    if ($c == 0 || java.lang.Double.compare($s, $bestS) < 0) { $bestS = $s; $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/**
  * Sign bits of a vector packed into longs: bit `i` of word `w` is set
  * iff `v[64*w + i] >= 0` — binary quantization (1 bit/dimension, 8
  * bytes at d=64 vs 256 float bytes, a 32x compression). The Hamming
@@ -533,6 +626,13 @@ object HashFunctions {
     * length contract). */
   def centroidDistances(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnShim.column(CentroidDistances(
+      e(vec), centroids.flatten, centroids.length, centroids.head.length))
+
+  /** Column API for [[NearestCentroid]] — the allocation-free argmin
+    * form of [[centroidDistances]] (assignment paths; probe ranking
+    * still needs the full distance array). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnShim.column(NearestCentroid(
       e(vec), centroids.flatten, centroids.length, centroids.head.length))
 
   /** Column API for [[SignBits]] — input array<float|double> of length

@@ -448,10 +448,9 @@ object Similarity {
       // (score, id) pairs, no dedup), which works for every id range —
       // the r11 id*nlist+c packing silently discarded hashed/full-range
       // long ids via its overflow guard (ADVICE r11).
-      val dcol = graft.functions.HashFunctions.centroidDistances(col("v"), centroids)
       val sample = pool
         .filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
-        .withColumn("c", (array_position(dcol, array_min(dcol)) - lit(1L)).cast("int"))
+        .withColumn("c", graft.functions.HashFunctions.nearestCentroid(col("v"), centroids))
         .filter(col("c").isNotNull)
       // exact cosine top-n of each pseudo-query over the slice, carrying
       // the neighbor's CELL through the heap (exact-score ties now break
@@ -615,6 +614,24 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nlist: Int = 16, iters: Int = 3,
       trainPointsPerCentroid: Int = 256): IvfIndex = {
+    val (idx, cached) = buildIvfCached(corpus, idCol, vecCol, dim, nlist,
+      iters, trainPointsPerCentroid)
+    // release the training cache: probes recompute the assignment from
+    // source unless the caller pins the index with IvfIndex.persist() —
+    // one extra scan per probe batch, no leak either way
+    cached.unpersist(blocking = false)
+    idx
+  }
+
+  /** [[buildIvf]] that RETAINS its training cache — the (id, v, _wf)
+    * projection of the corpus, still persisted — so a composite build
+    * ([[buildIvfPq]]) can derive its residual/encode passes from memory
+    * instead of re-scanning (and re-projecting) the source. The CALLER
+    * owns the unpersist. */
+  private[operators] def buildIvfCached(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int = 16, iters: Int = 3,
+      trainPointsPerCentroid: Int = 256): (IvfIndex, DataFrame) = {
     val idType = corpus.schema(idCol).dataType
     require(integralIdType(idType),
       s"buildIvf requires an integral id column, got $idType (pre-map ids to long)")
@@ -706,21 +723,12 @@ object Similarity {
     val batchStep = math.max(1L,
       (nWellFormed + math.max(1L, cap) - 1L) / math.max(1L, cap))
 
-    // All centroid distances from ONE fused kernel per row
-    // ([[graft.functions.CentroidDistances]]); the per-centroid struct
-    // array it replaces compiled an nlist-wide codegen unit and —
-    // because the centroid values were baked in as literals — recompiled
-    // it on every Lloyd iteration. The kernel carries centroids as a
-    // referenced object: identical codegen source across iterations.
-    def distsExpr(vec: Column, cents: Array[Array[Double]]): Column =
-      graft.functions.HashFunctions.centroidDistances(vec, cents)
-
-    // argmin with ties broken on the lower index: array_position returns
-    // the FIRST index (1-based) of the minimum.
-    def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
-      val d = distsExpr(vec, cents)
-      (array_position(d, array_min(d)) - lit(1L)).cast("int")
-    }
+    // argmin with ties broken on the lower index — the allocation-free
+    // [[graft.functions.NearestCentroid]] kernel (semantically identical
+    // to array_position(d, array_min(d)) - 1 over the distance kernel,
+    // spec-gated equal)
+    def assignExpr(vec: Column, cents: Array[Array[Double]]): Column =
+      graft.functions.HashFunctions.nearestCentroid(vec, cents)
 
     // deterministic init: the nlist lowest-id WELL-FORMED vectors (right
     // length, no null elements — malformed rows would NPE the driver
@@ -860,17 +868,14 @@ object Similarity {
     }
 
     // Training is over (the collect loops above materialized the cache);
-    // release it so repeated calls in a long-lived session don't pin
-    // blocks. Probes recompute the assignment from source unless the
-    // caller pins the index with IvfIndex.persist() — one extra scan per
-    // probe batch, no leak either way.
+    // the static-sample cache is internal and released here; `data`
+    // stays persisted — the caller (buildIvf / buildIvfPq) owns it.
     if (sampled && !miniBatch) train.unpersist(blocking = false)
-    data.unpersist(blocking = false)
 
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows
-    new IvfIndex(centroids, assignedLayout(data.drop("_wf"), centroids), idType,
-      rowCountHint = Some(nWellFormed))
+    (new IvfIndex(centroids, assignedLayout(data.drop("_wf"), centroids), idType,
+      rowCountHint = Some(nWellFormed)), data)
   }
 
   /** Nearest-centroid assignment + norm annotation of an (id, v) frame —
@@ -878,12 +883,10 @@ object Similarity {
     * extends (argmin ties to the lower cell index; malformed vectors get
     * a null cell under the kernel's length/null contract). */
   private def assignedLayout(data: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val d = graft.functions.HashFunctions.centroidDistances(col("v"), centroids)
+      centroids: Array[Array[Double]]): DataFrame =
     data.withColumn("c",
-        (array_position(d, array_min(d)) - lit(1L)).cast("int"))
+        graft.functions.HashFunctions.nearestCentroid(col("v"), centroids))
       .withColumn("vn", l2Norm(col("v")))
-  }
 
   // ------------------------------------------------------------------
   // Product quantization (PQ): the compressed-index ANN path
@@ -1803,9 +1806,9 @@ object Similarity {
       s"appendToIvfPq: $idCol type ${newVectors.schema(idCol).dataType} does not " +
         s"match the snapshot's ${idx.idType} (cast the new rows first)")
     val units = unitized(newVectors, idCol, vecCol, "id")
-    val dists = graft.functions.HashFunctions.centroidDistances(col("u"), idx.assignCentroids)
     val assigned = units
-      .withColumn("c", (array_position(dists, array_min(dists)) - lit(1L)).cast("int"))
+      .withColumn("c",
+        graft.functions.HashFunctions.nearestCentroid(col("u"), idx.assignCentroids))
       .filter(col("c").isNotNull)
       .select(col("c"), col("id").cast("long").as("id"),
         graft.functions.PqFunctions.pqAssignCodes(
@@ -1832,52 +1835,77 @@ object Similarity {
       m: Int = 16, ksub: Int = 32, pqIters: Int = 3,
       opqIters: Int = 0, trainPointsPerCentroid: Int = 256): IvfPqIndex = {
     val units = unitized(corpus, idCol, vecCol, "id")
-    val ivf = buildIvf(units, "id", "u", dim, nlist, ivfIters,
+    // retain the trainer's (id, v=u, _wf) cache: every downstream pass
+    // in this build reads it instead of re-scanning (and re-unitizing)
+    // the source — the r11 shape re-paid the interpreted normalization
+    // plus a full O(n·nlist·d) assignment into a 10M-row, ~5 GB residual
+    // persist whose ONLY full-width consumer was the encode (the PQ
+    // trainer reads a bounded sample). VERDICT r11 item 3.
+    val (ivf, cached) = buildIvfCached(units, "id", "u", dim, nlist, ivfIters,
       trainPointsPerCentroid)
-    // normalized centroids: the scoring decomposition needs UNIT cell
-    // directions (a centroid is a mean of unit vectors — inside the
-    // sphere, not on it). A degenerate zero-norm centroid (empty cell)
-    // stays all-zeros: its cdot is a harmless constant for a cell that
-    // holds nothing.
-    val unitCents = ivf.centroids.map { cvec =>
-      val n = math.sqrt(cvec.map(x => x * x).sum)
-      if (n > 0) cvec.map(_ / n) else cvec
-    }
-    // residuals against the ASSIGNED cell's unit centroid, one map pass
-    // over the IVF layout (id, v=u, c). PINNED for the duration of the
-    // build (round 10): the coarse assignment upstream costs
-    // O(n·nlist·d) per materialization, and without the pin both the PQ
-    // trainer's sample job and the coded encode re-pay it — measured
-    // 767 s vs 330 s for the plain IVF build at n=10M. MEMORY_AND_DISK:
-    // at corpus scale the residual frame spills rather than OOMs.
-    val resid = ivf.indexed
-      .filter(col("c").isNotNull)
-      .select(col("id"),
-        graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"),
-        col("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // opqIters > 0 learns the Procrustes rotation over the residual
-    // sample (OPQ — see [[PqModel.rotation]]); 0 keeps the axis-aligned
-    // split. Both trainers cap at the same deterministic sample.
-    val model =
-      if (opqIters > 0)
-        opqTrainOn(resid.select("id", "u"), dim, m, ksub, pqIters, opqIters,
+    try {
+      val timing = sys.env.contains("SPARK_GRAFT_IVF_TIMING")
+      var tPhase = System.nanoTime()
+      def phase(label: String): Unit = if (timing) {
+        val now = System.nanoTime()
+        System.err.println(
+          f"[graft] buildIvfPq phase $label: ${(now - tPhase) / 1e9}%.1f s")
+        tPhase = now
+      }
+      // normalized centroids: the scoring decomposition needs UNIT cell
+      // directions (a centroid is a mean of unit vectors — inside the
+      // sphere, not on it). A degenerate zero-norm centroid (empty cell)
+      // stays all-zeros: its cdot is a harmless constant for a cell that
+      // holds nothing.
+      val unitCents = ivf.centroids.map { cvec =>
+        val n = math.sqrt(cvec.map(x => x * x).sum)
+        if (n > 0) cvec.map(_ / n) else cvec
+      }
+      val wf = cached.filter(col("_wf")).select(col("id"), col("v"))
+      // nearest-cell + residual — the allocation-free argmin kernel
+      // (ties to the lower cell, spec-gated identical to the
+      // materializing array_position form)
+      def withResidual(df: DataFrame): DataFrame =
+        df.withColumn("c",
+            graft.functions.HashFunctions.nearestCentroid(col("v"), ivf.centroids))
+          .filter(col("c").isNotNull)
+          .select(col("id"), col("c"),
+            graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"))
+      // The PQ trainer fits on a bounded deterministic sample whose
+      // SELECTION depends only on ids (lowest xxhash64(id, "pqtrain"),
+      // ties to lower id — exactly the rows pqTrainOn/opqTrainOn would
+      // keep from the full residual frame, so the codebooks are
+      // bit-identical to the r11 path) — so pick the rows FIRST and
+      // assign/subtract only those: ksub*256 kernel rows instead of n.
+      val sampleResid = withResidual(
+        wf.orderBy(xxhash64(col("id"), lit("pqtrain")), col("id"))
+          .limit(ksub * 256))
+        .select(col("id"), col("u"))
+      // opqIters > 0 learns the Procrustes rotation over the residual
+      // sample (OPQ — see [[PqModel.rotation]]); 0 keeps the axis-aligned
+      // split. Both trainers cap at the same deterministic sample.
+      val model =
+        if (opqIters > 0)
+          opqTrainOn(sampleResid, dim, m, ksub, pqIters, opqIters,
+            trainPointsPerCodeword = 256)
+        else pqTrainOn(sampleResid, dim, m, ksub, pqIters,
           trainPointsPerCodeword = 256)
-      else pqTrainOn(resid.select("id", "u"), dim, m, ksub, pqIters,
-        trainPointsPerCodeword = 256)
-    // the coded layout is MATERIALIZED here (persist + count) before the
-    // residual pin is released: an index build's product is its layout —
-    // leaving it lazy would re-pay the whole assignment+encode chain on
-    // the first probe (and once per downstream branch). Callers drop it
-    // with IvfPqIndex.unpersist() when done; save() writes it to parquet.
-    val coded = resid
-      .select(col("c"), col("id").cast("long").as("id"),
-        graft.functions.PqFunctions.pqAssignCodes(pqRotated(col("u"), model), model.codebooks).as("codes"))
-      .filter(col("codes").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try coded.count()
-    finally resid.unpersist(blocking = false)
-    new IvfPqIndex(ivf.centroids, unitCents, model, coded, corpus.schema(idCol).dataType)
+      phase("pq-train")
+      // ONE fused full-corpus pass — assign + residual + encode — from
+      // the retained cache straight into the persisted coded layout
+      // (MATERIALIZED here: an index build's product is its layout;
+      // leaving it lazy would re-pay the chain on the first probe and
+      // once per downstream branch). Callers drop it with
+      // IvfPqIndex.unpersist() when done; save() writes it to parquet.
+      val coded = withResidual(wf)
+        .select(col("c"), col("id").cast("long").as("id"),
+          graft.functions.PqFunctions.pqAssignCodes(pqRotated(col("u"), model), model.codebooks).as("codes"))
+        .filter(col("codes").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      coded.count()
+      phase("encode")
+      new IvfPqIndex(ivf.centroids, unitCents, model, coded, corpus.schema(idCol).dataType)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** One-shot convenience: build + probe (a real deployment builds the

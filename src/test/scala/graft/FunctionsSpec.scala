@@ -236,6 +236,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(arg(1L) == 1)
   }
 
+  test("NearestCentroid kernel == array_position(argmin) form on every edge shape") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val cents = Array.fill(7, 4)(rnd.nextDouble() * 2 - 1) ++
+      Array(Array(0.25, 0.25, 0.25, 0.25), Array(0.25, 0.25, 0.25, 0.25)) // exact duplicate pair
+    val rows: Seq[(Long, Array[java.lang.Double])] =
+      (0L until 500L).map(i => i -> Array.fill(4)(
+        java.lang.Double.valueOf(rnd.nextDouble() * 2 - 1))) ++ Seq(
+        (900L, Array[java.lang.Double](0.25, 0.25, 0.25, 0.25)), // ties the duplicate pair -> lower index
+        (901L, Array[java.lang.Double](1.0, 2.0, 3.0)),          // wrong length -> null
+        (902L, Array[java.lang.Double](1.0, null, 3.0, 4.0)),    // null element -> null
+        (903L, Array[java.lang.Double](Double.NaN, 0.0, 0.0, 0.0))) // NaN coordinate
+    val df = rows.toDF("id", "v")
+    val d = graft.functions.HashFunctions.centroidDistances(col("v"), cents)
+    val viaArr = df.select(col("id"),
+        (array_position(d, array_min(d)) - lit(1L)).cast("int").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    val viaKernel = df.select(col("id"),
+        graft.functions.HashFunctions.nearestCentroid(col("v"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(viaKernel == viaArr,
+      s"argmin kernel must equal the materializing form: ${
+        viaKernel.toSeq.diff(viaArr.toSeq).take(5)}")
+    assert(viaKernel(900L) == 7, "exact tie must break to the lower centroid index")
+    assert(viaKernel(901L) == null && viaKernel(902L) == null)
+    // float inputs too
+    val fdf = (0L until 100L).map(i => i -> Array.fill(4)(rnd.nextFloat() * 2 - 1))
+      .toDF("id", "v")
+    val fd = graft.functions.HashFunctions.centroidDistances(col("v"), cents)
+    assert(fdf.select(graft.functions.HashFunctions.nearestCentroid(col("v"), cents))
+        .collect().map(_.getInt(0)).toSeq ==
+      fdf.select((array_position(fd, array_min(fd)) - lit(1L)).cast("int"))
+        .collect().map(_.getInt(0)).toSeq)
+  }
+
   test("float inputs produce bit-identical results to their cast-to-double form") {
     import spark.implicits._
     val df = Seq(

@@ -1046,6 +1046,32 @@ object SparkEntry {
         Similarity.topK(e, q, "vec_id", "embedding", k = 10),
         approx, q, "recall_ge_090", 0.9)
     }),
+    "ann_conf_auto" -> ((s, dir) => {
+      // Round 12: the FULLY SELF-TUNING conf surface driven through the
+      // driver contract — algo=ivfpq with every sizing knob on auto:
+      // nlist=auto (~sqrt(n)/4 cells from the corpus count, new this
+      // round), tppc=auto (mini-batch total-mass trainer), nprobe=auto
+      // (measured cell-recall calibration at target 0.95, memoized per
+      // index), shortlist=auto (depth sized to the probed scan). This
+      // is the zero-knowledge entry point a pipeline at 100 TB actually
+      // calls: no hand-tuned constants anywhere, and the recall gate is
+      // EARNED against the exact ranking, not assumed. annTopK reads
+      // the confs eagerly (build + calibration run at call time), so
+      // the set/unset cannot leak into other queries' plans.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      val conf = s.conf
+      val keys = Seq("algo", "nlist", "nprobe", "tppc", "shortlist")
+      val approx =
+        try {
+          conf.set("spark.graft.ann.algo", "ivfpq")
+          keys.drop(1).foreach(k => conf.set(s"spark.graft.ann.$k", "auto"))
+          Similarity.annTopK(e, q, "vec_id", "embedding", k = 10, dim = 64)
+        } finally keys.foreach(k => conf.unset(s"spark.graft.ann.$k"))
+      annGate(
+        Similarity.topK(e, q, "vec_id", "embedding", k = 10),
+        approx, q, "recall_ge_090", 0.9)
+    }),
     "ann_ivfpq_rank" -> ((s, dir) => {
       // Round 11: the SPILL-SAFE RANK shortlist engine, driven through
       // the driver contract. Depths past the 65536 heap ceiling select
@@ -2896,6 +2922,20 @@ object SparkEntry {
       // IVFPQ auto-depth gate (round 10): same anchor shape; the
       // tighter 0.9 recall boolean is earned Spark-side.
       "ann_ivfpq_auto" ->
+        s"""$dotPairs,
+           |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv
+           |        UNION ALL
+           |        SELECT id2, id1, c FROM cosv),
+           |ranked AS (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           |  FROM sym WHERE query_id < 50)
+           |SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
+           |  count(*)::BIGINT AS n_exact_rows, true AS recall_ge_090
+           |FROM ranked WHERE rank <= 10""".stripMargin,
+      // Fully self-tuning conf gate (round 12): same anchor shape as
+      // ann_ivfpq_auto; the 0.9 recall boolean is earned Spark-side
+      // with every sizing knob on auto.
+      "ann_conf_auto" ->
         s"""$dotPairs,
            |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv
            |        UNION ALL

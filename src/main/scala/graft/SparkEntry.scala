@@ -1909,6 +1909,23 @@ object SparkEntry {
     * sample and `gate_sec = full_median - op_median`. Every key here
     * must also be in [[queries]] (spec-asserted). */
   def opOnly: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+    "ann_conf_auto" -> ((s, dir) => {
+      // the OPERATOR here is the whole zero-knowledge one-shot — build
+      // + calibration + probe, nothing amortizable — so the thunk is
+      // the full annTopK call; gate_sec isolates the exact-ranking
+      // recall harness the gate adds on top
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      () => {
+        val conf = s.conf
+        val keys = Seq("algo", "nlist", "nprobe", "tppc", "shortlist")
+        try {
+          conf.set("spark.graft.ann.algo", "ivfpq")
+          keys.drop(1).foreach(k => conf.set(s"spark.graft.ann.$k", "auto"))
+          Similarity.annTopK(e, q, "vec_id", "embedding", k = 10, dim = 64)
+        } finally keys.foreach(k => conf.unset(s"spark.graft.ann.$k"))
+      }
+    }),
     "dedup_minhash" -> ((s, dir) => { () =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)

@@ -292,6 +292,15 @@ object Similarity {
     /** Test hook: how many calibration SCANS this index has run (memo
       * hits don't increment). */
     private[graft] var calibrationScans: Int = 0
+    /** Seed the calibration memo from a snapshot ([[Similarity.loadIvf]])
+      * — a reloaded index skips the calibration scan entirely for widths
+      * the snapshot already earned. */
+    private[operators] def preloadCalibration(
+        entries: Seq[((Double, Int, Int, Long), Int)]): IvfIndex = {
+      calibMemo ++= entries; this
+    }
+    private[operators] def calibrationEntries: Seq[((Double, Int, Int, Long), Int)] =
+      calibMemo.toSeq
 
     /** Pin the layout for repeated probing. CAVEAT: Spark's columnar
       * cache ENCODES array columns on its slow generic path — building
@@ -366,6 +375,9 @@ object Similarity {
       centroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
         .toDF("c", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // calibrated widths already earned on this index (possibly none —
+      // 0 rows): a reloaded snapshot skips those calibration scans
+      saveCalibration(spark, path, calibrationEntries)
     }
 
     /** Probe the `nprobe` nearest cells per query and rank exact cosines
@@ -576,7 +588,30 @@ object Similarity {
     require(centroids.nonEmpty, s"loadIvf: no centroids found under $path/centroids")
     val indexed = spark.read.parquet(s"$path/layout")
     new IvfIndex(centroids, indexed, indexed.schema("id").dataType)
+      .preloadCalibration(loadCalibration(spark, path))
   }
+
+  /** Snapshot side table for the calibration memo: calibrated nprobe
+    * widths are a pure function of (index, estimator params), so they
+    * travel with the index — calibrate once per corpus snapshot, ever.
+    * Written even when empty (0 rows) so load never probes the
+    * filesystem; pre-r12 snapshots simply lack the directory. */
+  private def saveCalibration(spark: org.apache.spark.sql.SparkSession,
+      path: String, entries: Seq[((Double, Int, Int, Long), Int)]): Unit = {
+    import spark.implicits._
+    entries.map { case ((t, sq, npq, msr), np) => (t, sq, npq, msr, np) }
+      .toDF("target", "sample_queries", "neighbors_per_query",
+        "max_sample_rows", "nprobe")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/calibration")
+  }
+
+  private def loadCalibration(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[((Double, Int, Int, Long), Int)] =
+    try {
+      spark.read.parquet(s"$path/calibration").collect().toSeq.map { r =>
+        ((r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3)), r.getInt(4))
+      }
+    } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
 
   /** Coarse-trainer AUTO sizing (`trainPointsPerCentroid = 0`): the
     * PER-ITERATION batch budget. Corpora at or under the target train
@@ -1554,6 +1589,13 @@ object Similarity {
       scala.collection.mutable.Map.empty[(Double, Int, Int, Long), Int]
     /** Test hook: calibration SCANS run (memo hits don't increment). */
     private[graft] var calibrationScans: Int = 0
+    /** Seed the memo from a snapshot ([[Similarity.loadIvfPq]]). */
+    private[operators] def preloadCalibration(
+        entries: Seq[((Double, Int, Int, Long), Int)]): IvfPqIndex = {
+      calibMemo ++= entries; this
+    }
+    private[operators] def calibrationEntries: Seq[((Double, Int, Int, Long), Int)] =
+      calibMemo.toSeq
 
     /**
      * Refine-depth AUTO-TUNE (round 10): the recall knob at FIXED index
@@ -1747,6 +1789,8 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
       Seq(idType.json).toDF("id_type")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      // calibrated widths travel with the snapshot (see saveCalibration)
+      saveCalibration(spark, path, calibrationEntries)
     }
   }
 
@@ -1781,6 +1825,7 @@ object Similarity {
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
     new IvfPqIndex(aCents, cents, PqModel(books, rotation),
       spark.read.parquet(s"$path/layout"), idType)
+      .preloadCalibration(loadCalibration(spark, path))
   }
 
   /**

@@ -446,6 +446,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p2 >= 1 && p2 <= 8)
   }
 
+  test("calibration memo travels with the snapshot: reload skips the scan") {
+    // IVF: calibrate -> save -> load -> same width, ZERO scans on the
+    // reloaded index (the width is a pure function of the index and the
+    // estimator params, so it is snapshot state, not session state)
+    val p1 = java.nio.file.Files.createTempDirectory("ivf-cal-").toString
+    val idx = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+      nlist = 8, iters = 2)
+    val cal = idx.calibrateNprobe(0.9, sampleQueries = 8)
+    assert(idx.calibrationScans == 1)
+    idx.save(p1)
+    val loaded = Similarity.loadIvf(spark, p1)
+    assert(loaded.calibrateNprobe(0.9, sampleQueries = 8) == cal)
+    assert(loaded.calibrationScans == 0,
+      "a snapshot-earned width must not re-scan on the reloaded index")
+    // a DIFFERENT estimator key still scans (and memoizes) normally
+    loaded.calibrateNprobe(0.5, sampleQueries = 8)
+    assert(loaded.calibrationScans == 1)
+    // pre-r12 snapshot shape (no calibration dir): load works, scans lazily
+    val noCal = new java.io.File(p1, "calibration")
+    noCal.listFiles().foreach(_.delete()); noCal.delete()
+    val legacy = Similarity.loadIvf(spark, p1)
+    assert(legacy.calibrateNprobe(0.9, sampleQueries = 8) == cal)
+    assert(legacy.calibrationScans == 1)
+    // IVFPQ: same contract
+    val p2 = java.nio.file.Files.createTempDirectory("ivfpq-cal-").toString
+    val pq = Similarity.buildIvfPq(embs, "vec_id", "embedding", dim = 64,
+      nlist = 4, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    val calPq = pq.calibrateNprobe(embs, "vec_id", "embedding", 0.9, sampleQueries = 8)
+    pq.save(p2)
+    pq.unpersist()
+    val loadedPq = Similarity.loadIvfPq(spark, p2)
+    assert(loadedPq.calibrateNprobe(embs, "vec_id", "embedding", 0.9,
+      sampleQueries = 8) == calPq)
+    assert(loadedPq.calibrationScans == 0)
+  }
+
   test("calibrateNprobe: full-range long ids calibrate normally (no silent sample loss)") {
     import spark.implicits._
     // r11 regression: the cell tag was id*nlist+c with an overflow guard

@@ -573,6 +573,12 @@ object Similarity {
     try {
       val n = assigned.count()
       assigned.write.mode("append").partitionBy("c").parquet(s"$path/layout")
+      // appended rows change the cell occupancies the calibrated widths
+      // were measured against — a stale persisted width would silently
+      // under-probe, so the snapshot's calibration table is DROPPED (the
+      // operational contract: append, then re-earn the recall gate /
+      // recalibrate, which re-persists on the next save)
+      saveCalibration(spark, path, Seq.empty)
       n
     } finally assigned.unpersist(blocking = false)
   }
@@ -1866,6 +1872,12 @@ object Similarity {
     try {
       val n = assigned.count()
       assigned.write.mode("append").partitionBy("c").parquet(s"$path/layout")
+      // appended rows change the cell occupancies the calibrated widths
+      // were measured against — a stale persisted width would silently
+      // under-probe, so the snapshot's calibration table is DROPPED (the
+      // operational contract: append, then re-earn the recall gate /
+      // recalibrate, which re-persists on the next save)
+      saveCalibration(spark, path, Seq.empty)
       n
     } finally assigned.unpersist(blocking = false)
   }

@@ -480,6 +480,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(loadedPq.calibrateNprobe(embs, "vec_id", "embedding", 0.9,
       sampleQueries = 8) == calPq)
     assert(loadedPq.calibrationScans == 0)
+    // appending INVALIDATES the persisted widths: the occupancies they
+    // were measured against changed — the reloaded index must re-scan.
+    // Fresh path with a calibration table KNOWN to be present first.
+    val p3 = java.nio.file.Files.createTempDirectory("ivf-cal-append-").toString
+    legacy.save(p3)
+    assert(Similarity.loadIvf(spark, p3).calibrationScans == 0 &&
+      { val l = Similarity.loadIvf(spark, p3)
+        l.calibrateNprobe(0.9, sampleQueries = 8); l.calibrationScans } == 0,
+      "precondition: p3 carries the persisted width")
+    Similarity.appendToIvf(spark, p3,
+      embs.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 100000),
+      "vec_id", "embedding")
+    val afterAppend = Similarity.loadIvf(spark, p3)
+    afterAppend.calibrateNprobe(0.9, sampleQueries = 8)
+    assert(afterAppend.calibrationScans == 1,
+      "a post-append load must not reuse pre-append calibrated widths")
   }
 
   test("calibrateNprobe: full-range long ids calibrate normally (no silent sample loss)") {

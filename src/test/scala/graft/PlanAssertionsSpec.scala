@@ -126,6 +126,37 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("annTopK fully-auto conf path: heap shortlist, broadcast re-rank, no CartesianProduct") {
+    // the zero-knowledge one-shot (ann_conf_auto's operator): at test SF
+    // the auto depth stays under the heap ceiling, so selection must be
+    // the bounded partial/final heap aggregate (never a global sort),
+    // the re-rank must broadcast, and nothing degrades to a cartesian.
+    // Built directly — annTopK's ivfpq path localCheckpoints, which
+    // hides the probe plan, so this drives the same machinery one level
+    // down with the auto-resolved sizings.
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val idx = graft.operators.Similarity.buildIvfPq(e, "vec_id", "embedding",
+      dim = 64, nlist = 0, ivfIters = 3, m = 16, ksub = 16, pqIters = 3,
+      trainPointsPerCentroid = 0)
+    try {
+      assert(idx.assignCentroids.length ==
+        graft.operators.Similarity.autoNlist(n),
+        "nlist=0 must auto-size from the corpus count")
+      val cal = idx.calibrateNprobe(e, "vec_id", "embedding", 0.95)
+      val probe = idx.topK(e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nprobe = cal, shortlist = -1, corpus = e)
+      val p = probe.queryExecution.explainString(FormattedMode)
+      assert(p.contains("partial_topk_agg"),
+        s"auto depth under the heap ceiling must select via the bounded heap:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"the auto-conf probe must never be a CartesianProduct:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the exact re-rank joins must broadcast:\n$p")
+    } finally idx.unpersist()
+  }
+
   test("q_split_assign is map-side only: no exchange anywhere in the plan") {
     val p = plan("q_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")

@@ -462,7 +462,7 @@ object Similarity {
       // long ids via its overflow guard (ADVICE r11).
       val sample = pool
         .filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
-        .withColumn("c", graft.functions.HashFunctions.nearestCentroid(col("v"), centroids))
+        .withColumn("c", assignCells(col("v"), centroids, pool.sparkSession))
         .filter(col("c").isNotNull)
       // exact cosine top-n of each pseudo-query over the slice, carrying
       // the neighbor's CELL through the heap (exact-score ties now break
@@ -648,6 +648,100 @@ object Similarity {
   private[graft] def autoNlist(n: Long): Int =
     math.min(65536L, math.max(16L, (math.sqrt(math.max(0L, n).toDouble) / 4.0).toLong)).toInt
 
+  /** Cell counts at or above this use TWO-LEVEL assignment
+    * ([[graft.functions.NearestCentroidTwoLevel]]); below it the flat
+    * early-exit argmin is already a minor cost and the hierarchy's
+    * approximation buys nothing. Conf `spark.graft.ann.twoLevelAssignMin`
+    * overrides (0 disables); it is a LAYOUT parameter — changing it
+    * between build, append, and calibration of one index is unsupported
+    * (the assignment rule must be the same function of the centroids
+    * everywhere the index touches rows). */
+  private[graft] val TwoLevelAssignMin = 256
+  private[graft] val TwoLevelSpill = 4
+
+  /** Deterministic supergrouping of a centroid set for two-level
+    * assignment: ~sqrt(ncent) supergroup centers from an 8-iteration
+    * driver-side Lloyd over the centroids themselves (init: every
+    * (ncent/S)-th centroid in index order — a pure function of the
+    * centroids, so a reloaded snapshot re-derives the SAME structure
+    * with no extra snapshot state), then each centroid SPILLS into its
+    * `spill` nearest supergroups so boundary centroids stay reachable
+    * from every nearby group. Cost is O(ncent * sqrt(ncent) * dim)
+    * driver-side doubles — microseconds at any realistic nlist. */
+  private[graft] def superStructure(centroids: Array[Array[Double]],
+      spill: Int): (Array[Array[Double]], Array[Array[Int]]) = {
+    val n = centroids.length
+    val dim = centroids.head.length
+    val nsuper = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      val lim = math.min(a.length, b.length)
+      while (j < lim) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s
+    }
+    var supers = Array.tabulate(nsuper)(g =>
+      centroids((g.toLong * n / nsuper).toInt).clone())
+    for (_ <- 1 to 8) {
+      val sums = Array.fill(nsuper)(new Array[Double](dim))
+      val counts = new Array[Long](nsuper)
+      var c = 0
+      while (c < n) {
+        var bg = 0; var bd = Double.MaxValue
+        var g = 0
+        while (g < nsuper) {
+          val dd = d2(centroids(c), supers(g))
+          if (dd < bd) { bd = dd; bg = g }
+          g += 1
+        }
+        counts(bg) += 1
+        var j = 0
+        while (j < dim) { sums(bg)(j) += centroids(c)(j); j += 1 }
+        c += 1
+      }
+      supers = Array.tabulate(nsuper)(g =>
+        if (counts(g) == 0) supers(g).clone()
+        else sums(g).map(_ / counts(g)))
+    }
+    // spilled membership: each centroid joins its `spill` nearest
+    // supergroups (ties to the lower group index)
+    val eff = math.min(spill, nsuper)
+    val members = Array.fill(nsuper)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var c = 0
+    while (c < n) {
+      val ds = Array.tabulate(nsuper)(g => (d2(centroids(c), supers(g)), g))
+      ds.sortBy { case (dd, g) => (dd, g) }.take(eff).foreach { case (_, g) =>
+        members(g) += c
+      }
+      c += 1
+    }
+    // a supergroup nobody spilled into still needs a non-empty list
+    // (the level-2 argmin has no fallback): give it its nearest centroid
+    for (g <- 0 until nsuper if members(g).isEmpty) {
+      val best = (0 until n).minBy(cc => (d2(centroids(cc), supers(g)), cc))
+      members(g) += best
+    }
+    (supers, members.map(_.sorted.toArray))
+  }
+
+  /** THE assignment rule of every IVF-family layout: the flat argmin
+    * kernel below [[TwoLevelAssignMin]] cells, the hierarchical
+    * two-level kernel at or above it. A pure function of the centroid
+    * set (the supergroup structure re-derives deterministically), so
+    * build, append, calibration sampling, and a reloaded snapshot all
+    * place rows identically. */
+  private[graft] def assignCells(vec: Column, centroids: Array[Array[Double]],
+      spark: org.apache.spark.sql.SparkSession): Column = {
+    val minN = spark.conf.getOption("spark.graft.ann.twoLevelAssignMin")
+      .map(_.trim.toInt).getOrElse(TwoLevelAssignMin)
+    val spill = spark.conf.getOption("spark.graft.ann.twoLevelSpill")
+      .map(_.trim.toInt).getOrElse(TwoLevelSpill)
+    if (minN > 0 && centroids.length >= minN) {
+      val (supers, members) = superStructure(centroids, spill)
+      graft.functions.HashFunctions.nearestCentroidTwoLevel(
+        vec, supers, members, centroids)
+    } else graft.functions.HashFunctions.nearestCentroid(vec, centroids)
+  }
+
   /** Train an [[IvfIndex]] on the corpus (see [[ivfTopK]] for the
     * algorithm and scale notes). `trainPointsPerCentroid = 0` selects
     * the measured [[autoTrainTarget]] sizing. */
@@ -765,11 +859,10 @@ object Similarity {
       (nWellFormed + math.max(1L, cap) - 1L) / math.max(1L, cap))
 
     // argmin with ties broken on the lower index — the allocation-free
-    // [[graft.functions.NearestCentroid]] kernel (semantically identical
-    // to array_position(d, array_min(d)) - 1 over the distance kernel,
-    // spec-gated equal)
+    // flat kernel below TwoLevelAssignMin cells, the hierarchical
+    // two-level kernel above it (see [[assignCells]])
     def assignExpr(vec: Column, cents: Array[Array[Double]]): Column =
-      graft.functions.HashFunctions.nearestCentroid(vec, cents)
+      assignCells(vec, cents, corpus.sparkSession)
 
     // deterministic init: the nlist lowest-id WELL-FORMED vectors (right
     // length, no null elements — malformed rows would NPE the driver
@@ -926,7 +1019,7 @@ object Similarity {
   private def assignedLayout(data: DataFrame,
       centroids: Array[Array[Double]]): DataFrame =
     data.withColumn("c",
-        graft.functions.HashFunctions.nearestCentroid(col("v"), centroids))
+        assignCells(col("v"), centroids, data.sparkSession))
       .withColumn("vn", l2Norm(col("v")))
 
   // ------------------------------------------------------------------
@@ -1859,7 +1952,7 @@ object Similarity {
     val units = unitized(newVectors, idCol, vecCol, "id")
     val assigned = units
       .withColumn("c",
-        graft.functions.HashFunctions.nearestCentroid(col("u"), idx.assignCentroids))
+        assignCells(col("u"), idx.assignCentroids, spark))
       .filter(col("c").isNotNull)
       .select(col("c"), col("id").cast("long").as("id"),
         graft.functions.PqFunctions.pqAssignCodes(
@@ -1924,7 +2017,7 @@ object Similarity {
       // materializing array_position form)
       def withResidual(df: DataFrame): DataFrame =
         df.withColumn("c",
-            graft.functions.HashFunctions.nearestCentroid(col("v"), ivf.centroids))
+            assignCells(col("v"), ivf.centroids, corpus.sparkSession))
           .filter(col("c").isNotNull)
           .select(col("id"), col("c"),
             graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"))

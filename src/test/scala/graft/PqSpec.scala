@@ -706,4 +706,58 @@ class PqSpec extends AnyFunSuite {
       assert(gotBq == wantBq && gotBq.nonEmpty)
     } finally clear()
   }
+
+  test("two-level assignment: codegen parity with flat under complete lists") {
+    import spark.implicits._
+    // complete member lists make the hierarchy a no-op — over a real
+    // DataFrame so the CODEGEN path runs (the property suite covers the
+    // interpreted eval); float input + a wrong-length and a null-element
+    // row exercise the kernel contracts in generated code
+    val cents = Array.tabulate(8)(c =>
+      Array.tabulate(4)(j => math.sin(c * 1.7 + j * 0.9)))
+    val (supers, members) = Similarity.superStructure(cents, spill = 8)
+    assert(members.forall(_.length == 8), "spill >= nsuper -> complete lists")
+    val rows = (0L until 500L).map { i =>
+      (i, Array.tabulate(4)(j => math.cos(i * 0.31 + j * 1.1).toFloat))
+    } ++ Seq(
+      (500L, Array(1.0f, 2.0f)), // wrong length -> null
+      (501L, null.asInstanceOf[Array[Float]]))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.HashFunctions.nearestCentroidTwoLevel(
+          col("v"), supers, members, cents).as("c"),
+        graft.functions.HashFunctions.nearestCentroid(col("v"), cents).as("f"))
+      .collect()
+    got.foreach { r =>
+      val two = if (r.isNullAt(1)) null else r.getInt(1)
+      val flat = if (r.isNullAt(2)) null else r.getInt(2)
+      assert(two == flat, s"row ${r.getLong(0)}: two-level $two != flat $flat")
+    }
+    assert(got.count(_.isNullAt(1)) == 2, "wrong-length and null rows -> null")
+  }
+
+  test("two-level dispatch: engaged layout keeps full-width probe == exact") {
+    // shrink the threshold so the 8-cell build takes the two-level path
+    // (production default 256); the LAYOUT invariant — a probe of every
+    // cell sees every row, so full width == exact — must hold under the
+    // approximate assignment, and the same-rule contract means
+    // calibration sees the cells rows actually landed in
+    val keys = Seq("twoLevelAssignMin", "twoLevelSpill")
+    try {
+      spark.conf.set("spark.graft.ann.twoLevelAssignMin", "4")
+      spark.conf.set("spark.graft.ann.twoLevelSpill", "2")
+      val idx = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+        nlist = 8, iters = 2)
+      val q = embs.filter(col("vec_id") < 10)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+      assert(rows(idx.topK(q, "vec_id", "embedding", 5, 8)) ==
+        rows(Similarity.topK(embs, q, "vec_id", "embedding", 5)),
+        "full-width probe over a two-level layout must equal exact")
+      // calibration runs the same assignment rule on its sample and
+      // returns a usable width
+      val np = idx.calibrateNprobe(0.9, sampleQueries = 8)
+      assert(np >= 1 && np <= 8)
+    } finally keys.foreach(k => spark.conf.unset(s"spark.graft.ann.$k"))
+  }
 }

@@ -347,18 +347,28 @@ object Similarity {
      */
     def calibrateNprobe(targetCellRecall: Double = 0.95,
         sampleQueries: Int = 32, neighborsPerQuery: Int = 10,
-        maxSampleRows: Long = 500000L): Int = calibMemo.getOrElseUpdate(
-      (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
-        calibrationScans += 1
-        // c is PRUNED from the pool projection: the count and the
-        // pseudo-query scan must not re-derive the O(n*nlist*d)
-        // assignment on an unpersisted layout — only the bounded sample
-        // slice is assigned (inside calibrateNprobeFrom)
-        calibrateNprobeFrom(
-          indexed.select(col("id"), col("v"), col("vn")).filter(col("vn") > 0),
-          centroids, rowCountHint, targetCellRecall, sampleQueries,
-          neighborsPerQuery, maxSampleRows)
-      })
+        maxSampleRows: Long = 500000L): Int =
+      // c is PRUNED from the pool projection: the estimator must not
+      // re-derive the O(n*nlist*d) assignment on an unpersisted layout —
+      // only the bounded sample slice is assigned (inside
+      // calibrateNprobeFrom)
+      calibrateNprobeWithPool(
+        indexed.select(col("id"), col("v"), col("vn")).filter(col("vn") > 0),
+        targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
+
+    /** [[calibrateNprobe]] with a caller-supplied pool — the build path
+      * feeds the estimator from its still-persisted trainer cache
+      * instead of re-deriving the (id, v, vn) projection from source
+      * (same rows, same result; the memo is shared). */
+    private[graft] def calibrateNprobeWithPool(pool: DataFrame,
+        targetCellRecall: Double, sampleQueries: Int = 32,
+        neighborsPerQuery: Int = 10, maxSampleRows: Long = 500000L): Int =
+      calibMemo.getOrElseUpdate(
+        (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
+          calibrationScans += 1
+          calibrateNprobeFrom(pool, centroids, rowCountHint, targetCellRecall,
+            sampleQueries, neighborsPerQuery, maxSampleRows)
+        })
 
 
     /** Snapshot the index to storage: the centroid-assigned layout as a
@@ -429,12 +439,23 @@ object Similarity {
   }
 
   /** Shared calibration body (see [[IvfIndex.calibrateNprobe]]): `pool`
-    * is a well-formed (id, v, vn) projection — NO cell column, so
-    * neither the count nor the pseudo-query scan pays an assignment
-    * pass; only the bounded sample slice is assigned here (against
-    * `centroids`, the same argmin the layout uses). `totalRows` skips
-    * the counting pass when the caller already knows it (build-time
-    * count, persisted-layout count). */
+    * is a well-formed (id, v, vn) projection — NO cell column, so the
+    * estimator never pays an assignment pass over the corpus; only the
+    * bounded sample slice is assigned here (with [[assignCells]] — the
+    * SAME rule the layout used, so the measured cell ranks reflect
+    * where rows actually live). `totalRows` skips the counting pass
+    * when the caller already knows it (build-time count,
+    * persisted-layout count).
+    *
+    * ONE pool scan total (round 13): the hash slice is persisted and
+    * both the pseudo-queries and the neighbor sample read it — the r12
+    * shape evaluated the pool three times (qFrame twice + the slice),
+    * each re-paying the caller's projection (at 10M with an interpreted
+    * unit-normalizing pool that was ~48 s of the IVFPQ calibration).
+    * Pseudo-queries are the `sampleQueries` lowest-id rows OF THE SLICE
+    * — identical to the r12 global choice whenever step == 1 (every
+    * sub-maxSampleRows pool, so all small-SF gates are byte-stable) and
+    * an equally-valid deterministic draw above it. */
   private def calibrateNprobeFrom(pool: DataFrame,
       centroids: Array[Array[Double]], totalRows: Option[Long],
       targetCellRecall: Double,
@@ -450,18 +471,20 @@ object Similarity {
         return math.max(1, nlist / 4)
       }
       val step = math.max(1L, n / math.max(1L, maxSampleRows))
-      val qFrame = pool.orderBy("id").limit(sampleQueries)
+      val slice = pool
+        .filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+      val qFrame = slice.orderBy("id").limit(sampleQueries)
         .select(col("id").cast("long").as("query_id"), col("v").as("qv"),
           col("vn").as("qn"))
-      // assign ONLY the sampled slice (<= maxSampleRows rows) to its
-      // nearest centroid — the hash predicate pushes below this project,
-      // so the kernel never runs on unsampled rows. The cell rides the
-      // top-k heap DIRECTLY as the entry id (the heap keeps raw
-      // (score, id) pairs, no dedup), which works for every id range —
-      // the r11 id*nlist+c packing silently discarded hashed/full-range
-      // long ids via its overflow guard (ADVICE r11).
-      val sample = pool
-        .filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
+      // assign ONLY the sampled slice (<= ~maxSampleRows rows) to its
+      // cell. The cell rides the top-k heap DIRECTLY as the entry id
+      // (the heap keeps raw (score, id) pairs, no dedup), which works
+      // for every id range — the r11 id*nlist+c packing silently
+      // discarded hashed/full-range long ids via its overflow guard
+      // (ADVICE r11).
+      val sample = slice
         .withColumn("c", assignCells(col("v"), centroids, pool.sparkSession))
         .filter(col("c").isNotNull)
       // exact cosine top-n of each pseudo-query over the slice, carrying
@@ -518,6 +541,7 @@ object Similarity {
         s"-> nprobe $pick of $nlist (${ranks.length} neighbor-cell ranks, " +
         s"sample step $step)")
       pick
+      } finally slice.unpersist(blocking = false)
   }
 
   /**
@@ -763,7 +787,7 @@ object Similarity {
     * ([[buildIvfPq]]) can derive its residual/encode passes from memory
     * instead of re-scanning (and re-projecting) the source. The CALLER
     * owns the unpersist. */
-  private[operators] def buildIvfCached(
+  private[graft] def buildIvfCached(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nlist: Int = 16, iters: Int = 3,
       trainPointsPerCentroid: Int = 256): (IvfIndex, DataFrame) = {
@@ -915,6 +939,35 @@ object Similarity {
     val trainMinIters = corpus.sparkSession.conf
       .getOption("spark.graft.ann.trainMinIters").map(_.trim.toInt)
       .getOrElse(4)
+    // Assignment-CHURN early stop (VERDICT r12 item 3): on structureless
+    // data the running-mean shift plateaus ABOVE trainStopShift (uniform
+    // 10M: ~0.005 — mass keeps nudging centroids) so the shift criterion
+    // never fires and all 10 iterations run, while the thing training
+    // actually decides — WHICH cell each row lands in — stopped moving
+    // iterations earlier. Track a bounded deterministic held-out slice's
+    // assignments per iteration and stop once the changed fraction drops
+    // under `trainStopChurn` (0 disables). This is a direct proxy for
+    // the layout the calibration estimator will measure: stable sample
+    // assignments = stable cell structure = further batches cannot buy
+    // measurable cell recall. Cost: one ~trainStabilitySample-row
+    // assignment job per iteration (cached slice, collect of (id, cell)
+    // pairs) — noise against the O(cap*nlist*d) batch it can save.
+    val trainStopChurn = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.trainStopChurn").map(_.trim.toDouble)
+      .getOrElse(0.01)
+    val stabRows = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.trainStabilitySample").map(_.trim.toLong)
+      .getOrElse(20000L)
+    val churnOn = miniBatch && trainStopChurn > 0
+    val stab =
+      if (churnOn)
+        data.filter(col("_wf") &&
+            pmod(xxhash64(col("id"), lit("ivfstab")),
+              lit(math.max(1L, nWellFormed / math.max(1L, stabRows)))) === 0)
+          .select(col("id").cast("long").as("id"), col("v"))
+          .cache()
+      else null
+    var prevAssign: Map[Long, Int] = null
     // mini-batch accumulator: cumulative per-cell sums and counts across
     // iterations; centroid(c) = cumSum(c)/cumN(c) (the running mean —
     // Sculley's per-center 1/N learning rate in aggregate form)
@@ -991,10 +1044,26 @@ object Similarity {
           }
         }
         val rel = math.sqrt(num / math.max(den, java.lang.Double.MIN_NORMAL))
-        if (it >= trainMinIters && rel < trainStopShift) converged = true
+        // held-out assignment churn under the NEW centroids (the same
+        // assignCells rule the final layout will use)
+        var churn = 1.0
+        if (churnOn) {
+          val cur = stab
+            .select(col("id"), assignExpr(col("v"), updated).as("c"))
+            .filter(col("c").isNotNull)
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          if (prevAssign != null && cur.nonEmpty)
+            churn = cur.count { case (id, cc) =>
+              prevAssign.get(id).forall(_ != cc) }.toDouble / cur.size
+          prevAssign = cur
+        }
+        if (it >= trainMinIters &&
+            (rel < trainStopShift || (churnOn && churn < trainStopChurn)))
+          converged = true
         System.err.println(f"[graft] buildIvf mini-batch iter $it/$effIters: " +
           f"centroid shift $rel%.5f" +
-          (if (converged) f" < $trainStopShift%.5f — converged, stopping" else ""))
+          (if (churnOn) f", assignment churn $churn%.5f" else "") +
+          (if (converged) " — converged, stopping" else ""))
       }
       centroids = updated
       phase(s"iter-$it")
@@ -1002,9 +1071,11 @@ object Similarity {
     }
 
     // Training is over (the collect loops above materialized the cache);
-    // the static-sample cache is internal and released here; `data`
-    // stays persisted — the caller (buildIvf / buildIvfPq) owns it.
+    // the static-sample and stability caches are internal and released
+    // here; `data` stays persisted — the caller (buildIvf / buildIvfPq)
+    // owns it.
     if (sampled && !miniBatch) train.unpersist(blocking = false)
+    if (churnOn) stab.unpersist(blocking = false)
 
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows
@@ -1736,11 +1807,23 @@ object Similarity {
     def calibrateNprobe(corpus: DataFrame, idCol: String, vecCol: String,
         targetCellRecall: Double = 0.95, sampleQueries: Int = 32,
         neighborsPerQuery: Int = 10, maxSampleRows: Long = 500000L): Int =
+      calibrateNprobeWithPool(
+        unitized(corpus, idCol, vecCol, "id")
+          .select(col("id"), col("u").as("v"), lit(1.0).as("vn")),
+        targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
+
+    /** [[calibrateNprobe]] with a caller-supplied unit-vector pool —
+      * the build path ([[annBuildIvfPq]]) feeds the estimator from its
+      * still-persisted trainer cache instead of re-unitizing the source
+      * corpus (the r12 shape paid the interpreted normalization twice —
+      * ~48 s of the 10M-tier calibration). Same rows, same result; the
+      * memo is shared with the corpus form. */
+    private[graft] def calibrateNprobeWithPool(pool: DataFrame,
+        targetCellRecall: Double, sampleQueries: Int = 32,
+        neighborsPerQuery: Int = 10, maxSampleRows: Long = 500000L): Int =
       calibMemo.getOrElseUpdate(
         (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
           calibrationScans += 1
-          val pool = unitized(corpus, idCol, vecCol, "id")
-            .select(col("id"), col("u").as("v"), lit(1.0).as("vn"))
           calibrateNprobeFrom(pool, assignCentroids, Some(coded.count()),
             targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
         })
@@ -1984,6 +2067,21 @@ object Similarity {
       nlist: Int = 16, ivfIters: Int = 3,
       m: Int = 16, ksub: Int = 32, pqIters: Int = 3,
       opqIters: Int = 0, trainPointsPerCentroid: Int = 256): IvfPqIndex = {
+    val (idx, cached) = buildIvfPqCached(corpus, idCol, vecCol, dim, nlist,
+      ivfIters, m, ksub, pqIters, opqIters, trainPointsPerCentroid)
+    cached.unpersist(blocking = false)
+    idx
+  }
+
+  /** [[buildIvfPq]] that RETAINS the trainer's unitized (id, v=u, _wf)
+    * cache (see [[buildIvfCached]]) so the caller can feed one more
+    * bounded pass — probe calibration — from memory instead of
+    * re-unitizing the source. The CALLER owns the unpersist. */
+  private[graft] def buildIvfPqCached(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int,
+      nlist: Int = 16, ivfIters: Int = 3,
+      m: Int = 16, ksub: Int = 32, pqIters: Int = 3,
+      opqIters: Int = 0, trainPointsPerCentroid: Int = 256): (IvfPqIndex, DataFrame) = {
     val units = unitized(corpus, idCol, vecCol, "id")
     // retain the trainer's (id, v=u, _wf) cache: every downstream pass
     // in this build reads it instead of re-scanning (and re-unitizing)
@@ -2054,8 +2152,11 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       coded.count()
       phase("encode")
-      new IvfPqIndex(ivf.centroids, unitCents, model, coded, corpus.schema(idCol).dataType)
-    } finally cached.unpersist(blocking = false)
+      (new IvfPqIndex(ivf.centroids, unitCents, model, coded,
+        corpus.schema(idCol).dataType), cached)
+    } catch {
+      case t: Throwable => cached.unpersist(blocking = false); throw t
+    }
   }
 
   /** One-shot convenience: build + probe (a real deployment builds the
@@ -2115,87 +2216,117 @@ object Similarity {
    * clustered regime, and `auto` sizes the refine depth to the scan.
    * Every algo's output schema and tie-breaks match [[topK]].
    */
-  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int): DataFrame = {
-    val conf = corpus.sparkSession.conf
+  /** The `spark.graft.ann.*` knobs, read eagerly at call time (settings
+    * cannot leak into later plans). `nlist`/`tppc` carry the documented
+    * 0 = auto sentinels; `nprobe = None` means CALIBRATE
+    * ([[IvfIndex.calibrateNprobe]]); `shortlist = None` means the
+    * per-algo default depth (auto-sized for ivfpq, the fixed documented
+    * depth for pq/bq). */
+  private[graft] final case class AnnConf(algo: String, nlist: Int, tppc: Int,
+      nprobe: Option[Int], calTarget: Double, shortlist: Option[Int],
+      m: Int, ksub: Int, opqIters: Int)
+
+  private[graft] def readAnnConf(spark: org.apache.spark.sql.SparkSession): AnnConf = {
+    val conf = spark.conf
     def i(key: String, dflt: Int): Int =
       conf.getOption(s"spark.graft.ann.$key").map(_.trim.toInt).getOrElse(dflt)
-    // IVF cell count: an int, or `auto` (-> the 0 sentinel buildIvf
-    // resolves via [[autoNlist]] from its well-formed row count — no
-    // extra counting job, buildIvf counts anyway)
-    val nlistConf: Int =
-      conf.getOption("spark.graft.ann.nlist").map(_.trim) match {
-        case Some("auto") => 0
-        case Some(v) => v.toInt
-        case None => 16
-      }
-    // coarse-trainer budget for ivf/ivfpq: an int is FAISS-style
-    // points-per-centroid, `auto` (-> 0) the measured total-mass rule
-    // ([[autoTrainTarget]]). Default stays 256 — the pre-r11 behavior.
-    val tppc: Int =
-      conf.getOption("spark.graft.ann.tppc").map(_.trim) match {
-        case Some("auto") => 0
-        case Some(v) => v.toInt
-        case None => 256
-      }
-    // probe width: an int, or `auto` (-> -1 sentinel) to CALIBRATE it
-    // from the measured cell-recall estimate at `cellRecallTarget`
-    // (see [[IvfIndex.calibrateNprobe]]) — with tppc=auto and
-    // shortlist=auto this makes algo=ivfpq fully self-tuning.
-    def nprobeOr(dflt: Int): Int =
-      conf.getOption("spark.graft.ann.nprobe").map(_.trim) match {
-        case Some("auto") => -1
+    // `auto` -> the documented sentinel; nlist/tppc 0-sentinels resolve
+    // inside buildIvf ([[autoNlist]] / [[autoTrainTarget]] — no extra
+    // counting job, buildIvf counts anyway)
+    def sentinel(key: String, dflt: Int, auto: Int): Int =
+      conf.getOption(s"spark.graft.ann.$key").map(_.trim) match {
+        case Some("auto") => auto
         case Some(v) => v.toInt
         case None => dflt
       }
-    val calTarget: Double =
-      conf.getOption("spark.graft.ann.cellRecallTarget").map(_.trim.toDouble)
-        .getOrElse(0.95)
-    // `auto` means "let the algo size the refine depth": ivfpq has a
-    // probed scan to size against (autoShortlist — the -1 sentinel);
-    // bq/pq have no probe structure, so `auto` resolves to the
-    // documented per-algo default instead of silently collapsing the
-    // depth to k (the pre-r11 bug: -1 reached math.max(k, -1)).
-    def shortlistOr(dflt: Int, autoValue: Int): Int =
-      conf.getOption("spark.graft.ann.shortlist").map(_.trim) match {
-        case Some("auto") => autoValue
-        case Some(v) => v.toInt
-        case None => dflt
-      }
-    conf.getOption("spark.graft.ann.algo").map(_.trim.toLowerCase).getOrElse("exact") match {
+    // probe width: `auto` CALIBRATES from the measured cell-recall
+    // estimate at `cellRecallTarget`; shortlist `auto` lets the algo
+    // size the refine depth (ivfpq has a probed scan to size against;
+    // bq/pq resolve `auto` to their documented defaults rather than
+    // silently collapsing the depth to k — the pre-r11 bug)
+    val nprobe = conf.getOption("spark.graft.ann.nprobe").map(_.trim) match {
+      case Some("auto") => None
+      case Some(v) => Some(v.toInt)
+      case None => Some(12)
+    }
+    val shortlist = conf.getOption("spark.graft.ann.shortlist").map(_.trim) match {
+      case Some("auto") => None
+      case Some(v) => Some(v.toInt)
+      case None => None
+    }
+    AnnConf(
+      algo = conf.getOption("spark.graft.ann.algo").map(_.trim.toLowerCase)
+        .getOrElse("exact"),
+      nlist = sentinel("nlist", 16, 0),
+      tppc = sentinel("tppc", 256, 0),
+      nprobe = nprobe,
+      calTarget = conf.getOption("spark.graft.ann.cellRecallTarget")
+        .map(_.trim.toDouble).getOrElse(0.95),
+      shortlist = shortlist,
+      m = i("m", 16), ksub = i("ksub", 32), opqIters = i("opqIters", 0))
+  }
+
+  /** Conf-resolved IVFPQ build + (auto-)calibration — the `algo=ivfpq`
+    * branch of [[annTopK]] factored out so a harness can time the
+    * build-once cost and the probe separately while driving the SAME
+    * zero-knowledge path. Returns (index, resolved nprobe, shortlist
+    * with -1 = auto depth); the caller owns `idx.unpersist()`. When
+    * `nprobe=auto`, the calibration pool is fed from the build's
+    * still-persisted unitized cache — the r12 shape re-derived the
+    * interpreted unit normalization from source (~48 s of the 10M-tier
+    * calibration); this is one bounded scan of an in-memory frame. */
+  def annBuildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int): (IvfPqIndex, Int, Int) = {
+    val c = readAnnConf(corpus.sparkSession)
+    val (idx, cached) = buildIvfPqCached(corpus, idCol, vecCol, dim,
+      nlist = c.nlist, ivfIters = 3, m = c.m, ksub = c.ksub, pqIters = 3,
+      opqIters = c.opqIters, trainPointsPerCentroid = c.tppc)
+    val np =
+      try c.nprobe.getOrElse {
+        idx.calibrateNprobeWithPool(
+          cached.filter(col("_wf"))
+            .select(col("id"), col("v"), lit(1.0).as("vn")),
+          c.calTarget)
+      } finally cached.unpersist(blocking = false)
+    (idx, np, c.shortlist.getOrElse(-1))
+  }
+
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int): DataFrame = {
+    val c = readAnnConf(corpus.sparkSession)
+    c.algo match {
       case "exact" => topK(corpus, queries, idCol, vecCol, k)
       case "int8" => topKInt8(corpus, queries, idCol, vecCol, k)
       case "bq" =>
         bqTopK(corpus, queries, idCol, vecCol, k, dim,
-          shortlist = math.max(k, shortlistOr(400, 400)))
+          shortlist = math.max(k, c.shortlist.getOrElse(400)))
       case "pq" =>
-        val m = i("m", 16); val ksub = i("ksub", 32)
         val model =
-          if (i("opqIters", 0) > 0)
-            opqTrain(corpus, idCol, vecCol, dim, m, ksub, iters = 3,
-              opqIters = i("opqIters", 0))
-          else pqTrain(corpus, idCol, vecCol, dim, m, ksub)
+          if (c.opqIters > 0)
+            opqTrain(corpus, idCol, vecCol, dim, c.m, c.ksub, iters = 3,
+              opqIters = c.opqIters)
+          else pqTrain(corpus, idCol, vecCol, dim, c.m, c.ksub)
         pqTopK(corpus, queries, idCol, vecCol, k, model,
-          shortlist = math.max(k, shortlistOr(200, 200)))
+          shortlist = math.max(k, c.shortlist.getOrElse(200)))
       case "ivf" =>
-        val idx = buildIvf(corpus, idCol, vecCol, dim,
-          nlist = nlistConf, iters = 3, trainPointsPerCentroid = tppc)
-        val np = nprobeOr(12) match {
-          case -1 => idx.calibrateNprobe(calTarget)
-          case v => v
-        }
+        // calibration (nprobe=auto) feeds from the build's retained
+        // unitized cache, like annBuildIvfPq — the loaded-snapshot path
+        // still calibrates from the layout (IvfIndex.calibrateNprobe)
+        val (idx, cached) = buildIvfCached(corpus, idCol, vecCol, dim,
+          nlist = c.nlist, iters = 3, trainPointsPerCentroid = c.tppc)
+        val np =
+          try c.nprobe.getOrElse {
+            idx.calibrateNprobeWithPool(
+              cached.filter(col("_wf"))
+                .select(col("id"), col("v"), l2Norm(col("v")).as("vn"))
+                .filter(col("vn") > 0),
+              c.calTarget)
+          } finally cached.unpersist(blocking = false)
         idx.topK(queries, idCol, vecCol, k, np)
       case "ivfpq" =>
-        val idx = buildIvfPq(corpus, idCol, vecCol, dim,
-          nlist = nlistConf, ivfIters = 3,
-          m = i("m", 16), ksub = i("ksub", 32), pqIters = 3,
-          opqIters = i("opqIters", 0), trainPointsPerCentroid = tppc)
-        val np = nprobeOr(12) match {
-          case -1 => idx.calibrateNprobe(corpus, idCol, vecCol, calTarget)
-          case v => v
-        }
+        val (idx, np, sl) = annBuildIvfPq(corpus, idCol, vecCol, dim)
         try idx.topK(queries, idCol, vecCol, k, nprobe = np,
-            shortlist = shortlistOr(-1, -1), corpus = corpus)
+            shortlist = sl, corpus = corpus)
           .localCheckpoint()
         finally idx.unpersist()
       case other => throw new IllegalArgumentException(

@@ -46,6 +46,14 @@ import graft.operators.Similarity
  * and the mini-batch trainer early-stops on centroid-shift
  * convergence (both VERDICT r11 items).
  *
+ * Round 13: each 10M tier adds a `ivfpq[conf-auto,...]` row — the
+ * fully self-tuning conf surface (every sizing knob auto) driven
+ * through the same annBuildIvfPq path annTopK runs, with build_s the
+ * one-shot cost including calibration; assignment at nlist >= 256 now
+ * runs the two-level kernel and the mini-batch trainer also stops on
+ * assignment-churn convergence (the shift criterion never fires on
+ * structureless data).
+ *
  * Emits one JSON line per (dist, n, algo) and writes the whole grid to
  * ANNBENCH_r12.json (override via SPARK_GRAFT_ANNBENCH_OUT). Build =
  * index construction (amortized per corpus snapshot in production);
@@ -241,16 +249,21 @@ object AnnBench {
           idx.coded.persist().count() // materialize like a snapshot would
           idx
         }
-        // calibrated width against THIS index's own coarse quantizer
-        val allProbes = probes ++ (if (calibrate) {
-          val c = ivfpq.calibrateNprobe(corpus, "vec_id", "embedding", 0.95)
-          Seq((c, s"c$c,auto", -1))
+        // calibrated width against THIS index's own coarse quantizer.
+        // From r13 the calibrated row's build_s records the CALIBRATION
+        // scan itself (the ivf cal rows' convention — the index build
+        // cost is already on the sibling fixed-probe row from the same
+        // build), so the estimator's cost is a first-class grid figure.
+        val allProbes = probes.map(p => (p, tBuild)) ++ (if (calibrate) {
+          val (c, tCal) = timed(
+            ivfpq.calibrateNprobe(corpus, "vec_id", "embedding", 0.95))
+          Seq(((c, s"c$c,auto", -1), tCal))
         } else Seq.empty)
-        allProbes.foreach { case (np, label, s) =>
+        allProbes.foreach { case ((np, label, s), bS) =>
           val (res, tProbe) = timed(pairsOf(
             ivfpq.topK(queries, "vec_id", "embedding", k, np, s, corpus)))
           entries += Entry(dist, n, s"ivfpq[$nlist/$np,${m}x256$tag,$label]",
-            tBuild, tProbe, rec(res))
+            bS, tProbe, rec(res))
         }
         ivfpq.coded.unpersist(blocking = false)
       }
@@ -274,6 +287,33 @@ object AnnBench {
         ivfpqRows(16, 0, Seq((nprobe, "auto", -1)), calibrate = true)
         if (dist == "clustered")
           ivfpqRows(32, 0, Seq((nprobe, "s2000", 2000), (nprobe, "auto", -1)))
+
+        // the fully-auto CONF surface at scale (round 13): the
+        // zero-knowledge entry point a pipeline actually calls —
+        // algo=ivfpq with EVERY sizing knob on auto (nlist, tppc,
+        // nprobe, shortlist); m=16/ksub=256 fix only the 16 B/vector
+        // byte budget. Driven through the factored conf path
+        // (annBuildIvfPq — exactly what annTopK runs), so build_s is
+        // the honest one-shot cost INCLUDING calibration and probe_s
+        // is one query batch at the resolved width/depth.
+        val confKeys = Seq("algo", "nlist", "nprobe", "tppc", "shortlist",
+          "m", "ksub")
+        try {
+          spark.conf.set("spark.graft.ann.algo", "ivfpq")
+          Seq("nlist", "nprobe", "tppc", "shortlist")
+            .foreach(kk => spark.conf.set(s"spark.graft.ann.$kk", "auto"))
+          spark.conf.set("spark.graft.ann.m", "16")
+          spark.conf.set("spark.graft.ann.ksub", "256")
+          val (built, tCBuild) = timed(
+            Similarity.annBuildIvfPq(corpus, "vec_id", "embedding", d))
+          val (cIdx, cNp, cSl) = built
+          val anl = cIdx.assignCentroids.length
+          val (cRes, tCProbe) = timed(pairsOf(
+            cIdx.topK(queries, "vec_id", "embedding", k, cNp, cSl, corpus)))
+          entries += Entry(dist, n, s"ivfpq[conf-auto,a$anl/c$cNp,16x256]",
+            tCBuild, tCProbe, rec(cRes))
+          cIdx.unpersist()
+        } finally confKeys.foreach(kk => spark.conf.unset(s"spark.graft.ann.$kk"))
       }
 
       entries.filter(e => e.dist == dist && e.n == n).foreach { e =>
@@ -289,7 +329,7 @@ object AnnBench {
         f""""recall":${"%.4f".format(e.recall)}}"""
     }.mkString(",\n  ")
     val out = s"""{"artifact":"annbench","master":"local[32]","entries":[\n  $json\n]}\n"""
-    val outName = sys.env.getOrElse("SPARK_GRAFT_ANNBENCH_OUT", "ANNBENCH_r12.json")
+    val outName = sys.env.getOrElse("SPARK_GRAFT_ANNBENCH_OUT", "ANNBENCH_r13.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       out.getBytes("UTF-8"))
     println(s"[annbench] wrote $outName with ${entries.size} entries")

@@ -637,9 +637,12 @@ class PqSpec extends AnyFunSuite {
     def build() = Similarity.buildIvf(corpus, "vec_id", "embedding", dim = 8,
       nlist = 4, iters = 2, trainPointsPerCentroid = 0)
     def cents(i: Similarity.IvfIndex) = i.centroids.map(_.toSeq).toSeq
-    val keys = Seq("autoTrainFloor", "trainStopShift", "trainMinIters")
+    val keys = Seq("autoTrainFloor", "trainStopShift", "trainMinIters",
+      "trainStopChurn")
     try {
       spark.conf.set("spark.graft.ann.autoTrainFloor", "64")
+      // churn stop off: this test pins the SHIFT criterion's behavior
+      spark.conf.set("spark.graft.ann.trainStopChurn", "0")
       // a huge threshold converges at the minimum-iterations floor ...
       spark.conf.set("spark.graft.ann.trainStopShift", "1e9")
       spark.conf.set("spark.graft.ann.trainMinIters", "1")
@@ -659,6 +662,42 @@ class PqSpec extends AnyFunSuite {
       assert(cents(never) == cents(build()), "early-stop logic must stay deterministic")
       // whatever the trainer did, the LAYOUT contract holds: full-width
       // probe == exact, even on the least-trained index
+      val q = corpus.filter(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+      assert(rows(one.topK(q, "vec_id", "embedding", 3, 4)) ==
+        rows(Similarity.topK(corpus, q, "vec_id", "embedding", 3)))
+    } finally keys.foreach(k => spark.conf.unset(s"spark.graft.ann.$k"))
+  }
+
+  test("assignment-churn early stop: fires where the shift criterion cannot, deterministically") {
+    import spark.implicits._
+    // same mini-batch corpus shape as the shift test; shift threshold 0
+    // disables the shift stop so any early exit is the CHURN criterion's
+    val corpus = (0L until 3000L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def build() = Similarity.buildIvf(corpus, "vec_id", "embedding", dim = 8,
+      nlist = 4, iters = 2, trainPointsPerCentroid = 0)
+    def cents(i: Similarity.IvfIndex) = i.centroids.map(_.toSeq).toSeq
+    val keys = Seq("autoTrainFloor", "trainStopShift", "trainMinIters",
+      "trainStopChurn")
+    try {
+      spark.conf.set("spark.graft.ann.autoTrainFloor", "64")
+      spark.conf.set("spark.graft.ann.trainStopShift", "0")
+      spark.conf.set("spark.graft.ann.trainMinIters", "1")
+      // an always-met churn threshold (> 1.0 covers even the first
+      // measurable iteration) stops at the minimum-iterations floor
+      spark.conf.set("spark.graft.ann.trainStopChurn", "2.0")
+      val one = build()
+      // churn disabled -> the full 10 sampled iterations (r11 behavior)
+      spark.conf.set("spark.graft.ann.trainStopChurn", "0")
+      val never = build()
+      assert(cents(one) != cents(never),
+        "an always-met churn threshold must stop training before 10 iterations")
+      assert(cents(never) == cents(build()),
+        "churn-stop logic must stay deterministic")
+      // layout contract unaffected by where training stopped
       val q = corpus.filter(col("vec_id") < 5)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
@@ -705,6 +744,28 @@ class PqSpec extends AnyFunSuite {
         dim = 64, shortlist = 400))
       assert(gotBq == wantBq && gotBq.nonEmpty)
     } finally clear()
+  }
+
+  test("cache-fed calibration == corpus-fed calibration (same pool, same width)") {
+    // the build-path estimator pool (the retained unitized trainer
+    // cache) holds exactly the rows the corpus-path pool re-derives, so
+    // the calibrated width must be identical — this is what lets
+    // annBuildIvfPq skip the two interpreted corpus scans
+    val (idx, cached) = Similarity.buildIvfPqCached(embs, "vec_id", "embedding",
+      dim = 64, nlist = 4, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    val viaCache =
+      try idx.calibrateNprobeWithPool(
+        cached.filter(col("_wf")).select(col("id"), col("v"), lit(1.0).as("vn")),
+        0.9, sampleQueries = 8)
+      finally cached.unpersist(blocking = false)
+    assert(idx.calibrationScans == 1)
+    val idx2 = Similarity.buildIvfPq(embs, "vec_id", "embedding",
+      dim = 64, nlist = 4, ivfIters = 2, m = 16, ksub = 16, pqIters = 2)
+    val viaCorpus = idx2.calibrateNprobe(embs, "vec_id", "embedding",
+      0.9, sampleQueries = 8)
+    assert(viaCache == viaCorpus,
+      s"cache-fed width $viaCache != corpus-fed width $viaCorpus")
+    idx.unpersist(); idx2.unpersist()
   }
 
   test("two-level assignment: codegen parity with flat under complete lists") {

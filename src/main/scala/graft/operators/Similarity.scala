@@ -281,7 +281,12 @@ object Similarity {
       // a counting pass over the (possibly unpersisted, assignment-
       // deriving) layout; None on loaded snapshots (parquet counts are
       // metadata-cheap there)
-      private[operators] val rowCountHint: Option[Long] = None) {
+      private[operators] val rowCountHint: Option[Long] = None,
+      // the VERIFIED layout assignment rule (see buildIvfCached): flat
+      // exact argmin (false) or the spilled two-level kernel (true).
+      // Pinned per index, persisted with snapshots — appends and
+      // calibration sampling must place rows exactly as the layout did.
+      private[graft] val assignTwoLevel: Boolean = false) {
 
     // calibration memo (VERDICT r11 item 5): `nprobe=auto` callers were
     // re-paying the bounded-but-real calibration scan (~2 s at 10M) on
@@ -366,8 +371,8 @@ object Similarity {
       calibMemo.getOrElseUpdate(
         (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
           calibrationScans += 1
-          calibrateNprobeFrom(pool, centroids, rowCountHint, targetCellRecall,
-            sampleQueries, neighborsPerQuery, maxSampleRows)
+          calibrateNprobeFrom(pool, centroids, assignTwoLevel, rowCountHint,
+            targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
         })
 
 
@@ -388,6 +393,9 @@ object Similarity {
       // calibrated widths already earned on this index (possibly none —
       // 0 rows): a reloaded snapshot skips those calibration scans
       saveCalibration(spark, path, calibrationEntries)
+      // the verified layout assignment rule travels too (appends must
+      // place rows exactly as the layout did)
+      saveAssignRule(spark, path, assignTwoLevel)
     }
 
     /** Probe the `nprobe` nearest cells per query and rank exact cosines
@@ -457,7 +465,8 @@ object Similarity {
     * sub-maxSampleRows pool, so all small-SF gates are byte-stable) and
     * an equally-valid deterministic draw above it. */
   private def calibrateNprobeFrom(pool: DataFrame,
-      centroids: Array[Array[Double]], totalRows: Option[Long],
+      centroids: Array[Array[Double]], assignTwoLevel: Boolean,
+      totalRows: Option[Long],
       targetCellRecall: Double,
       sampleQueries: Int, neighborsPerQuery: Int,
       maxSampleRows: Long): Int = {
@@ -485,7 +494,8 @@ object Similarity {
       // discarded hashed/full-range long ids via its overflow guard
       // (ADVICE r11).
       val sample = slice
-        .withColumn("c", assignCells(col("v"), centroids, pool.sparkSession))
+        .withColumn("c", assignCellsChosen(col("v"), centroids, assignTwoLevel,
+          pool.sparkSession))
         .filter(col("c").isNotNull)
       // exact cosine top-n of each pseudo-query over the slice, carrying
       // the neighbor's CELL through the heap (exact-score ties now break
@@ -591,7 +601,8 @@ object Similarity {
           s"the snapshot's ${layoutSchema(c).dataType} — the merged layout " +
           "must stay parquet-schema-coherent (cast the new rows first)")
     }
-    val assigned = assignedLayout(data, existing.centroids)
+    val assigned = assignedLayout(data, existing.centroids,
+        existing.assignTwoLevel)
       .filter(col("c").isNotNull)
       .persist()
     try {
@@ -617,7 +628,8 @@ object Similarity {
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     require(centroids.nonEmpty, s"loadIvf: no centroids found under $path/centroids")
     val indexed = spark.read.parquet(s"$path/layout")
-    new IvfIndex(centroids, indexed, indexed.schema("id").dataType)
+    new IvfIndex(centroids, indexed, indexed.schema("id").dataType,
+      assignTwoLevel = loadAssignRule(spark, path))
       .preloadCalibration(loadCalibration(spark, path))
   }
 
@@ -642,6 +654,23 @@ object Similarity {
         ((r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3)), r.getInt(4))
       }
     } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+
+  /** Snapshot side table for the VERIFIED layout assignment rule (see
+    * [[buildIvfCached]]): appends and calibration sampling on a
+    * reloaded index must place rows exactly as the layout did. Absent
+    * directory (pre-r13 snapshot) = flat — correct, two-level layouts
+    * did not exist before the table. */
+  private def saveAssignRule(spark: org.apache.spark.sql.SparkSession,
+      path: String, twoLevel: Boolean): Unit = {
+    import spark.implicits._
+    Seq(twoLevel).toDF("two_level")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/assignrule")
+  }
+
+  private def loadAssignRule(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    try spark.read.parquet(s"$path/assignrule").head().getBoolean(0)
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
 
   /** Coarse-trainer AUTO sizing (`trainPointsPerCentroid = 0`): the
     * PER-ITERATION batch budget. Corpora at or under the target train
@@ -747,24 +776,45 @@ object Similarity {
     (supers, members.map(_.sorted.toArray))
   }
 
-  /** THE assignment rule of every IVF-family layout: the flat argmin
-    * kernel below [[TwoLevelAssignMin]] cells, the hierarchical
-    * two-level kernel at or above it. A pure function of the centroid
-    * set (the supergroup structure re-derives deterministically), so
-    * build, append, calibration sampling, and a reloaded snapshot all
-    * place rows identically. */
-  private[graft] def assignCells(vec: Column, centroids: Array[Array[Double]],
-      spark: org.apache.spark.sql.SparkSession): Column = {
+  /** Whether the conf WANTS two-level assignment at this cell count —
+    * the candidacy test. Whether a layout actually USES it is decided
+    * by [[buildIvfCached]]'s measured verification (see
+    * `twoLevelMaxDisagree` there) and then pinned to the index. */
+  private def twoLevelCandidate(ncent: Int,
+      spark: org.apache.spark.sql.SparkSession): Boolean = {
     val minN = spark.conf.getOption("spark.graft.ann.twoLevelAssignMin")
       .map(_.trim.toInt).getOrElse(TwoLevelAssignMin)
-    val spill = spark.conf.getOption("spark.graft.ann.twoLevelSpill")
+    minN > 0 && ncent >= minN
+  }
+
+  private def twoLevelSpill(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.ann.twoLevelSpill")
       .map(_.trim.toInt).getOrElse(TwoLevelSpill)
-    if (minN > 0 && centroids.length >= minN) {
-      val (supers, members) = superStructure(centroids, spill)
+
+  /** TRAINING-iteration assignment rule: flat argmin below
+    * [[TwoLevelAssignMin]] cells, two-level at or above. Training
+    * tolerates the hierarchy's boundary approximation (centroids are
+    * batch means; a near-tied misassignment is noise there), so no
+    * verification gates this form — the LAYOUT rule is the verified
+    * [[assignCellsChosen]]. */
+  private[graft] def assignCells(vec: Column, centroids: Array[Array[Double]],
+      spark: org.apache.spark.sql.SparkSession): Column =
+    assignCellsChosen(vec, centroids, twoLevelCandidate(centroids.length, spark), spark)
+
+  /** THE assignment rule of an IVF-family LAYOUT, pinned per index:
+    * `twoLevel = false` is the flat exact argmin; `true` the spilled
+    * hierarchical kernel. A pure function of (centroids, flag) — the
+    * supergroup structure re-derives deterministically — so build,
+    * append, calibration sampling, and a reloaded snapshot all place
+    * rows identically. */
+  private[graft] def assignCellsChosen(vec: Column,
+      centroids: Array[Array[Double]], twoLevel: Boolean,
+      spark: org.apache.spark.sql.SparkSession): Column =
+    if (twoLevel) {
+      val (supers, members) = superStructure(centroids, twoLevelSpill(spark))
       graft.functions.HashFunctions.nearestCentroidTwoLevel(
         vec, supers, members, centroids)
     } else graft.functions.HashFunctions.nearestCentroid(vec, centroids)
-  }
 
   /** Train an [[IvfIndex]] on the corpus (see [[ivfTopK]] for the
     * algorithm and scale notes). `trainPointsPerCentroid = 0` selects
@@ -943,18 +993,25 @@ object Similarity {
     // data the running-mean shift plateaus ABOVE trainStopShift (uniform
     // 10M: ~0.005 — mass keeps nudging centroids) so the shift criterion
     // never fires and all 10 iterations run, while the thing training
-    // actually decides — WHICH cell each row lands in — stopped moving
+    // actually decides — WHICH cell each row lands in — stabilized
     // iterations earlier. Track a bounded deterministic held-out slice's
     // assignments per iteration and stop once the changed fraction drops
-    // under `trainStopChurn` (0 disables). This is a direct proxy for
-    // the layout the calibration estimator will measure: stable sample
-    // assignments = stable cell structure = further batches cannot buy
-    // measurable cell recall. Cost: one ~trainStabilitySample-row
-    // assignment job per iteration (cached slice, collect of (id, cell)
-    // pairs) — noise against the O(cap*nlist*d) batch it can save.
+    // under `trainStopChurn` (0 disables). The threshold is MEASURED,
+    // not aspirational: at 10M uniform the per-iteration churn runs
+    // 1.0 -> 0.30 -> 0.14 -> 0.09 and then FLOORS, bouncing 0.02-0.09
+    // through iteration 10 — the residual is boundary jitter
+    // (reassignments among near-tied cells) that structureless data
+    // never retires, and whose placement the probe-width calibration
+    // absorbs (the grid's calibrated recalls are the gate). Below ~10%
+    // churn, further batches move only that boundary mass; 0.1 stops
+    // uniform at the trainMinIters floor while clustered data (churn
+    // collapses with the shift) is governed by whichever fires first.
+    // Cost: one ~trainStabilitySample-row assignment job per iteration
+    // (cached slice, collect of (id, cell) pairs) — noise against the
+    // O(cap*nlist*d) batch it can save.
     val trainStopChurn = corpus.sparkSession.conf
       .getOption("spark.graft.ann.trainStopChurn").map(_.trim.toDouble)
-      .getOrElse(0.01)
+      .getOrElse(0.1)
     val stabRows = corpus.sparkSession.conf
       .getOption("spark.graft.ann.trainStabilitySample").map(_.trim.toLong)
       .getOrElse(20000L)
@@ -1070,6 +1127,53 @@ object Similarity {
       it += 1
     }
 
+    // VERIFIED two-level layout decision (round 13): the hierarchical
+    // kernel is an approximation, and on STRUCTURELESS data its boundary
+    // scatter is poison downstream — not to recall (the calibration
+    // absorbs it) but to the calibrated width itself: a misassigned
+    // neighbor's cell ranks far down the query's exact centroid order
+    // when many cells are near-tied, so the 0.95-quantile width
+    // explodes (measured at 10M uniform: flat layout calibrates to
+    // nprobe=1, unverified two-level to nprobe=109 — the probe win
+    // evaporates). So the LAYOUT earns the cheap kernel: measure
+    // two-level-vs-flat disagreement on the bounded held-out slice and
+    // fall back to the flat exact argmin above `twoLevelMaxDisagree`
+    // (default 1%; negative = always flat, a kill switch). Structured
+    // corpora — the shape real embeddings have — verify clean and keep
+    // the O(sqrt(nlist)) assignment; the decision is pinned to the
+    // index and travels with snapshots so appends and calibration
+    // always match the layout.
+    val useTwoLevel = twoLevelCandidate(centroids.length, corpus.sparkSession) && {
+      val maxDis = corpus.sparkSession.conf
+        .getOption("spark.graft.ann.twoLevelMaxDisagree").map(_.trim.toDouble)
+        .getOrElse(0.01)
+      val slice =
+        if (churnOn) stab
+        else data.filter(col("_wf") &&
+            pmod(xxhash64(col("id"), lit("ivfstab")),
+              lit(math.max(1L, nWellFormed / math.max(1L, stabRows)))) === 0)
+          .select(col("id").cast("long").as("id"), col("v"))
+      val r = slice.select(
+          assignCellsChosen(col("v"), centroids, twoLevel = false,
+            corpus.sparkSession).as("flat"),
+          assignCellsChosen(col("v"), centroids, twoLevel = true,
+            corpus.sparkSession).as("two"))
+        .filter(col("flat").isNotNull)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("flat") =!= col("two"), 1L).otherwise(0L)).as("dis"))
+        .head()
+      val tot = r.getLong(0)
+      val dis = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val frac = if (tot == 0) 0.0 else dis.toDouble / tot
+      val ok = frac <= maxDis
+      System.err.println(f"[graft] buildIvf: two-level layout verification — " +
+        f"$dis of $tot sampled assignments disagree with the exact argmin " +
+        f"(${frac * 100}%.2f%% vs ${maxDis * 100}%.2f%% allowed) -> " +
+        (if (ok) "two-level layout" else "FLAT layout fallback"))
+      ok
+    }
+    phase("assign-verify")
+
     // Training is over (the collect loops above materialized the cache);
     // the static-sample and stability caches are internal and released
     // here; `data` stays persisted — the caller (buildIvf / buildIvfPq)
@@ -1079,8 +1183,9 @@ object Similarity {
 
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows
-    (new IvfIndex(centroids, assignedLayout(data.drop("_wf"), centroids), idType,
-      rowCountHint = Some(nWellFormed)), data)
+    (new IvfIndex(centroids,
+      assignedLayout(data.drop("_wf"), centroids, useTwoLevel), idType,
+      rowCountHint = Some(nWellFormed), assignTwoLevel = useTwoLevel), data)
   }
 
   /** Nearest-centroid assignment + norm annotation of an (id, v) frame —
@@ -1088,9 +1193,9 @@ object Similarity {
     * extends (argmin ties to the lower cell index; malformed vectors get
     * a null cell under the kernel's length/null contract). */
   private def assignedLayout(data: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame =
+      centroids: Array[Array[Double]], twoLevel: Boolean): DataFrame =
     data.withColumn("c",
-        assignCells(col("v"), centroids, data.sparkSession))
+        assignCellsChosen(col("v"), centroids, twoLevel, data.sparkSession))
       .withColumn("vn", l2Norm(col("v")))
 
   // ------------------------------------------------------------------
@@ -1747,7 +1852,11 @@ object Similarity {
       private[graft] val unitCentroids: Array[Array[Double]],   // normalized: cdot scalar
       val model: PqModel,
       private[graft] val coded: DataFrame, // (c, id long, codes)
-      private[operators] val idType: org.apache.spark.sql.types.DataType) {
+      private[operators] val idType: org.apache.spark.sql.types.DataType,
+      // the VERIFIED layout assignment rule inherited from the coarse
+      // quantizer build (see buildIvfCached) — appends and calibration
+      // sampling must place rows exactly as the coded layout did
+      private[graft] val assignTwoLevel: Boolean = false) {
 
     /** Release the pinned coded layout ([[Similarity.buildIvfPq]]
       * materializes it). A loaded snapshot reads from parquet — calling
@@ -1824,7 +1933,8 @@ object Similarity {
       calibMemo.getOrElseUpdate(
         (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
           calibrationScans += 1
-          calibrateNprobeFrom(pool, assignCentroids, Some(coded.count()),
+          calibrateNprobeFrom(pool, assignCentroids, assignTwoLevel,
+            Some(coded.count()),
             targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
         })
 
@@ -1973,6 +2083,8 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
       // calibrated widths travel with the snapshot (see saveCalibration)
       saveCalibration(spark, path, calibrationEntries)
+      // the verified layout assignment rule travels too
+      saveAssignRule(spark, path, assignTwoLevel)
     }
   }
 
@@ -2006,7 +2118,8 @@ object Similarity {
         if (rows.isEmpty) None else Some(rows)
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
     new IvfPqIndex(aCents, cents, PqModel(books, rotation),
-      spark.read.parquet(s"$path/layout"), idType)
+      spark.read.parquet(s"$path/layout"), idType,
+      assignTwoLevel = loadAssignRule(spark, path))
       .preloadCalibration(loadCalibration(spark, path))
   }
 
@@ -2035,7 +2148,8 @@ object Similarity {
     val units = unitized(newVectors, idCol, vecCol, "id")
     val assigned = units
       .withColumn("c",
-        assignCells(col("u"), idx.assignCentroids, spark))
+        assignCellsChosen(col("u"), idx.assignCentroids, idx.assignTwoLevel,
+          spark))
       .filter(col("c").isNotNull)
       .select(col("c"), col("id").cast("long").as("id"),
         graft.functions.PqFunctions.pqAssignCodes(
@@ -2115,7 +2229,8 @@ object Similarity {
       // materializing array_position form)
       def withResidual(df: DataFrame): DataFrame =
         df.withColumn("c",
-            assignCells(col("v"), ivf.centroids, corpus.sparkSession))
+            assignCellsChosen(col("v"), ivf.centroids, ivf.assignTwoLevel,
+              corpus.sparkSession))
           .filter(col("c").isNotNull)
           .select(col("id"), col("c"),
             graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"))
@@ -2153,7 +2268,8 @@ object Similarity {
       coded.count()
       phase("encode")
       (new IvfPqIndex(ivf.centroids, unitCents, model, coded,
-        corpus.schema(idCol).dataType), cached)
+        corpus.schema(idCol).dataType,
+        assignTwoLevel = ivf.assignTwoLevel), cached)
     } catch {
       case t: Throwable => cached.unpersist(blocking = false); throw t
     }

@@ -797,21 +797,27 @@ class PqSpec extends AnyFunSuite {
     assert(got.count(_.isNullAt(1)) == 2, "wrong-length and null rows -> null")
   }
 
-  test("two-level dispatch: engaged layout keeps full-width probe == exact") {
-    // shrink the threshold so the 8-cell build takes the two-level path
-    // (production default 256); the LAYOUT invariant — a probe of every
-    // cell sees every row, so full width == exact — must hold under the
-    // approximate assignment, and the same-rule contract means
-    // calibration sees the cells rows actually landed in
-    val keys = Seq("twoLevelAssignMin", "twoLevelSpill")
+  test("two-level dispatch: verified layout, flat fallback, rule travels with snapshots") {
+    // shrink the threshold so the 8-cell build is a two-level CANDIDATE
+    // (production default 256). The layout only KEEPS the hierarchical
+    // kernel when the measured disagreement vs the flat exact argmin is
+    // under twoLevelMaxDisagree — measured at 10M: clustered 0.00%
+    // (kept), uniform 41.8% (flat fallback, else the calibrated width
+    // explodes c1 -> c109). Force both outcomes deterministically here.
+    val keys = Seq("twoLevelAssignMin", "twoLevelSpill", "twoLevelMaxDisagree")
     try {
       spark.conf.set("spark.graft.ann.twoLevelAssignMin", "4")
       spark.conf.set("spark.graft.ann.twoLevelSpill", "2")
+      // 1.0 = any disagreement tolerated -> the candidate is always kept
+      spark.conf.set("spark.graft.ann.twoLevelMaxDisagree", "1.0")
       val idx = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
         nlist = 8, iters = 2)
+      assert(idx.assignTwoLevel, "candidate + tolerant threshold -> two-level layout")
       val q = embs.filter(col("vec_id") < 10)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+      // the LAYOUT invariant: a probe of every cell sees every row, so
+      // full width == exact even under the approximate assignment
       assert(rows(idx.topK(q, "vec_id", "embedding", 5, 8)) ==
         rows(Similarity.topK(embs, q, "vec_id", "embedding", 5)),
         "full-width probe over a two-level layout must equal exact")
@@ -819,6 +825,22 @@ class PqSpec extends AnyFunSuite {
       // returns a usable width
       val np = idx.calibrateNprobe(0.9, sampleQueries = 8)
       assert(np >= 1 && np <= 8)
+      // the rule travels with the snapshot: a reloaded index appends and
+      // calibrates with the layout's own kernel
+      val dir = java.nio.file.Files.createTempDirectory("ivf-2l-").toString
+      idx.save(dir)
+      assert(Similarity.loadIvf(spark, dir).assignTwoLevel,
+        "two-level rule must survive save/load")
+      // negative threshold = kill switch: verification always falls back
+      spark.conf.set("spark.graft.ann.twoLevelMaxDisagree", "-1")
+      val flat = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,
+        nlist = 8, iters = 2)
+      assert(!flat.assignTwoLevel, "negative threshold -> flat layout fallback")
+      assert(rows(flat.topK(q, "vec_id", "embedding", 5, 8)) ==
+        rows(Similarity.topK(embs, q, "vec_id", "embedding", 5)))
+      val dir2 = java.nio.file.Files.createTempDirectory("ivf-flat-").toString
+      flat.save(dir2)
+      assert(!Similarity.loadIvf(spark, dir2).assignTwoLevel)
     } finally keys.foreach(k => spark.conf.unset(s"spark.graft.ann.$k"))
   }
 }

@@ -932,12 +932,6 @@ object Similarity {
     val batchStep = math.max(1L,
       (nWellFormed + math.max(1L, cap) - 1L) / math.max(1L, cap))
 
-    // argmin with ties broken on the lower index — the allocation-free
-    // flat kernel below TwoLevelAssignMin cells, the hierarchical
-    // two-level kernel above it (see [[assignCells]])
-    def assignExpr(vec: Column, cents: Array[Array[Double]]): Column =
-      assignCells(vec, cents, corpus.sparkSession)
-
     // deterministic init: the nlist lowest-id WELL-FORMED vectors (right
     // length, no null elements — malformed rows would NPE the driver
     // collect here, while everywhere else they are cleanly excluded by
@@ -989,35 +983,39 @@ object Similarity {
     val trainMinIters = corpus.sparkSession.conf
       .getOption("spark.graft.ann.trainMinIters").map(_.trim.toInt)
       .getOrElse(4)
-    // Assignment-CHURN early stop (VERDICT r12 item 3): on structureless
-    // data the running-mean shift plateaus ABOVE trainStopShift (uniform
-    // 10M: ~0.005 — mass keeps nudging centroids) so the shift criterion
-    // never fires and all 10 iterations run, while the thing training
-    // actually decides — WHICH cell each row lands in — stabilized
-    // iterations earlier. Track a bounded deterministic held-out slice's
-    // assignments per iteration and stop once the changed fraction drops
-    // under `trainStopChurn` (0 disables). The threshold is MEASURED,
-    // not aspirational: at 10M uniform the per-iteration churn runs
-    // 1.0 -> 0.30 -> 0.14 -> 0.09 and then FLOORS, bouncing 0.02-0.09
-    // through iteration 10 — the residual is boundary jitter
-    // (reassignments among near-tied cells) that structureless data
-    // never retires, and whose placement the probe-width calibration
-    // absorbs (the grid's calibrated recalls are the gate). Below ~10%
-    // churn, further batches move only that boundary mass; 0.1 stops
-    // uniform at the trainMinIters floor while clustered data (churn
-    // collapses with the shift) is governed by whichever fires first.
-    // Cost: one ~trainStabilitySample-row assignment job per iteration
-    // (cached slice, collect of (id, cell) pairs) — noise against the
-    // O(cap*nlist*d) batch it can save.
+    // Assignment-CHURN early stop (VERDICT r12 item 3) — built, measured,
+    // and DISABLED BY DEFAULT (`trainStopChurn` > 0 opts in), because
+    // measurement refuted it as a recall proxy: on 10M uniform the
+    // held-out assignment churn plateaus under 2% by iteration ~5, yet
+    // the calibrated probe width at that point is nprobe ~102 of 256 —
+    // against nprobe=1 from full 10-iteration training at the SAME
+    // recall 1.0. Assignment stability is not what the calibration
+    // estimator measures: on structureless data the cells' DIRECTIONS
+    // keep sharpening with accumulated training mass (the running-mean
+    // noise shrinks ~1/sqrt(mass)) long after per-row assignments stop
+    // flipping, and the c1-vs-c102 cliff rides exactly on that
+    // sharpness. Stopping at the churn plateau trades a ~100x probe-
+    // width explosion for a ~30% build cut — a terrible trade at
+    // build-once/probe-many. The honest per-iteration stop for
+    // structureless data is a calibration-sample CELL-RECALL plateau
+    // (estimate the width per iteration, stop when it stops shrinking);
+    // until that ships, uniform-like corpora honestly run all 10
+    // iterations (the r12 shift-criterion behavior, unchanged).
+    // Cost when enabled: one ~trainStabilitySample-row assignment job
+    // per iteration (cached slice, collect of (id, cell) pairs).
     val trainStopChurn = corpus.sparkSession.conf
       .getOption("spark.graft.ann.trainStopChurn").map(_.trim.toDouble)
-      .getOrElse(0.1)
+      .getOrElse(0.0)
     val stabRows = corpus.sparkSession.conf
       .getOption("spark.graft.ann.trainStabilitySample").map(_.trim.toLong)
       .getOrElse(20000L)
     val churnOn = miniBatch && trainStopChurn > 0
+    val twoLevelWanted = twoLevelCandidate(centroids.length, corpus.sparkSession)
+    // the held-out slice serves three measurements: per-iteration churn,
+    // the init-time training-kernel verification, and the final layout
+    // verification — cached once, released after training
     val stab =
-      if (churnOn)
+      if (churnOn || twoLevelWanted)
         data.filter(col("_wf") &&
             pmod(xxhash64(col("id"), lit("ivfstab")),
               lit(math.max(1L, nWellFormed / math.max(1L, stabRows)))) === 0)
@@ -1025,6 +1023,46 @@ object Similarity {
           .cache()
       else null
     var prevAssign: Map[Long, Int] = null
+    // fraction of slice rows where the two-level kernel disagrees with
+    // the flat exact argmin under `cents` — the structure test behind
+    // both kernel decisions below
+    def disagreeFrac(cents: Array[Array[Double]]): Double = {
+      val r = stab.select(
+          assignCellsChosen(col("v"), cents, twoLevel = false,
+            corpus.sparkSession).as("flat"),
+          assignCellsChosen(col("v"), cents, twoLevel = true,
+            corpus.sparkSession).as("two"))
+        .filter(col("flat").isNotNull)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("flat") =!= col("two"), 1L).otherwise(0L)).as("dis"))
+        .head()
+      val tot = r.getLong(0)
+      if (tot == 0) 0.0 else (if (r.isNullAt(1)) 0L else r.getLong(1)).toDouble / tot
+    }
+    val twoLevelMaxDisagree = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.twoLevelMaxDisagree").map(_.trim.toDouble)
+      .getOrElse(0.01)
+    // TRAINING kernel, verified on the INIT centroids: training with a
+    // kernel that misassigns a third of the rows pollutes the running
+    // means (measured at 10M uniform: two-level-trained centroids
+    // calibrate to nprobe 14-101 where flat-trained ones reach 1), so
+    // the cheap kernel must earn the training loop the same way it
+    // earns the layout. Structured corpora verify clean and train
+    // hierarchical; structureless ones train flat — their early-exit
+    // is weak but honest.
+    val trainTwoLevel = twoLevelWanted && {
+      val frac = disagreeFrac(centroids)
+      val ok = frac <= twoLevelMaxDisagree
+      System.err.println(f"[graft] buildIvf: two-level TRAINING verification on init " +
+        f"centroids — ${frac * 100}%.2f%% disagreement vs " +
+        f"${twoLevelMaxDisagree * 100}%.2f%% allowed -> " +
+        (if (ok) "two-level training" else "flat training"))
+      ok
+    }
+    // argmin with ties broken on the lower index — flat or verified
+    // two-level per the decision above
+    def assignExpr(vec: Column, cents: Array[Array[Double]]): Column =
+      assignCellsChosen(vec, cents, trainTwoLevel, corpus.sparkSession)
     // mini-batch accumulator: cumulative per-cell sums and counts across
     // iterations; centroid(c) = cumSum(c)/cumN(c) (the running mean —
     // Sculley's per-center 1/N learning rate in aggregate form)
@@ -1143,32 +1181,12 @@ object Similarity {
     // the O(sqrt(nlist)) assignment; the decision is pinned to the
     // index and travels with snapshots so appends and calibration
     // always match the layout.
-    val useTwoLevel = twoLevelCandidate(centroids.length, corpus.sparkSession) && {
-      val maxDis = corpus.sparkSession.conf
-        .getOption("spark.graft.ann.twoLevelMaxDisagree").map(_.trim.toDouble)
-        .getOrElse(0.01)
-      val slice =
-        if (churnOn) stab
-        else data.filter(col("_wf") &&
-            pmod(xxhash64(col("id"), lit("ivfstab")),
-              lit(math.max(1L, nWellFormed / math.max(1L, stabRows)))) === 0)
-          .select(col("id").cast("long").as("id"), col("v"))
-      val r = slice.select(
-          assignCellsChosen(col("v"), centroids, twoLevel = false,
-            corpus.sparkSession).as("flat"),
-          assignCellsChosen(col("v"), centroids, twoLevel = true,
-            corpus.sparkSession).as("two"))
-        .filter(col("flat").isNotNull)
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("flat") =!= col("two"), 1L).otherwise(0L)).as("dis"))
-        .head()
-      val tot = r.getLong(0)
-      val dis = if (r.isNullAt(1)) 0L else r.getLong(1)
-      val frac = if (tot == 0) 0.0 else dis.toDouble / tot
-      val ok = frac <= maxDis
-      System.err.println(f"[graft] buildIvf: two-level layout verification — " +
-        f"$dis of $tot sampled assignments disagree with the exact argmin " +
-        f"(${frac * 100}%.2f%% vs ${maxDis * 100}%.2f%% allowed) -> " +
+    val useTwoLevel = twoLevelWanted && {
+      val frac = disagreeFrac(centroids)
+      val ok = frac <= twoLevelMaxDisagree
+      System.err.println(f"[graft] buildIvf: two-level LAYOUT verification on final " +
+        f"centroids — ${frac * 100}%.2f%% disagreement vs " +
+        f"${twoLevelMaxDisagree * 100}%.2f%% allowed -> " +
         (if (ok) "two-level layout" else "FLAT layout fallback"))
       ok
     }
@@ -1179,7 +1197,7 @@ object Similarity {
     // here; `data` stays persisted — the caller (buildIvf / buildIvfPq)
     // owns it.
     if (sampled && !miniBatch) train.unpersist(blocking = false)
-    if (churnOn) stab.unpersist(blocking = false)
+    if (stab != null) stab.unpersist(blocking = false)
 
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows

@@ -131,8 +131,19 @@ def current_round_files(names):
     return sorted(rounds[max(rounds)])
 
 
+def current_round_number(names):
+    """Highest round among the builder-owned round-stamped artifacts —
+    the round whose figures must validate against the live tree."""
+    rounds = [int(m.group(2)) for m in
+              (ROUND_FILE_RE.match(n) for n in names) if m]
+    return max(rounds) if rounds else 0
+
+
 def run_checks(text, repo_files=None, dirty_checker=None):
     failures = []
+    if repo_files is None:
+        repo_files = os.listdir(ROOT)
+    cur_round = current_round_number(repo_files)
 
     # rule 1: no unexpanded placeholders anywhere
     for tok in PLACEHOLDER_RE.findall(text):
@@ -164,6 +175,21 @@ def run_checks(text, repo_files=None, dirty_checker=None):
         return failures + ["no checks present"]
     checked_files = set(tier_refs)
     for artifact, selector, expected, tol in checks:
+        # Round-scoped testreports checks (`testreports@rN count X`): the
+        # live-tree test count GROWS every round, so a historical
+        # addendum's count is a snapshot of its own round, not an
+        # invariant of the current tree (the r13 checker design flaw:
+        # r12's `count 316` failed forever once r13 added tests). Only
+        # the check tagged with the CURRENT round (or an untagged one)
+        # validates against the live tree; older tags print HIST and
+        # pass — they were validated by their own round's snapshot.
+        m_tr = re.match(r"^testreports@r(\d+)$", artifact)
+        if m_tr and int(m_tr.group(1)) < cur_round:
+            print(f"HIST {artifact} {selector}: quoted {expected} "
+                  f"(frozen at r{m_tr.group(1)} snapshot; live tree is r{cur_round})")
+            continue
+        if m_tr:
+            artifact = "testreports"
         checked_files.add(artifact.split(":", 1)[1] if ":" in artifact else artifact)
         exp = float(expected)
         tol_v = float(tol) if tol else (0.0 if exp == int(exp) and "." not in expected else 1e-9)

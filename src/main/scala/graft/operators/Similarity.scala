@@ -286,7 +286,14 @@ object Similarity {
       // exact argmin (false) or the spilled two-level kernel (true).
       // Pinned per index, persisted with snapshots — appends and
       // calibration sampling must place rows exactly as the layout did.
-      private[graft] val assignTwoLevel: Boolean = false) {
+      private[graft] val assignTwoLevel: Boolean = false,
+      // the spill factor the two-level structure was built with — part
+      // of the pinned rule (ADVICE r13): reading the live conf on
+      // re-derivation would let a snapshot loaded under a different
+      // spill setting place appended rows with a DIFFERENT member
+      // structure than the layout. Meaningless when assignTwoLevel is
+      // false; persisted alongside it either way.
+      private[graft] val assignSpill: Int = TwoLevelSpill) {
 
     // calibration memo (VERDICT r11 item 5): `nprobe=auto` callers were
     // re-paying the bounded-but-real calibration scan (~2 s at 10M) on
@@ -371,7 +378,8 @@ object Similarity {
       calibMemo.getOrElseUpdate(
         (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
           calibrationScans += 1
-          calibrateNprobeFrom(pool, centroids, assignTwoLevel, rowCountHint,
+          calibrateNprobeFrom(pool, centroids, assignTwoLevel, assignSpill,
+            rowCountHint,
             targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
         })
 
@@ -395,7 +403,7 @@ object Similarity {
       saveCalibration(spark, path, calibrationEntries)
       // the verified layout assignment rule travels too (appends must
       // place rows exactly as the layout did)
-      saveAssignRule(spark, path, assignTwoLevel)
+      saveAssignRule(spark, path, assignTwoLevel, assignSpill)
     }
 
     /** Probe the `nprobe` nearest cells per query and rank exact cosines
@@ -449,9 +457,9 @@ object Similarity {
   /** Shared calibration body (see [[IvfIndex.calibrateNprobe]]): `pool`
     * is a well-formed (id, v, vn) projection — NO cell column, so the
     * estimator never pays an assignment pass over the corpus; only the
-    * bounded sample slice is assigned here (with [[assignCells]] — the
-    * SAME rule the layout used, so the measured cell ranks reflect
-    * where rows actually live). `totalRows` skips the counting pass
+    * bounded sample slice is assigned here (with [[assignCellsChosen]]
+    * under the index's PINNED rule — the SAME rule the layout used, so
+    * the measured cell ranks reflect where rows actually live). `totalRows` skips the counting pass
     * when the caller already knows it (build-time count,
     * persisted-layout count).
     *
@@ -466,6 +474,7 @@ object Similarity {
     * an equally-valid deterministic draw above it. */
   private def calibrateNprobeFrom(pool: DataFrame,
       centroids: Array[Array[Double]], assignTwoLevel: Boolean,
+      assignSpill: Int,
       totalRows: Option[Long],
       targetCellRecall: Double,
       sampleQueries: Int, neighborsPerQuery: Int,
@@ -495,7 +504,7 @@ object Similarity {
       // (ADVICE r11).
       val sample = slice
         .withColumn("c", assignCellsChosen(col("v"), centroids, assignTwoLevel,
-          pool.sparkSession))
+          assignSpill))
         .filter(col("c").isNotNull)
       // exact cosine top-n of each pseudo-query over the slice, carrying
       // the neighbor's CELL through the heap (exact-score ties now break
@@ -602,7 +611,7 @@ object Similarity {
           "must stay parquet-schema-coherent (cast the new rows first)")
     }
     val assigned = assignedLayout(data, existing.centroids,
-        existing.assignTwoLevel)
+        existing.assignTwoLevel, existing.assignSpill)
       .filter(col("c").isNotNull)
       .persist()
     try {
@@ -628,8 +637,9 @@ object Similarity {
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     require(centroids.nonEmpty, s"loadIvf: no centroids found under $path/centroids")
     val indexed = spark.read.parquet(s"$path/layout")
+    val (twoLevel, spill) = loadAssignRule(spark, path)
     new IvfIndex(centroids, indexed, indexed.schema("id").dataType,
-      assignTwoLevel = loadAssignRule(spark, path))
+      assignTwoLevel = twoLevel, assignSpill = spill)
       .preloadCalibration(loadCalibration(spark, path))
   }
 
@@ -661,16 +671,30 @@ object Similarity {
     * directory (pre-r13 snapshot) = flat — correct, two-level layouts
     * did not exist before the table. */
   private def saveAssignRule(spark: org.apache.spark.sql.SparkSession,
-      path: String, twoLevel: Boolean): Unit = {
+      path: String, twoLevel: Boolean, spill: Int): Unit = {
     import spark.implicits._
-    Seq(twoLevel).toDF("two_level")
+    Seq((twoLevel, spill)).toDF("two_level", "spill")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/assignrule")
   }
 
+  /** (twoLevel, spill). The spill travels with the rule (ADVICE r13):
+    * the two-level member structure is a function of (centroids, spill),
+    * so a reload must NOT re-read the live session conf. Pre-r14
+    * snapshots persisted only the boolean — their builds read the conf,
+    * whose only shipped default was [[TwoLevelSpill]], so that is the
+    * back-compat value; pre-r13 snapshots lack the directory = flat. */
   private def loadAssignRule(spark: org.apache.spark.sql.SparkSession,
-      path: String): Boolean =
-    try spark.read.parquet(s"$path/assignrule").head().getBoolean(0)
-    catch { case _: org.apache.spark.sql.AnalysisException => false }
+      path: String): (Boolean, Int) =
+    try {
+      val df = spark.read.parquet(s"$path/assignrule")
+      val row = df.head()
+      val twoLevel = row.getBoolean(row.fieldIndex("two_level"))
+      val spill =
+        if (df.schema.fieldNames.contains("spill"))
+          row.getInt(row.fieldIndex("spill"))
+        else TwoLevelSpill
+      (twoLevel, spill)
+    } catch { case _: org.apache.spark.sql.AnalysisException => (false, TwoLevelSpill) }
 
   /** Coarse-trainer AUTO sizing (`trainPointsPerCentroid = 0`): the
     * PER-ITERATION batch budget. Corpora at or under the target train
@@ -787,31 +811,24 @@ object Similarity {
     minN > 0 && ncent >= minN
   }
 
+  /** The spill a NEW build pins into its layout (conf-read happens once,
+    * at build time — never on re-derivation of a loaded snapshot, whose
+    * persisted [[IvfIndex.assignSpill]] wins; ADVICE r13). */
   private def twoLevelSpill(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("spark.graft.ann.twoLevelSpill")
       .map(_.trim.toInt).getOrElse(TwoLevelSpill)
 
-  /** TRAINING-iteration assignment rule: flat argmin below
-    * [[TwoLevelAssignMin]] cells, two-level at or above. Training
-    * tolerates the hierarchy's boundary approximation (centroids are
-    * batch means; a near-tied misassignment is noise there), so no
-    * verification gates this form — the LAYOUT rule is the verified
-    * [[assignCellsChosen]]. */
-  private[graft] def assignCells(vec: Column, centroids: Array[Array[Double]],
-      spark: org.apache.spark.sql.SparkSession): Column =
-    assignCellsChosen(vec, centroids, twoLevelCandidate(centroids.length, spark), spark)
-
   /** THE assignment rule of an IVF-family LAYOUT, pinned per index:
     * `twoLevel = false` is the flat exact argmin; `true` the spilled
-    * hierarchical kernel. A pure function of (centroids, flag) — the
-    * supergroup structure re-derives deterministically — so build,
-    * append, calibration sampling, and a reloaded snapshot all place
-    * rows identically. */
+    * hierarchical kernel. A pure function of (centroids, twoLevel,
+    * spill) — the supergroup structure re-derives deterministically
+    * from exactly those — so build, append, calibration sampling, and
+    * a reloaded snapshot all place rows identically. */
   private[graft] def assignCellsChosen(vec: Column,
       centroids: Array[Array[Double]], twoLevel: Boolean,
-      spark: org.apache.spark.sql.SparkSession): Column =
+      spill: Int): Column =
     if (twoLevel) {
-      val (supers, members) = superStructure(centroids, twoLevelSpill(spark))
+      val (supers, members) = superStructure(centroids, spill)
       graft.functions.HashFunctions.nearestCentroidTwoLevel(
         vec, supers, members, centroids)
     } else graft.functions.HashFunctions.nearestCentroid(vec, centroids)
@@ -1010,12 +1027,38 @@ object Similarity {
       .getOption("spark.graft.ann.trainStabilitySample").map(_.trim.toLong)
       .getOrElse(20000L)
     val churnOn = miniBatch && trainStopChurn > 0
+    // Calibration-width PLATEAU early stop (VERDICT r13 item 4) — the
+    // honest replacement for the refuted churn stop above: per
+    // iteration, a bounded DRIVER-SIDE mirror of the calibrateNprobe
+    // estimator runs over the held-out slice (Q pseudo-queries, their
+    // exact top-10 cosine neighbors within the slice, rank of each
+    // neighbor's cell in the query's exact centroid order, quantile at
+    // `cellRecallTarget`), and training stops after `trainStopPlateau`
+    // consecutive iterations with no width improvement. This tracks the
+    // quantity the churn refutation proved matters — cell-direction
+    // sharpness as the calibration estimator measures it — not
+    // per-row assignment stability. Cost: ~Q*(1+neighbors)*nlist*d
+    // driver-side flops per iteration (single-digit milliseconds at
+    // nlist=790), on top of the slice cache the churn/two-level
+    // machinery already pays. 0 disables; applies ONLY to the
+    // mini-batch path (full/static-sample training keeps its exact
+    // iteration counts, so every small-SF gate stays byte-stable).
+    val trainStopPlateau = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.trainStopPlateau").map(_.trim.toInt)
+      .getOrElse(0)
+    val plateauLogOnly = sys.env.contains("SPARK_GRAFT_IVF_PLATEAU_LOG")
+    val plateauOn = miniBatch && trainStopPlateau > 0
     val twoLevelWanted = twoLevelCandidate(centroids.length, corpus.sparkSession)
-    // the held-out slice serves three measurements: per-iteration churn,
-    // the init-time training-kernel verification, and the final layout
-    // verification — cached once, released after training
+    // the spill this build pins: read from conf ONCE here — every
+    // assignment this index ever does (training, layout, calibration,
+    // appends after reload) uses this value, never the live conf again
+    val chosenSpill = twoLevelSpill(corpus.sparkSession)
+    // the held-out slice serves four measurements: per-iteration churn,
+    // the per-iteration plateau width estimate, the init-time
+    // training-kernel verification, and the final layout verification —
+    // cached once, released after training
     val stab =
-      if (churnOn || twoLevelWanted)
+      if (churnOn || twoLevelWanted || plateauOn || plateauLogOnly)
         data.filter(col("_wf") &&
             pmod(xxhash64(col("id"), lit("ivfstab")),
               lit(math.max(1L, nWellFormed / math.max(1L, stabRows)))) === 0)
@@ -1023,15 +1066,80 @@ object Similarity {
           .cache()
       else null
     var prevAssign: Map[Long, Int] = null
+    // ---- plateau estimator state (driver-side, bounded by the slice) --
+    // the slice vectors collect ONCE (<= trainStabilitySample rows x dim
+    // doubles, ~10 MB at the defaults); pseudo-queries and their exact
+    // in-slice cosine neighbors are fixed per slice, so per-iteration
+    // work is only the centroid-order + neighbor-cell arithmetic
+    lazy val plateauBase: (Array[Array[Double]], Array[Array[Int]]) = {
+      val rows = stab.orderBy("id").select("v").collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+        .filter(v => v.length == dim && v.forall(x => !x.isNaN))
+      val norms = rows.map(v => math.sqrt(v.map(x => x * x).sum))
+      val q = math.min(16, rows.length)
+      val neigh = Array.tabulate(q) { qi =>
+        val qv = rows(qi); val qn = norms(qi)
+        val scored = rows.indices.filter(_ != qi).map { ri =>
+          val denom = qn * norms(ri)
+          val c = if (denom > 0) {
+            var s = 0.0; var j = 0
+            while (j < dim) { s += qv(j) * rows(ri)(j); j += 1 }
+            s / denom
+          } else -2.0
+          (c, ri)
+        }
+        scored.sortBy { case (c, ri) => (-c, ri) }.take(10).map(_._2).toArray
+      }
+      (rows, neigh)
+    }
+    // the calibrateNprobeFrom quantile, mirrored over the slice: width
+    // that covers `calTarget` of the neighbor-cell ranks in each
+    // query's exact centroid-distance order
+    def plateauWidth(cents: Array[Array[Double]]): Int = {
+      val (rows, neigh) = plateauBase
+      if (neigh.isEmpty) return 1
+      val target = corpus.sparkSession.conf
+        .getOption("spark.graft.ann.cellRecallTarget")
+        .map(_.trim.toDouble).getOrElse(0.95)
+      val nl = cents.length
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var j = 0
+        val lim = math.min(a.length, b.length)
+        while (j < lim) { val d = a(j) - b(j); s += d * d; j += 1 }
+        s
+      }
+      val cellOf = scala.collection.mutable.Map.empty[Int, Int]
+      def assign(ri: Int): Int = cellOf.getOrElseUpdate(ri, {
+        var bc = 0; var bd = Double.MaxValue; var c = 0
+        while (c < nl) {
+          val dd = d2(rows(ri), cents(c))
+          if (dd < bd) { bd = dd; bc = c }
+          c += 1
+        }
+        bc
+      })
+      val ranks = neigh.indices.flatMap { qi =>
+        val order = cents.indices
+          .map(c => (d2(rows(qi), cents(c)), c)).sortBy(identity).map(_._2)
+        val rank = new Array[Int](nl)
+        order.zipWithIndex.foreach { case (cell, pos) => rank(cell) = pos + 1 }
+        neigh(qi).map(ri => rank(assign(ri)))
+      }.sorted
+      val idx = math.min(ranks.length - 1,
+        math.max(0, math.ceil(target * ranks.length).toInt - 1))
+      math.min(nl, math.max(1, ranks(idx)))
+    }
+    var plateauBest = Int.MaxValue
+    var plateauStale = 0
     // fraction of slice rows where the two-level kernel disagrees with
     // the flat exact argmin under `cents` — the structure test behind
     // both kernel decisions below
     def disagreeFrac(cents: Array[Array[Double]]): Double = {
       val r = stab.select(
           assignCellsChosen(col("v"), cents, twoLevel = false,
-            corpus.sparkSession).as("flat"),
+            chosenSpill).as("flat"),
           assignCellsChosen(col("v"), cents, twoLevel = true,
-            corpus.sparkSession).as("two"))
+            chosenSpill).as("two"))
         .filter(col("flat").isNotNull)
         .agg(count(lit(1)).as("n"),
           sum(when(col("flat") =!= col("two"), 1L).otherwise(0L)).as("dis"))
@@ -1062,7 +1170,7 @@ object Similarity {
     // argmin with ties broken on the lower index — flat or verified
     // two-level per the decision above
     def assignExpr(vec: Column, cents: Array[Array[Double]]): Column =
-      assignCellsChosen(vec, cents, trainTwoLevel, corpus.sparkSession)
+      assignCellsChosen(vec, cents, trainTwoLevel, chosenSpill)
     // mini-batch accumulator: cumulative per-cell sums and counts across
     // iterations; centroid(c) = cumSum(c)/cumN(c) (the running mean —
     // Sculley's per-center 1/N learning rate in aggregate form)
@@ -1152,12 +1260,24 @@ object Similarity {
               prevAssign.get(id).forall(_ != cc) }.toDouble / cur.size
           prevAssign = cur
         }
+        // plateau width estimate under the NEW centroids (the state the
+        // next iteration would train from — mirrors the churn hook)
+        var width = -1
+        if (plateauOn || plateauLogOnly) {
+          width = plateauWidth(updated)
+          if (width < plateauBest) { plateauBest = width; plateauStale = 0 }
+          else plateauStale += 1
+        }
         if (it >= trainMinIters &&
-            (rel < trainStopShift || (churnOn && churn < trainStopChurn)))
+            (rel < trainStopShift || (churnOn && churn < trainStopChurn) ||
+              (plateauOn && plateauStale >= trainStopPlateau)))
           converged = true
         System.err.println(f"[graft] buildIvf mini-batch iter $it/$effIters: " +
           f"centroid shift $rel%.5f" +
           (if (churnOn) f", assignment churn $churn%.5f" else "") +
+          (if (width >= 0)
+            s", est cal width $width (best $plateauBest, stale $plateauStale)"
+           else "") +
           (if (converged) " — converged, stopping" else ""))
       }
       centroids = updated
@@ -1202,8 +1322,10 @@ object Similarity {
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows
     (new IvfIndex(centroids,
-      assignedLayout(data.drop("_wf"), centroids, useTwoLevel), idType,
-      rowCountHint = Some(nWellFormed), assignTwoLevel = useTwoLevel), data)
+      assignedLayout(data.drop("_wf"), centroids, useTwoLevel, chosenSpill),
+      idType,
+      rowCountHint = Some(nWellFormed), assignTwoLevel = useTwoLevel,
+      assignSpill = chosenSpill), data)
   }
 
   /** Nearest-centroid assignment + norm annotation of an (id, v) frame —
@@ -1211,9 +1333,10 @@ object Similarity {
     * extends (argmin ties to the lower cell index; malformed vectors get
     * a null cell under the kernel's length/null contract). */
   private def assignedLayout(data: DataFrame,
-      centroids: Array[Array[Double]], twoLevel: Boolean): DataFrame =
+      centroids: Array[Array[Double]], twoLevel: Boolean,
+      spill: Int): DataFrame =
     data.withColumn("c",
-        assignCellsChosen(col("v"), centroids, twoLevel, data.sparkSession))
+        assignCellsChosen(col("v"), centroids, twoLevel, spill))
       .withColumn("vn", l2Norm(col("v")))
 
   // ------------------------------------------------------------------
@@ -1874,7 +1997,9 @@ object Similarity {
       // the VERIFIED layout assignment rule inherited from the coarse
       // quantizer build (see buildIvfCached) — appends and calibration
       // sampling must place rows exactly as the coded layout did
-      private[graft] val assignTwoLevel: Boolean = false) {
+      private[graft] val assignTwoLevel: Boolean = false,
+      // the pinned spill (see IvfIndex.assignSpill — ADVICE r13)
+      private[graft] val assignSpill: Int = TwoLevelSpill) {
 
     /** Release the pinned coded layout ([[Similarity.buildIvfPq]]
       * materializes it). A loaded snapshot reads from parquet — calling
@@ -1952,7 +2077,7 @@ object Similarity {
         (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
           calibrationScans += 1
           calibrateNprobeFrom(pool, assignCentroids, assignTwoLevel,
-            Some(coded.count()),
+            assignSpill, Some(coded.count()),
             targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
         })
 
@@ -2102,7 +2227,7 @@ object Similarity {
       // calibrated widths travel with the snapshot (see saveCalibration)
       saveCalibration(spark, path, calibrationEntries)
       // the verified layout assignment rule travels too
-      saveAssignRule(spark, path, assignTwoLevel)
+      saveAssignRule(spark, path, assignTwoLevel, assignSpill)
     }
   }
 
@@ -2135,9 +2260,10 @@ object Similarity {
           .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
         if (rows.isEmpty) None else Some(rows)
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val (twoLevel, spill) = loadAssignRule(spark, path)
     new IvfPqIndex(aCents, cents, PqModel(books, rotation),
       spark.read.parquet(s"$path/layout"), idType,
-      assignTwoLevel = loadAssignRule(spark, path))
+      assignTwoLevel = twoLevel, assignSpill = spill)
       .preloadCalibration(loadCalibration(spark, path))
   }
 
@@ -2167,7 +2293,7 @@ object Similarity {
     val assigned = units
       .withColumn("c",
         assignCellsChosen(col("u"), idx.assignCentroids, idx.assignTwoLevel,
-          spark))
+          idx.assignSpill))
       .filter(col("c").isNotNull)
       .select(col("c"), col("id").cast("long").as("id"),
         graft.functions.PqFunctions.pqAssignCodes(
@@ -2248,7 +2374,7 @@ object Similarity {
       def withResidual(df: DataFrame): DataFrame =
         df.withColumn("c",
             assignCellsChosen(col("v"), ivf.centroids, ivf.assignTwoLevel,
-              corpus.sparkSession))
+              ivf.assignSpill))
           .filter(col("c").isNotNull)
           .select(col("id"), col("c"),
             graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"))
@@ -2287,7 +2413,8 @@ object Similarity {
       phase("encode")
       (new IvfPqIndex(ivf.centroids, unitCents, model, coded,
         corpus.schema(idCol).dataType,
-        assignTwoLevel = ivf.assignTwoLevel), cached)
+        assignTwoLevel = ivf.assignTwoLevel,
+        assignSpill = ivf.assignSpill), cached)
     } catch {
       case t: Throwable => cached.unpersist(blocking = false); throw t
     }

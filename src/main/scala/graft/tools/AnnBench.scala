@@ -49,10 +49,12 @@ import graft.operators.Similarity
  * Round 13: each 10M tier adds a `ivfpq[conf-auto,...]` row — the
  * fully self-tuning conf surface (every sizing knob auto) driven
  * through the same annBuildIvfPq path annTopK runs, with build_s the
- * one-shot cost including calibration; assignment at nlist >= 256 now
- * runs the two-level kernel and the mini-batch trainer also stops on
- * assignment-churn convergence (the shift criterion never fires on
- * structureless data).
+ * one-shot cost including calibration; assignment at nlist >= 256
+ * runs the two-level kernel where the per-index verification keeps it
+ * (flat fallback above 1% disagreement). An assignment-churn early
+ * stop exists but ships DISABLED by default (trainStopChurn=0) — r13
+ * measurement refuted churn as a calibration-width proxy — so the
+ * grid does not run with it.
  *
  * Emits one JSON line per (dist, n, algo) and writes the whole grid to
  * ANNBENCH_r12.json (override via SPARK_GRAFT_ANNBENCH_OUT). Build =
@@ -62,8 +64,6 @@ import graft.operators.Similarity
 object AnnBench {
   private case class Entry(dist: String, n: Long, algo: String,
       buildS: Double, probeS: Double, recall: Double)
-
-  private val GenVer = 2 // bump when any synthesis expression changes
 
   def main(args: Array[String]): Unit = {
     val ns = if (args.nonEmpty) args.map(_.toLong).toSeq
@@ -77,59 +77,10 @@ object AnnBench {
     val k = 10
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
 
-    // H64/sqrt(64): the orthogonal mixing matrix for the aniso corpus
-    lazy val hadamard: Array[Array[Double]] = {
-      def sign(i: Int, j: Int): Int = Integer.bitCount(i & j) % 2 * -2 + 1
-      Array.tabulate(d, d)((i, j) => sign(i, j) / math.sqrt(d))
-    }
-
-    def corpusOf(dist: String, n: Long): DataFrame = {
-      // per-dist synthesis version: bumping one dist's generator must
-      // not force regeneration of the (unchanged) others
-      val synthVer = Map("aniso" -> 2).getOrElse(dist, 1)
-      val params = s"""{"dist":"$dist","n":$n,"d":$d,"genver":$GenVer,"synth":$synthVer}"""
-      val path = s"/tmp/annbench/${dist}_${n}_d${d}_v${GenVer}s$synthVer.parquet"
-      val stamp = new java.io.File(s"$path/_params.json")
-      val fresh = new java.io.File(path, "_SUCCESS").exists() &&
-        stamp.exists() &&
-        new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8") == params
-      if (!fresh) {
-        val ids = spark.range(n).select(col("id").as("vec_id"))
-        val coords = (0 until d).map { j =>
-          val u = (xxhash64(col("vec_id"), lit(j)).cast("double") / lit(Long.MaxValue.toDouble))
-          val expr = dist match {
-            case "uniform" => u
-            case "clustered" =>
-              val center = when(
-                xxhash64(pmod(col("vec_id"), lit(64L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
-              center + u * lit(0.15)
-            case "aniso" =>
-              // clustered latent with per-dim DECAYING residual scale
-              // (0.5^(j/8): 1 -> ~0.004 across 64 dims) — Hadamard-mixed
-              // below so the anisotropy is not axis-aligned. 1024 NARROW
-              // clusters (~n/1024 rows each, under any tested refine
-              // depth) so the paired opq0/opq8 rows isolate ADC code
-              // quality — the wide-cluster depth effect lives in the
-              // `clustered` dist
-              val center = when(
-                xxhash64(pmod(col("vec_id"), lit(1024L)), lit(j + 1000)) >= 0, 1.0).otherwise(-1.0)
-              center + u * lit(0.15 * math.pow(0.5, j / 8.0))
-          }
-          expr.cast("double")
-        }
-        val latent = ids.select(col("vec_id"), array(coords: _*).as("z"))
-        val mixed =
-          if (dist == "aniso")
-            latent.select(col("vec_id"),
-              graft.functions.VectorFunctions.matrixProject(
-                col("z"), hadamard, new Array[Double](d)).cast("array<float>")
-                .as("embedding"))
-          else latent.select(col("vec_id"), col("z").cast("array<float>").as("embedding"))
-        mixed.write.mode("overwrite").parquet(path)
-        java.nio.file.Files.write(stamp.toPath, params.getBytes("UTF-8"))
-      }
-      spark.read.parquet(path).select("vec_id", "embedding")
-    }
+    // corpus synthesis + parquet cache: shared with AnnBenchR14 so
+    // targeted r14 rows measure on bit-identical data
+    def corpusOf(dist: String, n: Long): DataFrame =
+      AnnData.synthCorpus(spark, dist, n, d)
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -307,12 +258,13 @@ object AnnBench {
           val (built, tCBuild) = timed(
             Similarity.annBuildIvfPq(corpus, "vec_id", "embedding", d))
           val (cIdx, cNp, cSl) = built
-          val anl = cIdx.assignCentroids.length
-          val (cRes, tCProbe) = timed(pairsOf(
-            cIdx.topK(queries, "vec_id", "embedding", k, cNp, cSl, corpus)))
-          entries += Entry(dist, n, s"ivfpq[conf-auto,a$anl/c$cNp,16x256]",
-            tCBuild, tCProbe, rec(cRes))
-          cIdx.unpersist()
+          try {
+            val anl = cIdx.assignCentroids.length
+            val (cRes, tCProbe) = timed(pairsOf(
+              cIdx.topK(queries, "vec_id", "embedding", k, cNp, cSl, corpus)))
+            entries += Entry(dist, n, s"ivfpq[conf-auto,a$anl/c$cNp,16x256]",
+              tCBuild, tCProbe, rec(cRes))
+          } finally cIdx.unpersist() // a probe failure must not leak the pinned layout
         } finally confKeys.foreach(kk => spark.conf.unset(s"spark.graft.ann.$kk"))
       }
 

@@ -638,11 +638,12 @@ class PqSpec extends AnyFunSuite {
       nlist = 4, iters = 2, trainPointsPerCentroid = 0)
     def cents(i: Similarity.IvfIndex) = i.centroids.map(_.toSeq).toSeq
     val keys = Seq("autoTrainFloor", "trainStopShift", "trainMinIters",
-      "trainStopChurn")
+      "trainStopChurn", "trainStopPlateau")
     try {
       spark.conf.set("spark.graft.ann.autoTrainFloor", "64")
-      // churn stop off: this test pins the SHIFT criterion's behavior
+      // churn + plateau stops off: this test pins the SHIFT criterion
       spark.conf.set("spark.graft.ann.trainStopChurn", "0")
+      spark.conf.set("spark.graft.ann.trainStopPlateau", "0")
       // a huge threshold converges at the minimum-iterations floor ...
       spark.conf.set("spark.graft.ann.trainStopShift", "1e9")
       spark.conf.set("spark.graft.ann.trainMinIters", "1")
@@ -681,10 +682,11 @@ class PqSpec extends AnyFunSuite {
       nlist = 4, iters = 2, trainPointsPerCentroid = 0)
     def cents(i: Similarity.IvfIndex) = i.centroids.map(_.toSeq).toSeq
     val keys = Seq("autoTrainFloor", "trainStopShift", "trainMinIters",
-      "trainStopChurn")
+      "trainStopChurn", "trainStopPlateau")
     try {
       spark.conf.set("spark.graft.ann.autoTrainFloor", "64")
       spark.conf.set("spark.graft.ann.trainStopShift", "0")
+      spark.conf.set("spark.graft.ann.trainStopPlateau", "0")
       spark.conf.set("spark.graft.ann.trainMinIters", "1")
       // an always-met churn threshold (> 1.0 covers even the first
       // measurable iteration) stops at the minimum-iterations floor
@@ -702,6 +704,45 @@ class PqSpec extends AnyFunSuite {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
       assert(rows(one.topK(q, "vec_id", "embedding", 3, 4)) ==
+        rows(Similarity.topK(corpus, q, "vec_id", "embedding", 3)))
+    } finally keys.foreach(k => spark.conf.unset(s"spark.graft.ann.$k"))
+  }
+
+  test("calibration-width plateau early stop: fires on a stale width, deterministically") {
+    import spark.implicits._
+    // same mini-batch corpus shape as the shift/churn tests; shift and
+    // churn stops disabled so any early exit is the PLATEAU criterion's
+    val corpus = (0L until 3000L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def build() = Similarity.buildIvf(corpus, "vec_id", "embedding", dim = 8,
+      nlist = 4, iters = 2, trainPointsPerCentroid = 0)
+    def cents(i: Similarity.IvfIndex) = i.centroids.map(_.toSeq).toSeq
+    val keys = Seq("autoTrainFloor", "trainStopShift", "trainMinIters",
+      "trainStopChurn", "trainStopPlateau")
+    try {
+      spark.conf.set("spark.graft.ann.autoTrainFloor", "64")
+      spark.conf.set("spark.graft.ann.trainStopShift", "0")
+      spark.conf.set("spark.graft.ann.trainStopChurn", "0")
+      spark.conf.set("spark.graft.ann.trainMinIters", "1")
+      // patience 1: stop at the first iteration whose estimated
+      // calibration width fails to improve on the best seen — at
+      // nlist=4 the width floors immediately, so this stops well
+      // before the sampled path's 10 iterations
+      spark.conf.set("spark.graft.ann.trainStopPlateau", "1")
+      val early = build()
+      spark.conf.set("spark.graft.ann.trainStopPlateau", "0")
+      val full = build()
+      assert(cents(early) != cents(full),
+        "a stale width at patience 1 must stop training before 10 iterations")
+      spark.conf.set("spark.graft.ann.trainStopPlateau", "1")
+      assert(cents(early) == cents(build()),
+        "plateau-stop logic must stay deterministic")
+      // layout contract unaffected by where training stopped
+      val q = corpus.filter(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+      assert(rows(early.topK(q, "vec_id", "embedding", 3, 4)) ==
         rows(Similarity.topK(corpus, q, "vec_id", "embedding", 3)))
     } finally keys.foreach(k => spark.conf.unset(s"spark.graft.ann.$k"))
   }
@@ -829,8 +870,15 @@ class PqSpec extends AnyFunSuite {
       // calibrates with the layout's own kernel
       val dir = java.nio.file.Files.createTempDirectory("ivf-2l-").toString
       idx.save(dir)
-      assert(Similarity.loadIvf(spark, dir).assignTwoLevel,
-        "two-level rule must survive save/load")
+      assert(idx.assignSpill == 2, "build must pin the conf spill it trained with")
+      // reload under a DIFFERENT live spill conf: the persisted rule
+      // wins (ADVICE r13 — member structure is (centroids, spill))
+      spark.conf.set("spark.graft.ann.twoLevelSpill", "3")
+      val reloaded = Similarity.loadIvf(spark, dir)
+      assert(reloaded.assignTwoLevel, "two-level rule must survive save/load")
+      assert(reloaded.assignSpill == 2,
+        "the spill is part of the pinned rule — live conf must not win")
+      spark.conf.set("spark.graft.ann.twoLevelSpill", "2")
       // negative threshold = kill switch: verification always falls back
       spark.conf.set("spark.graft.ann.twoLevelMaxDisagree", "-1")
       val flat = Similarity.buildIvf(embs, "vec_id", "embedding", dim = 64,

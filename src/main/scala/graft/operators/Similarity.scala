@@ -488,14 +488,74 @@ object Similarity {
           s"back to nprobe = nlist/4 = ${math.max(1, nlist / 4)} (uncalibrated)")
         return math.max(1, nlist / 4)
       }
-      val step = math.max(1L, n / math.max(1L, maxSampleRows))
-      val slice = pool
-        .filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
+      val slice = calibSliceOf(pool, n, maxSampleRows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-      val qFrame = slice.orderBy("id").limit(sampleQueries)
-        .select(col("id").cast("long").as("query_id"), col("v").as("qv"),
-          col("vn").as("qn"))
+      try calibWidthOn(slice, centroids, assignTwoLevel, assignSpill,
+        targetCellRecall, sampleQueries, neighborsPerQuery,
+        stepForLog = math.max(1L, n / math.max(1L, maxSampleRows)))
+      finally slice.unpersist(blocking = false)
+  }
+
+  /** The calibration estimator's deterministic hash slice of a
+    * well-formed (id, v, vn) pool — a pure function of the ids (NOT the
+    * centroids), so a training loop can persist it once and re-measure
+    * the width under every iteration's centroids
+    * ([[calibWidthOn]] / the plateau stop in [[buildIvf]]). */
+  private def calibSliceOf(pool: DataFrame, totalRows: Long,
+      maxSampleRows: Long): DataFrame = {
+    val step = math.max(1L, totalRows / math.max(1L, maxSampleRows))
+    pool.filter(pmod(xxhash64(col("id"), lit("ivfcal")), lit(step)) === 0)
+  }
+
+  /** The estimator body over an ALREADY-SLICED (and ideally persisted)
+    * calibration sample: assign the slice under `centroids`, exact-rank
+    * each pseudo-query's true in-slice neighbors' cells in the query's
+    * centroid-distance order, return the width at the target quantile.
+    * Separated from [[calibrateNprobeFrom]] so the mini-batch trainer's
+    * calibration-width plateau stop can re-evaluate the SAME estimator
+    * (same slice, same pseudo-queries) under each iteration's centroids
+    * — a 20k-row driver-side mirror was measured useless first (uniform
+    * 10M: mirror width ~flat 356-388 of 790 across all 10 iterations
+    * while this estimator's width collapses to 1; within-slice
+    * neighbors at 20k rows are too far apart for their cell ranks to
+    * track the real neighbor field). */
+  private def calibWidthOn(slice: DataFrame,
+      centroids: Array[Array[Double]], assignTwoLevel: Boolean,
+      assignSpill: Int,
+      targetCellRecall: Double,
+      sampleQueries: Int, neighborsPerQuery: Int,
+      stepForLog: Long = 1L): Int = {
+      val nlist = centroids.length
+      // stage timing for estimator-cost diagnosis (stderr), env-gated
+      // like the build phases
+      val timing = sys.env.contains("SPARK_GRAFT_IVF_TIMING")
+      var tPhase = System.nanoTime()
+      def phase(label: String): Unit = if (timing) {
+        val now = System.nanoTime()
+        System.err.println(
+          f"[graft] calibWidthOn phase $label: ${(now - tPhase) / 1e9}%.1f s")
+        tPhase = now
+      }
+      // pseudo-queries collect ONCE (sampleQueries x dim doubles): the
+      // pre-r14 shape evaluated this orderBy twice (broadcast build +
+      // qVecs collect) and — far worse — cross-joined the slice against
+      // the query frame through a BroadcastNestedLoopJoin that
+      // materialized BOTH 64-dim arrays per joined pair (~16M x ~1 KB of
+      // row copying at the 500k/32 defaults: measured 105-117 s of the
+      // estimator's ~107 s/call on a quiet host, `calprofile`). The dots
+      // now come from ONE codegen'd matrix kernel per slice row.
+      val qRows = slice.orderBy("id").limit(sampleQueries)
+        .select(col("id").cast("long"), col("v"), col("vn")).collect()
+      if (qRows.isEmpty) {
+        System.err.println("[graft] calibrateNprobe: EMPTY neighbor sample " +
+          s"(step $stepForLog, $sampleQueries pseudo-queries) — " +
+          s"falling back to nprobe = nlist/4 = ${math.max(1, nlist / 4)} (uncalibrated)")
+        return math.max(1, nlist / 4)
+      }
+      val qIds = qRows.map(_.getLong(0))
+      val qMat = qRows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+      val qNorms = qRows.map(_.getDouble(2))
+      phase("query-collect")
       // assign ONLY the sampled slice (<= ~maxSampleRows rows) to its
       // cell. The cell rides the top-k heap DIRECTLY as the entry id
       // (the heap keeps raw (score, id) pairs, no dedup), which works
@@ -507,32 +567,38 @@ object Similarity {
           assignSpill))
         .filter(col("c").isNotNull)
       // exact cosine top-n of each pseudo-query over the slice, carrying
-      // the neighbor's CELL through the heap (exact-score ties now break
-      // to the lower cell instead of the lower neighbor id — immaterial
-      // for a rank-quantile estimate, still deterministic)
-      val scored = sample.crossJoin(broadcast(qFrame))
-        .filter(col("query_id") =!= col("id").cast("long"))
-        .select(col("query_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"),
+      // the neighbor's CELL through the heap (exact-score ties break to
+      // the lower cell — deterministic). matrixProject computes the
+      // query dots in ascending-j order exactly as DotProduct did, so
+      // every cosine — and therefore every width — is bit-identical to
+      // the cross-join form; only (qi, cos, cell) rows reach the heap.
+      val scored = sample
+        .select(col("id").cast("long").as("id"), col("vn"), col("c"),
+          posexplode(graft.functions.VectorFunctions.matrixProject(
+            col("v"), qMat, new Array[Double](qMat.length))))
+        .filter(element_at(lit(qIds), col("pos") + 1) =!= col("id"))
+        .select(col("pos"),
+          (col("col") / (element_at(lit(qNorms), col("pos") + 1) * col("vn")))
+            .as("cos"),
           col("c").cast("long").as("cell"))
-      val ranksPerQuery = scored.groupBy("query_id")
+      phase("plan")
+      val ranksPerQuery = scored.groupBy("pos")
         .agg(TopKFunctions.topKByScore(col("cos"), col("cell"), neighborsPerQuery)
           .as("_n"))
-        .select(col("query_id"), explode(col("_n.id")).as("cell"))
+        .select(col("pos"), explode(col("_n.id")).as("cell"))
         .collect()
-        .map(r => r.getLong(0) -> r.getLong(1).toInt)
+        .map(r => qIds(r.getInt(0)) -> r.getLong(1).toInt)
+      phase("neighbor-scan")
       if (ranksPerQuery.isEmpty) {
         System.err.println("[graft] calibrateNprobe: EMPTY neighbor sample " +
-          s"(pool $n rows, step $step, $sampleQueries pseudo-queries) — " +
+          s"(step $stepForLog, $sampleQueries pseudo-queries) — " +
           s"falling back to nprobe = nlist/4 = ${math.max(1, nlist / 4)} (uncalibrated)")
         return math.max(1, nlist / 4)
       }
       // centroid order per query, computed driver-side (queries and
       // centroids are both tiny): rank of cell c = its position in the
       // (distance, index)-sorted cell list
-      val qVecs: Map[Long, Array[Double]] = qFrame.collect().map { r =>
-        r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray
-      }.toMap
+      val qVecs: Map[Long, Array[Double]] = qIds.zip(qMat).toMap
       def cellRanks(qv: Array[Double]): Array[Int] = {
         val d2 = centroids.map { cvec =>
           var s = 0.0
@@ -558,9 +624,8 @@ object Similarity {
       val pick = math.min(nlist, math.max(1, ranks(idx)))
       System.err.println(f"[graft] calibrateNprobe: target $targetCellRecall%.2f " +
         s"-> nprobe $pick of $nlist (${ranks.length} neighbor-cell ranks, " +
-        s"sample step $step)")
+        s"sample step $stepForLog)")
       pick
-      } finally slice.unpersist(blocking = false)
   }
 
   /**
@@ -1029,36 +1094,43 @@ object Similarity {
     val churnOn = miniBatch && trainStopChurn > 0
     // Calibration-width PLATEAU early stop (VERDICT r13 item 4) — the
     // honest replacement for the refuted churn stop above: per
-    // iteration, a bounded DRIVER-SIDE mirror of the calibrateNprobe
-    // estimator runs over the held-out slice (Q pseudo-queries, their
-    // exact top-10 cosine neighbors within the slice, rank of each
-    // neighbor's cell in the query's exact centroid order, quantile at
-    // `cellRecallTarget`), and training stops after `trainStopPlateau`
-    // consecutive iterations with no width improvement. This tracks the
-    // quantity the churn refutation proved matters — cell-direction
-    // sharpness as the calibration estimator measures it — not
-    // per-row assignment stability. Cost: ~Q*(1+neighbors)*nlist*d
-    // driver-side flops per iteration (single-digit milliseconds at
-    // nlist=790), on top of the slice cache the churn/two-level
-    // machinery already pays. 0 disables; applies ONLY to the
-    // mini-batch path (full/static-sample training keeps its exact
-    // iteration counts, so every small-SF gate stays byte-stable).
+    // iteration, the REAL nprobe calibration estimator ([[calibWidthOn]]
+    // — the same deterministic hash slice, pseudo-queries, and quantile
+    // the post-build calibrateNprobe uses) is re-evaluated under the new
+    // centroids, and training stops after `trainStopPlateau` consecutive
+    // iterations with no width improvement. This tracks the quantity the
+    // churn refutation proved matters — cell-direction sharpness exactly
+    // as calibration measures it — not per-row assignment stability.
+    // A bounded 20k-row DRIVER-SIDE mirror was built and measured FIRST
+    // and refuted: on uniform 10M its width reads a flat 356-388 of 790
+    // across all 10 iterations while the real estimator's width
+    // collapses to 1 — within-slice true neighbors at 20k rows are too
+    // far apart for their cell ranks to track the serving-time neighbor
+    // field, so the stop must pay for the real slice
+    // (`trainPlateauSample`, default the estimator's own 500k). Cost
+    // when enabled: one bounded distributed assign+rank job per
+    // iteration — worth paying only if it saves whole iterations, hence
+    // 0 disables (the default). Mini-batch path only (full/static-sample
+    // training keeps its exact iteration counts, so every small-SF gate
+    // stays byte-stable).
     val trainStopPlateau = corpus.sparkSession.conf
       .getOption("spark.graft.ann.trainStopPlateau").map(_.trim.toInt)
       .getOrElse(0)
     val plateauLogOnly = sys.env.contains("SPARK_GRAFT_IVF_PLATEAU_LOG")
     val plateauOn = miniBatch && trainStopPlateau > 0
+    val plateauSampleRows = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.trainPlateauSample").map(_.trim.toLong)
+      .getOrElse(500000L)
     val twoLevelWanted = twoLevelCandidate(centroids.length, corpus.sparkSession)
     // the spill this build pins: read from conf ONCE here — every
     // assignment this index ever does (training, layout, calibration,
     // appends after reload) uses this value, never the live conf again
     val chosenSpill = twoLevelSpill(corpus.sparkSession)
-    // the held-out slice serves four measurements: per-iteration churn,
-    // the per-iteration plateau width estimate, the init-time
-    // training-kernel verification, and the final layout verification —
-    // cached once, released after training
+    // the held-out slice serves three measurements: per-iteration churn,
+    // the init-time training-kernel verification, and the final layout
+    // verification — cached once, released after training
     val stab =
-      if (churnOn || twoLevelWanted || plateauOn || plateauLogOnly)
+      if (churnOn || twoLevelWanted)
         data.filter(col("_wf") &&
             pmod(xxhash64(col("id"), lit("ivfstab")),
               lit(math.max(1L, nWellFormed / math.max(1L, stabRows)))) === 0)
@@ -1066,69 +1138,23 @@ object Similarity {
           .cache()
       else null
     var prevAssign: Map[Long, Int] = null
-    // ---- plateau estimator state (driver-side, bounded by the slice) --
-    // the slice vectors collect ONCE (<= trainStabilitySample rows x dim
-    // doubles, ~10 MB at the defaults); pseudo-queries and their exact
-    // in-slice cosine neighbors are fixed per slice, so per-iteration
-    // work is only the centroid-order + neighbor-cell arithmetic
-    lazy val plateauBase: (Array[Array[Double]], Array[Array[Int]]) = {
-      val rows = stab.orderBy("id").select("v").collect()
-        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
-        .filter(v => v.length == dim && v.forall(x => !x.isNaN))
-      val norms = rows.map(v => math.sqrt(v.map(x => x * x).sum))
-      val q = math.min(16, rows.length)
-      val neigh = Array.tabulate(q) { qi =>
-        val qv = rows(qi); val qn = norms(qi)
-        val scored = rows.indices.filter(_ != qi).map { ri =>
-          val denom = qn * norms(ri)
-          val c = if (denom > 0) {
-            var s = 0.0; var j = 0
-            while (j < dim) { s += qv(j) * rows(ri)(j); j += 1 }
-            s / denom
-          } else -2.0
-          (c, ri)
-        }
-        scored.sortBy { case (c, ri) => (-c, ri) }.take(10).map(_._2).toArray
-      }
-      (rows, neigh)
-    }
-    // the calibrateNprobeFrom quantile, mirrored over the slice: width
-    // that covers `calTarget` of the neighbor-cell ranks in each
-    // query's exact centroid-distance order
-    def plateauWidth(cents: Array[Array[Double]]): Int = {
-      val (rows, neigh) = plateauBase
-      if (neigh.isEmpty) return 1
-      val target = corpus.sparkSession.conf
-        .getOption("spark.graft.ann.cellRecallTarget")
-        .map(_.trim.toDouble).getOrElse(0.95)
-      val nl = cents.length
-      def d2(a: Array[Double], b: Array[Double]): Double = {
-        var s = 0.0; var j = 0
-        val lim = math.min(a.length, b.length)
-        while (j < lim) { val d = a(j) - b(j); s += d * d; j += 1 }
-        s
-      }
-      val cellOf = scala.collection.mutable.Map.empty[Int, Int]
-      def assign(ri: Int): Int = cellOf.getOrElseUpdate(ri, {
-        var bc = 0; var bd = Double.MaxValue; var c = 0
-        while (c < nl) {
-          val dd = d2(rows(ri), cents(c))
-          if (dd < bd) { bd = dd; bc = c }
-          c += 1
-        }
-        bc
-      })
-      val ranks = neigh.indices.flatMap { qi =>
-        val order = cents.indices
-          .map(c => (d2(rows(qi), cents(c)), c)).sortBy(identity).map(_._2)
-        val rank = new Array[Int](nl)
-        order.zipWithIndex.foreach { case (cell, pos) => rank(cell) = pos + 1 }
-        neigh(qi).map(ri => rank(assign(ri)))
-      }.sorted
-      val idx = math.min(ranks.length - 1,
-        math.max(0, math.ceil(target * ranks.length).toInt - 1))
-      math.min(nl, math.max(1, ranks(idx)))
-    }
+    // the plateau stop's calibration slice: the estimator's OWN hash
+    // slice (centroid-independent — a pure function of the ids), so the
+    // per-iteration width is the real calibrateNprobe quantity, and the
+    // final iteration's width equals what a post-build calibration at
+    // the same sample size measures
+    val calSlice =
+      if (plateauOn || plateauLogOnly)
+        calibSliceOf(
+          data.filter(col("_wf"))
+            .select(col("id"), col("v"), l2Norm(col("v")).as("vn"))
+            .filter(col("vn") > 0),
+          nWellFormed, plateauSampleRows)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else null
+    val plateauTarget = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.cellRecallTarget")
+      .map(_.trim.toDouble).getOrElse(0.95)
     var plateauBest = Int.MaxValue
     var plateauStale = 0
     // fraction of slice rows where the two-level kernel disagrees with
@@ -1264,7 +1290,11 @@ object Similarity {
         // next iteration would train from — mirrors the churn hook)
         var width = -1
         if (plateauOn || plateauLogOnly) {
-          width = plateauWidth(updated)
+          // the REAL estimator under the new centroids, with the
+          // training loop's verified kernel decision (the final layout
+          // re-verifies and re-calibrates under its own pinned rule)
+          width = calibWidthOn(calSlice, updated, trainTwoLevel, chosenSpill,
+            plateauTarget, sampleQueries = 32, neighborsPerQuery = 10)
           if (width < plateauBest) { plateauBest = width; plateauStale = 0 }
           else plateauStale += 1
         }
@@ -1318,6 +1348,7 @@ object Similarity {
     // owns it.
     if (sampled && !miniBatch) train.unpersist(blocking = false)
     if (stab != null) stab.unpersist(blocking = false)
+    if (calSlice != null) calSlice.unpersist(blocking = false)
 
     // the index layout: centroid-assigned corpus with norms computed once
     // per row, BEFORE any probe join replicates rows

@@ -280,6 +280,31 @@ object AnnBenchR14 {
         build("full#2", 0)
         corpus.unpersist(blocking = false)
 
+      // ---------------------------------------------------------------
+      // diagnostic: where do the estimator's ~107 s/call go? A cheap
+      // static-sample 1-iteration build (the estimator does not care how
+      // good the centroids are) + three calibrations at distinct targets
+      // (distinct memo keys -> three REAL estimator runs), stage-timed
+      // via SPARK_GRAFT_IVF_TIMING. Emits nothing to the JSONL.
+      case "calprofile" =>
+        val n = 10000000L
+        val corpus = AnnData.synthCorpus(spark, "uniform", n, d).persist()
+        corpus.count()
+        val (ivf, tBuild) = timed {
+          val i = Similarity.buildIvf(corpus, "vec_id", "embedding", d,
+            nlist = 790, iters = 1, trainPointsPerCentroid = 256)
+          i.persist()
+          i.topWidths(1)
+          i
+        }
+        System.err.println(f"[calprofile] build(iters=1,static): $tBuild%.1f s")
+        for (t <- Seq(0.95, 0.96, 0.97)) {
+          val (w, tc) = timed(ivf.calibrateNprobe(t))
+          System.err.println(f"[calprofile] calibrateNprobe($t%.2f) -> $w in $tc%.1f s")
+        }
+        ivf.unpersist()
+        corpus.unpersist(blocking = false)
+
       case other => throw new IllegalArgumentException(s"unknown mode $other")
     }
     spark.stop()

@@ -1109,13 +1109,26 @@ object Similarity {
     // field, so the stop must pay for the real slice
     // (`trainPlateauSample`, default the estimator's own 500k). Cost
     // when enabled: one bounded distributed assign+rank job per
-    // iteration — worth paying only if it saves whole iterations, hence
-    // 0 disables (the default). Mini-batch path only (full/static-sample
-    // training keeps its exact iteration counts, so every small-SF gate
-    // stays byte-stable).
+    // iteration (~9 s at n=10M nlist=790 after the matrixProject
+    // estimator rewrite; 0 disables). DEFAULT 2, on the r14 trajectory
+    // evidence (diagnostics/r14_plateau_traj_*.log): the per-iteration
+    // width is FLAT on every measured 10M shape — uniform a790 width 1
+    // from iteration 1, uniform 256 width 95-112 with no trend,
+    // clustered a790 width 1 (shift-stopped at 4 anyway) — i.e. r13's
+    // "c1 rides on the full 10 iterations" narrative compared ACROSS
+    // nlist regimes (c102 at 256/iter-5 vs c1 at 790/iter-10) and
+    // attributed to training mass what was the cell-count difference;
+    // the per-iteration instrument shows iterations past the
+    // trainMinIters floor buy no measurable width anywhere. The stop
+    // stays honest on data where width DOES keep improving: staleness
+    // only accumulates when the real estimator stops improving.
+    // Mini-batch path only (engages above the ~1.25M-row auto train
+    // target, so every small-SF gate and spec is byte-stable by
+    // construction; full/static-sample training keeps its exact
+    // iteration counts).
     val trainStopPlateau = corpus.sparkSession.conf
       .getOption("spark.graft.ann.trainStopPlateau").map(_.trim.toInt)
-      .getOrElse(0)
+      .getOrElse(2)
     val plateauLogOnly = sys.env.contains("SPARK_GRAFT_IVF_PLATEAU_LOG")
     val plateauOn = miniBatch && trainStopPlateau > 0
     val plateauSampleRows = corpus.sparkSession.conf

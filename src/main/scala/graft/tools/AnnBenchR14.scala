@@ -219,15 +219,21 @@ object AnnBenchR14 {
         require(sys.env.contains("SPARK_GRAFT_IVF_PLATEAU_LOG"),
           "plateau-log mode expects SPARK_GRAFT_IVF_PLATEAU_LOG=1 in env " +
             "(the width trajectory is the entire point of the run)")
+        // optional args(1): explicit nlist (default 0 = auto/790) — the
+        // nlist=256 run is the COUNTERFACTUAL where r13 measured width
+        // 102 at an early stop, i.e. where a correct plateau stop must
+        // keep training
+        val nlist = if (args.length > 1) args(1).toInt else 0
+        val dist = if (args.length > 2) args(2) else "uniform"
         val n = 10000000L
-        val corpus = AnnData.synthCorpus(spark, "uniform", n, d).persist()
+        val corpus = AnnData.synthCorpus(spark, dist, n, d).persist()
         corpus.count()
         val queries = corpus.filter(col("vec_id") < 50)
         val exact = exactOf(corpus, queries)
         val spin = AnnData.spinSeconds()
         val (ivf, tBuild) = timed {
           val i = Similarity.buildIvf(corpus, "vec_id", "embedding", d,
-            nlist = 0, iters = 3, trainPointsPerCentroid = 0)
+            nlist = nlist, iters = 3, trainPointsPerCentroid = 0)
           i.persist()
           i.topWidths(1)
           i
@@ -236,7 +242,8 @@ object AnnBenchR14 {
         val (cal, tCal) = timed(ivf.calibrateNprobe(0.95))
         val (res, tProbe) = timed(pairsOf(
           ivf.topK(queries, "vec_id", "embedding", k, cal)))
-        emit("uniform", n, s"ivf[a$anl/c$cal,auto,traj]",
+        val tag = if (nlist == 0) s"a$anl" else s"$anl"
+        emit(dist, n, s"ivf[$tag/c$cal,auto,traj]",
           tBuild, tProbe, recOf(exact, res), spin, Seq("cal_s" -> tCal))
         ivf.unpersist()
         corpus.unpersist(blocking = false)
@@ -252,8 +259,9 @@ object AnnBenchR14 {
 
         def build(label: String, plateau: Int): Unit = {
           val spin = AnnData.spinSeconds()
-          if (plateau > 0)
-            spark.conf.set("spark.graft.ann.trainStopPlateau", plateau.toString)
+          // ALWAYS set (0 included): trainStopPlateau defaults ON, so
+          // the full-build baseline must explicitly disable it
+          spark.conf.set("spark.graft.ann.trainStopPlateau", plateau.toString)
           try {
             val (ivf, tBuild) = timed {
               val i = Similarity.buildIvf(corpus, "vec_id", "embedding", d,
@@ -269,8 +277,7 @@ object AnnBenchR14 {
             emit("uniform", n, s"ivf[a$anl/c$cal,$label]",
               tBuild, tProbe, recOf(exact, res), spin, Seq("cal_s" -> tCal))
             ivf.unpersist()
-          } finally if (plateau > 0)
-            spark.conf.unset("spark.graft.ann.trainStopPlateau")
+          } finally spark.conf.unset("spark.graft.ann.trainStopPlateau")
         }
         // A/B/A: the repeated full build bounds environment drift — if
         // full#1 and full#2 disagree materially, the session was not
@@ -278,6 +285,59 @@ object AnnBenchR14 {
         build("full#1", 0)
         build(s"plateau$patience", patience)
         build("full#2", 0)
+        corpus.unpersist(blocking = false)
+
+      // ---------------------------------------------------------------
+      // The assignment KERNEL cost isolated from everything else a
+      // build pays: one full assignment pass over the persisted 10M
+      // clustered corpus per (nlist, kernel), plus the measured
+      // flat-vs-two-level disagreement at each nlist. Whole-build
+      // comparisons at nlist=4096 came out cost-neutral (113 vs 121 s)
+      // because builds bury the kernel under training/layout/persist
+      // fixed costs AND the flat argmin's early exit is extremely
+      // effective on clustered data — this mode measures where the
+      // O(sqrt(nlist)) shape actually crosses over. Centroids are the
+      // nlist lowest-id corpus vectors (the deterministic init rule):
+      // kernel COST does not depend on centroid quality.
+      case "kernelgrid" =>
+        val n = 10000000L
+        val corpus = AnnData.synthCorpus(spark, "clustered", n, d).persist()
+        corpus.count()
+        for (nlist <- Seq(4096, 16384, 65536)) {
+          val cents = corpus.orderBy("vec_id").limit(nlist)
+            .select("embedding").collect()
+            .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+          val spin = AnnData.spinSeconds()
+          def pass(twoLevel: Boolean): Double = {
+            val (_, t) = timed {
+              corpus.select(Similarity.assignCellsChosen(
+                  col("embedding"), cents, twoLevel, 4).as("c"))
+                .filter(col("c").isNotNull)
+                .groupBy().count().collect()
+            }
+            t
+          }
+          val tFlat = pass(twoLevel = false)
+          val tTwo = pass(twoLevel = true)
+          // disagreement on a bounded slice (the verification's own shape)
+          val slice = corpus.filter(pmod(xxhash64(col("vec_id"), lit("kg")),
+            lit(n / 50000L)) === 0)
+          val r = slice.select(
+              Similarity.assignCellsChosen(col("embedding"), cents,
+                twoLevel = false, 4).as("flat"),
+              Similarity.assignCellsChosen(col("embedding"), cents,
+                twoLevel = true, 4).as("two"))
+            .filter(col("flat").isNotNull)
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("flat") =!= col("two"), 1L).otherwise(0L)).as("dis"))
+            .head()
+          val disagree =
+            if (r.getLong(0) == 0) 0.0
+            else (if (r.isNullAt(1)) 0L else r.getLong(1)).toDouble / r.getLong(0)
+          emit("clustered", n, s"assign[$nlist,flat]", 0.0, tFlat, 1.0, spin)
+          emit("clustered", n, s"assign[$nlist,two-level]", 0.0, tTwo, 1.0, spin,
+            Seq("disagree" -> disagree, "flat_ratio" -> (tFlat / tTwo)))
+        }
         corpus.unpersist(blocking = false)
 
       // ---------------------------------------------------------------

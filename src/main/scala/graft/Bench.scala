@@ -2,33 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  // Environment fingerprint (VERDICT r13 item 2): r13's numbers were
-  // polluted by a host throttle invisible to guest metrics (steal 0-2%
-  // while a fixed CPU loop swung 1.92 -> 7.9 s), so the artifact now
-  // carries its own yardstick — a fixed single-thread arithmetic loop
-  // timed at suite start and end, plus heap/load — making throttle
-  // inflation detectable from the committed file instead of adjudicated
-  // post-hoc. On a quiet host the loop runs in ~0.5-1.5 s and start ~= end;
-  // a throttled or contended session shows inflated and/or diverging values.
-  private def spinSeconds(): Double = {
-    var x = 0L
-    var i = 0L
-    val t0 = System.nanoTime()
-    while (i < 1500000000L) { x += i * 31 + (x >> 3); i += 1 }
-    val dt = (System.nanoTime() - t0) / 1e9
-    if (x == 42L) System.err.println("") // defeat dead-code elimination
-    math.rint(dt * 1000) / 1000
-  }
-
-  private def loadAvg(): Double = {
-    val v = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    math.rint(v * 100) / 100
-  }
-
+  // Environment fingerprint (VERDICT r13 item 2 + r14 item 1): timing
+  // artifacts carry their own yardstick — see [[EnvProbe]]. The r13
+  // single-thread spin catches frequency throttling; the r14 driver run
+  // proved it blind to multi-core contention (suite 45% slow, spin
+  // quiet), so the block now also carries a parallel-spin
+  // effective-cores figure, gated by tools/check_addendum.py.
   def main(args: Array[String]): Unit = {
-    val spinStart = spinSeconds()
-    val loadStart = loadAvg()
+    val envStart = EnvProbe.snapshotJson("start")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -234,13 +215,8 @@ object Bench {
     // tail truncates (19 of 101 per-query numbers vanished in r7), so
     // the durable record — and the prior for the outlier rule above —
     // is this file, diffable across rounds in git history.
-    val spinEnd = spinSeconds()
-    val loadEnd = loadAvg()
-    val heapGb = math.rint(Runtime.getRuntime.maxMemory / 1e9 * 100) / 100
-    val envJson =
-      s"""{"spin_start_s":$spinStart,"spin_end_s":$spinEnd,""" +
-        s""""load_start":$loadStart,"load_end":$loadEnd,""" +
-        s""""heap_max_gb":$heapGb,"jvm_cpus":${Runtime.getRuntime.availableProcessors}}"""
+    val envEnd = EnvProbe.snapshotJson("end")
+    val envJson = s"""{$envStart,$envEnd,${EnvProbe.staticJson()}}"""
     val artifact = {
       val per = samples.toSeq.sortBy(_._1).map { case (k, ts) =>
         val flag = outlierReasons.get(k).map(rs =>

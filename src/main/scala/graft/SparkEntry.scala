@@ -1145,6 +1145,62 @@ object SparkEntry {
         Similarity.topK(e, q, "vec_id", "embedding", k = 10),
         approx, q, "recall_ge_090", 0.9)
     }),
+    "ann_delete" -> ((s, dir) => {
+      // Round 15: index-lifecycle DELETIONS (VERDICT r14 item 3). A
+      // dedup/blocklist pipeline removes documents as well as adding
+      // them; the prior answer was a full retrain. This drives the
+      // tombstone path end-to-end through the driver contract: build +
+      // save an IVF snapshot, register ~1/7 of the corpus as deleted
+      // (tombstones side table — no layout rewrite), probe the RELOADED
+      // snapshot (tombstone anti-join on the cell-pruned slice: deleted
+      // ids unreachable from the first post-delete load), compact
+      // (rewrites ONLY the affected cell partitions), probe again.
+      // Earned booleans: no deleted id in either probe; the pre- and
+      // post-compaction probes are row-identical (the ≡-rebuild gate —
+      // compaction reclaims storage, never changes answers); recall
+      // >= 0.8 vs the exact ranking over the SURVIVING corpus (the
+      // user-visible semantics of deletion). Anchors (n_queries,
+      // n_exact_rows over survivors) recomputed by the DuckDB oracle.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ann-delete-").toString
+      val idx = Similarity.buildIvf(e, "vec_id", "embedding",
+        dim = 64, nlist = 16, iters = 3)
+      idx.save(path)
+      idx.unpersist()
+      Similarity.deleteFromIndex(s, path,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      def probe(): DataFrame = Similarity.loadIvf(s, path)
+        .topK(q, "vec_id", "embedding", k = 10, nprobe = 12)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"))
+        .localCheckpoint()
+      val probeDel = probe()
+      Similarity.compactIndex(s, path)
+      val probeCompact = probe()
+      val survivors = e.filter(col("vec_id") % 7 =!= 3)
+      val exact = Similarity.topK(survivors, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"))
+      val nQ = q.agg(count(lit(1)).as("n_queries"))
+      val nE = exact.agg(count(lit(1)).as("n_exact_rows"))
+      val nI = probeCompact.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("_ni"))
+      val nDel = probeDel.unionAll(probeCompact)
+        .filter(col("neighbor_id") % 7 === 3).agg(count(lit(1)).as("_nd"))
+      val dAB = probeDel.join(probeCompact,
+        Seq("query_id", "neighbor_id"), "left_anti").agg(count(lit(1)).as("_dab"))
+      val dBA = probeCompact.join(probeDel,
+        Seq("query_id", "neighbor_id"), "left_anti").agg(count(lit(1)).as("_dba"))
+      nQ.crossJoin(nE).crossJoin(nI).crossJoin(nDel).crossJoin(dAB).crossJoin(dBA)
+        .select(col("n_queries"), col("n_exact_rows"),
+          (col("n_exact_rows") === 0 ||
+            col("_ni").cast("double") >= lit(0.8) * col("n_exact_rows").cast("double"))
+            .as("recall_ge_080"),
+          (col("_nd") === 0).as("no_deleted_returned"),
+          (col("_dab") === 0 && col("_dba") === 0).as("probe_equals_compacted"))
+    }),
     "ann_ivfpq_rank" -> ((s, dir) => {
       // Round 11: the SPILL-SAFE RANK shortlist engine, driven through
       // the driver contract. Depths past the 65536 heap ceiling select
@@ -3009,6 +3065,24 @@ object SparkEntry {
            |  FROM sym WHERE query_id < 50)
            |SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
            |  count(*)::BIGINT AS n_exact_rows, true AS recall_ge_080
+           |FROM ranked WHERE rank <= 10""".stripMargin,
+      // Deletion gate (round 15): anchor shape of ann_ivf, with the
+      // exact ranking rebuilt over the SURVIVING corpus (neighbor side
+      // excludes the tombstoned vec_id % 7 == 3 set; queries keep the
+      // full < 50 set — a deleted document can still ask). The three
+      // booleans (recall vs survivors, no deleted id returned, probe ≡
+      // compacted-probe) are earned Spark-side.
+      "ann_delete" ->
+        s"""$dotPairs,
+           |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM cosv
+           |        UNION ALL
+           |        SELECT id2, id1, c FROM cosv),
+           |ranked AS (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           |  FROM sym WHERE query_id < 50 AND neighbor_id % 7 != 3)
+           |SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT AS n_queries,
+           |  count(*)::BIGINT AS n_exact_rows, true AS recall_ge_080,
+           |  true AS no_deleted_returned, true AS probe_equals_compacted
            |FROM ranked WHERE rank <= 10""".stripMargin,
       // Rank-engine probe (round 11): full width + corpus-exceeding
       // depth == the exact ranking (narrowing-only), so the oracle IS

@@ -293,7 +293,14 @@ object Similarity {
       // spill setting place appended rows with a DIFFERENT member
       // structure than the layout. Meaningless when assignTwoLevel is
       // false; persisted alongside it either way.
-      private[graft] val assignSpill: Int = TwoLevelSpill) {
+      private[graft] val assignSpill: Int = TwoLevelSpill,
+      // registered-but-uncompacted deletions (round 15, VERDICT r14
+      // item 3): probes anti-join this id set so deleted rows are
+      // unreachable from the first post-delete load — zero read
+      // staleness — while the layout files stay untouched until
+      // [[Similarity.compactIndex]] rewrites the affected cells.
+      private[operators] val tombstones: Option[DataFrame] = None,
+      private[operators] val tombstoneCount: Long = 0L) {
 
     // calibration memo (VERDICT r11 item 5): `nprobe=auto` callers were
     // re-paying the bounded-but-real calibration scan (~2 s at 10M) on
@@ -445,8 +452,10 @@ object Similarity {
       // it is a cheap pre-filter.
       val cells = pinned.select("c").distinct().collect().map(_.getInt(0))
       val scored = pinned.join(
-          indexed.filter(col("c").isin(cells.map(Integer.valueOf): _*)
-            && col("vn") > 0), "c") // zero/NaN-norm rows: cosine undefined
+          antiTombstones( // deleted ids never score (see deleteFromIndex)
+            indexed.filter(col("c").isin(cells.map(Integer.valueOf): _*)
+              && col("vn") > 0), // zero/NaN-norm rows: cosine undefined
+            tombstones, tombstoneCount), "c")
         .filter(col("query_id") =!= col("id"))
         .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
         .withColumn("neighbor_id", col("id"))
@@ -692,6 +701,158 @@ object Similarity {
     } finally assigned.unpersist(blocking = false)
   }
 
+  // ------------------------------------------------------------------
+  // Index lifecycle: DELETIONS (round 15, VERDICT r14 item 3).
+  // appendToIvf/appendToIvfPq handle growth; a dedup/blocklist pipeline
+  // also REMOVES documents, and the only prior path was a full retrain.
+  // The shape here is the standard tombstone one: deletion registers
+  // ids in a side table (no layout rewrite — O(|removals|), not
+  // O(corpus)); probes of the reloaded snapshot anti-join the tombstone
+  // set against the cell-pruned scan slice (broadcast when the set is
+  // small, bloom-prefiltered exact anti join past
+  // [[TombstoneBroadcastMax]] — the blocklist that fits megabytes of
+  // bloom bits but not a broadcast hash table), so deleted ids are
+  // unreachable from the FIRST post-delete load — zero read staleness;
+  // the only staleness is storage (dead rows on disk) and scan cost
+  // (tombstoned rows are read then dropped), both bounded by the
+  // tombstone count and both reclaimed by [[compactIndex]], which
+  // rewrites ONLY the affected cell partitions.
+  // ------------------------------------------------------------------
+
+  /** Tombstone sets at or under this row count anti-join as a broadcast
+    * hash table; larger sets go through the bloom-prefiltered exact
+    * anti join ([[PipelineOps.bloomAntiJoin]]). ~8 MB of longs at the
+    * default — comfortably under Spark's broadcast comfort zone. */
+  private[graft] val TombstoneBroadcastMax = 1000000L
+
+  /** Drop tombstoned ids from a probe's cell-pruned layout slice.
+    * Exact either way; the strategy only changes the plan shape. */
+  private def antiTombstones(slice: DataFrame, tomb: Option[DataFrame],
+      count: Long): DataFrame = tomb match {
+    case None => slice
+    case Some(t) if count <= TombstoneBroadcastMax =>
+      slice.join(broadcast(t), Seq("id"), "left_anti")
+    case Some(t) =>
+      PipelineOps.bloomAntiJoin(slice, t.withColumnRenamed("id", "_tid"),
+        "id", "_tid", expectedItems = count)
+  }
+
+  /** The tombstone side table of a snapshot, when non-empty. The count
+    * is metadata-cheap (parquet row-count footers). */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Option[DataFrame], Long) =
+    try {
+      val df = spark.read.parquet(s"$path/tombstones")
+      val n = df.count()
+      if (n == 0) (None, 0L) else (Some(df), n)
+    } catch { case _: org.apache.spark.sql.AnalysisException => (None, 0L) }
+
+  /**
+   * Register id deletions against a saved [[IvfIndex.save]] /
+   * [[IvfPqIndex.save]] snapshot WITHOUT rewriting the layout — the
+   * removal path of a production ANN index (a dedup verdict, a
+   * takedown/blocklist, a retention window). Ids are deduplicated, cast
+   * to the layout's id type, and APPENDED to `path/tombstones`;
+   * registering an id twice (or an id the layout never held) is
+   * harmless — anti-join semantics make tombstoning idempotent.
+   *
+   * Contract mirror of [[appendToIvf]]: the persisted calibration table
+   * is DROPPED. Deletions change the cell occupancies and the true-
+   * neighbor cell-rank distribution the calibrated widths were measured
+   * against (an adversarial removal set can hollow out exactly the
+   * cells a query's survivors' neighbors would have been found in), so
+   * the operational contract is delete / re-earn the recall gate or
+   * recalibrate / [[compactIndex]] when the tombstone fraction makes
+   * the dead-row scan cost matter.
+   *
+   * Returns the number of distinct non-null ids registered by THIS call.
+   */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      removeIds: DataFrame, idCol: String): Long = {
+    require(integralIdType(removeIds.schema(idCol).dataType),
+      s"deleteFromIndex requires an integral id column, got " +
+        s"${removeIds.schema(idCol).dataType}")
+    val layoutIdType =
+      spark.read.parquet(s"$path/layout").schema("id").dataType
+    val ids = removeIds
+      .select(col(idCol).cast(layoutIdType).as("id"))
+      .filter(col("id").isNotNull).distinct().persist()
+    try {
+      val n = ids.count()
+      if (n > 0) {
+        ids.write.mode("append").parquet(s"$path/tombstones")
+        saveCalibration(spark, path, Seq.empty)
+      }
+      n
+    } finally ids.unpersist(blocking = false)
+  }
+
+  /**
+   * Reclaim a snapshot's tombstoned rows: rewrite ONLY the cell
+   * partitions that actually hold deleted ids (found with one
+   * column-pruned `(id, c)` scan — bloom-prefiltered semi join at
+   * scale) and clear the tombstone table. Unaffected cell partitions'
+   * files are never read or touched, so compaction cost is proportional
+   * to the deleted rows' cell footprint, not the corpus.
+   *
+   * The rewrite goes through `path/layout_compacting` and a per-
+   * partition filesystem swap rather than a self-overwrite (Spark
+   * refuses to overwrite a path it is reading). Probe-equivalence is
+   * exact by construction — the surviving rows and their cells are
+   * byte-identical to what the anti-join was already serving — and the
+   * round's gate query asserts it row for row (`ann_delete`).
+   *
+   * Returns the number of layout rows removed.
+   */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = tombstonesOf(spark, path) match {
+    case (None, _) => 0L
+    case (Some(tomb0), tombCount) => compactWith(spark, path, tomb0, tombCount)
+  }
+
+  private def compactWith(spark: org.apache.spark.sql.SparkSession,
+      path: String, tomb0: DataFrame, tombCount: Long): Long = {
+    // pin the tombstone rows (bounded by contract — a removal set, not
+    // a corpus) so the swap below can't invalidate the frame mid-job,
+    // and so the 0-row overwrite at the end isn't a self-read
+    val tomb = tomb0.localCheckpoint()
+    val layout = spark.read.parquet(s"$path/layout")
+    // affected cells + removal counts, one (id, c)-pruned scan; the
+    // result is bounded by nlist rows
+    val hits = layout.select("id", "c")
+    val semi =
+      if (tombCount <= TombstoneBroadcastMax)
+        hits.join(broadcast(tomb), Seq("id"), "left_semi")
+      else
+        PipelineOps.bloomSemiJoin(hits, tomb.withColumnRenamed("id", "_tid"),
+          "id", "_tid", expectedItems = tombCount)
+    val perCell = semi.groupBy("c").agg(count(lit(1)).as("n")).collect()
+    val affected = perCell.map(r => r.getInt(r.fieldIndex("c")))
+    val removed = perCell.map(_.getLong(1)).sum
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (affected.nonEmpty) {
+      val tmp = s"$path/layout_compacting"
+      val survivors = antiTombstones(
+        layout.filter(col("c").isin(affected.map(Integer.valueOf): _*)),
+        Some(tomb), tombCount)
+      survivors.write.mode("overwrite").partitionBy("c").parquet(tmp)
+      affected.foreach { cell =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/layout/c=$cell")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/c=$cell")
+        fs.delete(dst, true)
+        // a fully-deleted cell has no surviving partition dir — the
+        // delete above already removed it from the layout
+        if (fs.exists(src)) require(fs.rename(src, dst),
+          s"compactIndex: failed to move $src into the layout")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    // clear the tombstone table (schema-preserving 0-row overwrite)
+    tomb.limit(0).write.mode("overwrite").parquet(s"$path/tombstones")
+    removed
+  }
+
   /** Reload an [[IvfIndex]] snapshot written by [[IvfIndex.save]]: the
     * layout scan stays partitioned by cell id (probe joins prune to the
     * probed cells' files), and no retraining happens — the centroids are
@@ -703,8 +864,10 @@ object Similarity {
     require(centroids.nonEmpty, s"loadIvf: no centroids found under $path/centroids")
     val indexed = spark.read.parquet(s"$path/layout")
     val (twoLevel, spill) = loadAssignRule(spark, path)
+    val (tomb, tombCount) = tombstonesOf(spark, path)
     new IvfIndex(centroids, indexed, indexed.schema("id").dataType,
-      assignTwoLevel = twoLevel, assignSpill = spill)
+      assignTwoLevel = twoLevel, assignSpill = spill,
+      tombstones = tomb, tombstoneCount = tombCount)
       .preloadCalibration(loadCalibration(spark, path))
   }
 
@@ -745,9 +908,14 @@ object Similarity {
   /** (twoLevel, spill). The spill travels with the rule (ADVICE r13):
     * the two-level member structure is a function of (centroids, spill),
     * so a reload must NOT re-read the live session conf. Pre-r14
-    * snapshots persisted only the boolean — their builds read the conf,
-    * whose only shipped default was [[TwoLevelSpill]], so that is the
-    * back-compat value; pre-r13 snapshots lack the directory = flat. */
+    * snapshots persisted only the boolean — their BUILDS read the live
+    * conf, so the faithful back-compat value is the live conf too
+    * (ADVICE r14: a legacy snapshot built under a custom
+    * `spark.graft.ann.twoLevelSpill` that is still set at reload time
+    * must keep placing appends under the structure the layout used; a
+    * compiled constant would silently diverge). A legacy snapshot
+    * reloaded in a DIFFERENTLY-configured session is still ambiguous —
+    * warn loudly. Pre-r13 snapshots lack the directory = flat. */
   private def loadAssignRule(spark: org.apache.spark.sql.SparkSession,
       path: String): (Boolean, Int) =
     try {
@@ -757,9 +925,20 @@ object Similarity {
       val spill =
         if (df.schema.fieldNames.contains("spill"))
           row.getInt(row.fieldIndex("spill"))
-        else TwoLevelSpill
+        else {
+          val live = twoLevelSpill(spark)
+          if (twoLevel && live != TwoLevelSpill)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"legacy ANN snapshot at $path has no persisted spill; " +
+                s"assuming the live conf value $live (the build-time " +
+                "behavior) — re-save the index to pin it")
+          live
+        }
       (twoLevel, spill)
-    } catch { case _: org.apache.spark.sql.AnalysisException => (false, TwoLevelSpill) }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        (false, twoLevelSpill(spark))
+    }
 
   /** Coarse-trainer AUTO sizing (`trainPointsPerCentroid = 0`): the
     * PER-ITERATION batch budget. Corpora at or under the target train
@@ -800,6 +979,30 @@ object Similarity {
     * everywhere the index touches rows). */
   private[graft] val TwoLevelAssignMin = 256
   private[graft] val TwoLevelSpill = 4
+
+  /** `opqIters=auto` picks this many OPQ alternations when the residual
+    * spectrum probe says anisotropic (the r11 OPQCHECK grid's measured
+    * setting), 0 otherwise. */
+  private[graft] val OpqAutoIters = 8
+
+  /** `opqIters=auto` threshold: rotate when the residual covariance
+    * spectrum's participation ratio falls below this fraction of d.
+    * Measured separation is wide — ~0.9-1.0·d on uniform/clustered
+    * residuals (flat spectrum), ~0.2·d on the Hadamard-mixed aniso
+    * corpus (0.5^(j/8) decaying latent scales) — so 0.5 sits in the
+    * middle of an empty band. */
+  private[graft] val OpqAutoParticipationFrac = 0.5
+
+  /** Eigenvalue participation ratio (Σλ)²/Σλ² ∈ [1, d]: d on a flat
+    * (isotropic) spectrum, collapsing toward the latent dimensionality
+    * on an anisotropic one. Rotation-invariant, unlike any per-
+    * dimension variance measure. */
+  private[graft] def participationRatio(eigenvalues: Array[Double]): Double = {
+    val l = eigenvalues.map(math.max(_, 0.0))
+    val s = l.sum
+    val s2 = l.map(x => x * x).sum
+    if (s2 <= 0) l.length.toDouble else s * s / s2
+  }
 
   /** Deterministic supergrouping of a centroid set for two-level
     * assignment: ~sqrt(ncent) supergroup centers from an 8-iteration
@@ -2043,7 +2246,10 @@ object Similarity {
       // sampling must place rows exactly as the coded layout did
       private[graft] val assignTwoLevel: Boolean = false,
       // the pinned spill (see IvfIndex.assignSpill — ADVICE r13)
-      private[graft] val assignSpill: Int = TwoLevelSpill) {
+      private[graft] val assignSpill: Int = TwoLevelSpill,
+      // registered-but-uncompacted deletions — see IvfIndex.tombstones
+      private[operators] val tombstones: Option[DataFrame] = None,
+      private[operators] val tombstoneCount: Long = 0L) {
 
     /** Release the pinned coded layout ([[Similarity.buildIvfPq]]
       * materializes it). A loaded snapshot reads from parquet — calling
@@ -2168,7 +2374,9 @@ object Similarity {
         .localCheckpoint()
       val cells = probed.select("c").distinct().collect().map(_.getInt(0))
       val scored = probed.join(
-          coded.filter(col("c").isin(cells.map(Integer.valueOf): _*)), "c")
+          antiTombstones( // deleted ids never score (see deleteFromIndex)
+            coded.filter(col("c").isin(cells.map(Integer.valueOf): _*)),
+            tombstones, tombstoneCount), "c")
         .filter(col("query_id") =!= col("id"))
         .withColumn("adc", col("cdot") +
           graft.functions.PqFunctions.pqAdcScore(col("codes"), col("tab"), model.m, model.ksub))
@@ -2305,9 +2513,11 @@ object Similarity {
         if (rows.isEmpty) None else Some(rows)
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
     val (twoLevel, spill) = loadAssignRule(spark, path)
+    val (tomb, tombCount) = tombstonesOf(spark, path)
     new IvfPqIndex(aCents, cents, PqModel(books, rotation),
       spark.read.parquet(s"$path/layout"), idType,
-      assignTwoLevel = twoLevel, assignSpill = spill)
+      assignTwoLevel = twoLevel, assignSpill = spill,
+      tombstones = tomb, tombstoneCount = tombCount)
       .preloadCalibration(loadCalibration(spark, path))
   }
 
@@ -2428,19 +2638,44 @@ object Similarity {
       // keep from the full residual frame, so the codebooks are
       // bit-identical to the r11 path) — so pick the rows FIRST and
       // assign/subtract only those: ksub*256 kernel rows instead of n.
-      val sampleResid = withResidual(
+      val sampleResid0 = withResidual(
         wf.orderBy(xxhash64(col("id"), lit("pqtrain")), col("id"))
           .limit(ksub * 256))
         .select(col("id"), col("u"))
-      // opqIters > 0 learns the Procrustes rotation over the residual
-      // sample (OPQ — see [[PqModel.rotation]]); 0 keeps the axis-aligned
-      // split. Both trainers cap at the same deterministic sample.
+      // opqIters = -1 is the AUTO sentinel (round 15, VERDICT r14 item
+      // 5): probe the residual sample's covariance SPECTRUM and rotate
+      // only when it is genuinely anisotropic. The probe must be
+      // rotation-invariant — a Hadamard-mixed anisotropic corpus has
+      // EQUAL per-dimension variances, so a per-dim probe would read
+      // exactly the corpus OPQ helps as isotropic — hence eigenvalues
+      // (one vectorGram pass over the bounded sample + the d x d Jacobi
+      // solve PCA already uses, microseconds at d=64). The sample is
+      // persisted because the probe adds a second bounded consumer.
+      val probeOpq = opqIters < 0
+      val sampleResid = if (probeOpq) sampleResid0.persist() else sampleResid0
+      val resolvedOpqIters =
+        if (!probeOpq) opqIters
+        else {
+          val pr = participationRatio(
+            pcaFit(sampleResid, "u", dim).eigenvalues)
+          val pick = if (pr < dim * OpqAutoParticipationFrac) OpqAutoIters else 0
+          System.err.println(
+            f"[graft] opqIters=auto: residual spectrum participation " +
+              f"ratio $pr%.1f of $dim -> opqIters=$pick")
+          pick
+        }
+      // resolvedOpqIters > 0 learns the Procrustes rotation over the
+      // residual sample (OPQ — see [[PqModel.rotation]]); 0 keeps the
+      // axis-aligned split. Both trainers cap at the same deterministic
+      // sample.
       val model =
-        if (opqIters > 0)
-          opqTrainOn(sampleResid, dim, m, ksub, pqIters, opqIters,
+        try {
+          if (resolvedOpqIters > 0)
+            opqTrainOn(sampleResid, dim, m, ksub, pqIters, resolvedOpqIters,
+              trainPointsPerCodeword = 256)
+          else pqTrainOn(sampleResid, dim, m, ksub, pqIters,
             trainPointsPerCodeword = 256)
-        else pqTrainOn(sampleResid, dim, m, ksub, pqIters,
-          trainPointsPerCodeword = 256)
+        } finally if (probeOpq) sampleResid.unpersist(blocking = false)
       phase("pq-train")
       // ONE fused full-corpus pass — assign + residual + encode — from
       // the retained cache straight into the persisted coded layout
@@ -2568,7 +2803,17 @@ object Similarity {
       calTarget = conf.getOption("spark.graft.ann.cellRecallTarget")
         .map(_.trim.toDouble).getOrElse(0.95),
       shortlist = shortlist,
-      m = i("m", 16), ksub = i("ksub", 32), opqIters = i("opqIters", 0))
+      m = i("m", 16), ksub = i("ksub", 32),
+      // OPQ on the zero-knowledge path defaults to AUTO (round 15,
+      // VERDICT r14 item 5): -1 = probe the residual spectrum at build
+      // time and rotate only when it is anisotropic (isotropic corpora
+      // resolve to 0 — bit-identical to the old default, so every
+      // existing small-SF gate stays byte-stable). Explicit 0/8 pins.
+      opqIters =
+        conf.getOption("spark.graft.ann.opqIters").map(_.trim) match {
+          case Some("auto") | None => -1
+          case Some(v) => v.toInt
+        })
   }
 
   /** Conf-resolved IVFPQ build + (auto-)calibration — the `algo=ivfpq`

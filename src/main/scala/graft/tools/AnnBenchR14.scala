@@ -71,11 +71,17 @@ object AnnBenchR14 {
   private def emit(dist: String, n: Long, algo: String, buildS: Double,
       probeS: Double, recall: Double, spinS: Double,
       extra: Seq[(String, Double)] = Seq.empty): Unit = {
-    val extraJson = extra.map { case (k, v) => f""","$k":$v%.4f""" }.mkString
+    // Locale.ROOT everywhere (ADVICE r14): a comma-decimal default
+    // locale would emit unparseable JSONL and silently break the
+    // assembler.
+    def fmt(p: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    val extraJson =
+      extra.map { case (k, v) => s""","$k":${fmt("%.4f", v)}""" }.mkString
     val line =
-      f"""{"dist":"$dist","n":$n,"d":64,"k":10,"algo":"$algo",""" +
-        f""""build_s":${"%.2f".format(buildS)},"probe_s":${"%.2f".format(probeS)},""" +
-        f""""recall":${"%.4f".format(recall)},"spin_s":$spinS%.3f$extraJson}""" + "\n"
+      s"""{"dist":"$dist","n":$n,"d":64,"k":10,"algo":"$algo",""" +
+        s""""build_s":${fmt("%.2f", buildS)},"probe_s":${fmt("%.2f", probeS)},""" +
+        s""""recall":${fmt("%.4f", recall)},"spin_s":${fmt("%.3f", spinS)}$extraJson}""" + "\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(OutJsonl),
       line.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
@@ -85,7 +91,7 @@ object AnnBenchR14 {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: AnnBenchR14 ratio|nlist4096|plateau-log|plateau [P]")
+      "usage: AnnBenchR14 ratio|nlist4096|plateau-log|plateau [P]|kernelgrid|calprofile")
     val mode = args(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -311,7 +317,8 @@ object AnnBenchR14 {
           def pass(twoLevel: Boolean): Double = {
             val (_, t) = timed {
               corpus.select(Similarity.assignCellsChosen(
-                  col("embedding"), cents, twoLevel, 4).as("c"))
+                  col("embedding"), cents, twoLevel,
+                  Similarity.TwoLevelSpill).as("c"))
                 .filter(col("c").isNotNull)
                 .groupBy().count().collect()
             }
@@ -324,9 +331,9 @@ object AnnBenchR14 {
             lit(n / 50000L)) === 0)
           val r = slice.select(
               Similarity.assignCellsChosen(col("embedding"), cents,
-                twoLevel = false, 4).as("flat"),
+                twoLevel = false, Similarity.TwoLevelSpill).as("flat"),
               Similarity.assignCellsChosen(col("embedding"), cents,
-                twoLevel = true, 4).as("two"))
+                twoLevel = true, Similarity.TwoLevelSpill).as("two"))
             .filter(col("flat").isNotNull)
             .agg(count(lit(1)).as("n"),
               sum(when(col("flat") =!= col("two"), 1L).otherwise(0L)).as("dis"))

@@ -71,17 +71,12 @@ private[tools] object AnnData {
     spark.read.parquet(path).select("vec_id", "embedding")
   }
 
-  /** The [[graft.Bench]] environment fingerprint, shared by the ANN
-    * tools: a fixed single-thread arithmetic loop whose wall time
-    * exposes host throttling that guest-visible steal never shows
-    * (r13: 1.92 -> 7.9 s across one session on identical code). */
-  def spinSeconds(): Double = {
-    var x = 0L
-    var i = 0L
-    val t0 = System.nanoTime()
-    while (i < 1500000000L) { x += i * 31 + (x >> 3); i += 1 }
-    val dt = (System.nanoTime() - t0) / 1e9
-    if (x == 42L) System.err.println("") // defeat dead-code elimination
-    math.rint(dt * 1000) / 1000
-  }
+  /** The shared environment fingerprint (single implementation in
+    * [[graft.EnvProbe]] since r15 — ADVICE r14: the Bench and AnnData
+    * copies could drift and desynchronize the yardstick). */
+  def spinSeconds(): Double = graft.EnvProbe.spinSeconds()
+
+  /** Parallel-spin effective cores — the r14 blind spot's fix; see
+    * [[graft.EnvProbe.effectiveCores]]. */
+  def effectiveCores(): Double = graft.EnvProbe.effectiveCores()
 }

@@ -24,6 +24,12 @@ import graft.operators.SkylineOps._
 object SkyBenchJson {
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("SKYBENCH_r8.json")
+    // environment fingerprint bracketing the whole grid (round 15,
+    // VERDICT r14 items 1+4): spin catches frequency throttling,
+    // eff_cores catches the multi-core contention spin is blind to;
+    // check_addendum.py's envgate rule enforces a floor on eff_cores
+    // for any SKYBENCH artifact the addendum quotes.
+    val envStart = graft.EnvProbe.snapshotJson("start")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -190,8 +196,10 @@ object SkyBenchJson {
     record("anti", 100000L, 10, "topkdom", ""","k":10""", None)(
       tkd(anti(100000L, 10), 10, 10))
 
+    val envEnd = graft.EnvProbe.snapshotJson("end")
     val json =
       s"""{"artifact":"skybench","master":"local[32]","baseline":"BASELINE.md (12-core YARN cluster, Spark 3.3 + Kafka relay)",
+         |"env":{$envStart,$envEnd,${graft.EnvProbe.staticJson()}},
          |"entries":[
          |${entries.mkString(",\n")}
          |]}""".stripMargin

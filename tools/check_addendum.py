@@ -59,6 +59,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHECK_RE = re.compile(r"<!--check:\s*(\S+)\s+(\S+)\s+(-?[\d.]+)(?:\s+([\d.eE+-]+))?\s*-->")
 TIERS_RE = re.compile(r"<!--tiers:\s*(\S+)\s+([\d,]+)\s*-->")
+ENVREF_RE = re.compile(r"<!--envref:\s*([\d.]+)\s*-->")
 PLACEHOLDER_RE = re.compile(r"⟪[^⟫\n]{0,120}⟫")
 ROUND_FILE_RE = re.compile(r"^(ANNBENCH|SKYBENCH|OPQCHECK)_r(\d+)\.json$")
 
@@ -89,12 +90,21 @@ def testcase_count():
 
 
 def annbench_value(fname, selector):
-    dist, n, algo, field = selector.split("|")
+    # 4-part selector: dist|n|algo|field (rounds <= 14); 5-part adds the
+    # r15 `kind` discriminator: dist|n|kind|algo|field (build and probe
+    # rows may share an algo label and differ only in kind)
+    parts = selector.split("|")
+    if len(parts) == 5:
+        dist, n, kind, algo, field = parts
+    else:
+        dist, n, algo, field = parts
+        kind = None
     data = json.load(open(os.path.join(ROOT, fname)))
     for e in data["entries"]:
-        if e["dist"] == dist and str(e["n"]) == n and e["algo"] == algo:
+        if (e["dist"] == dist and str(e["n"]) == n and e["algo"] == algo
+                and (kind is None or e.get("kind") == kind)):
             return e[field]
-    raise KeyError(f"no entry {dist}/{n}/{algo} in {fname}")
+    raise KeyError(f"no entry {dist}/{n}/{kind or '*'}/{algo} in {fname}")
 
 
 def opqcheck_value(fname, selector):
@@ -219,6 +229,50 @@ def run_checks(text, repo_files=None, dirty_checker=None):
                   "assertion — assembly-section tier claims must be machine-checked")
             failures.append(f"current-round artifact {name} missing tiers assertion")
 
+    # rule 5 (VERDICT r14 item 1): effective-cores gating. The r14
+    # driver bench ran 45% slow while the single-thread spin read quiet
+    # — only multi-core load could see the contention — so r15+
+    # artifacts carry a parallel-spin `eff_cores` figure (EnvProbe) and
+    # the addendum declares the session's reference with
+    # `<!--envref: N-->`. Any CHECKED artifact whose eff_cores falls
+    # more than 20% below the reference fails: its timings are
+    # machine-classified as environmentally poisoned instead of judge-
+    # adjudicated. Artifacts without eff fields (pre-r15) pass untouched.
+    envrefs = ENVREF_RE.findall(text)
+    envref = float(envrefs[-1]) if envrefs else None
+    for name in sorted(checked_files):
+        fpath = os.path.join(ROOT, name)
+        if not os.path.exists(fpath):
+            continue
+        try:
+            data = json.load(open(fpath))
+        except Exception:  # noqa: BLE001 — non-JSON pseudo artifacts
+            continue
+        effs = []
+        env = data.get("env") if isinstance(data, dict) else None
+        if isinstance(env, dict):
+            effs += [env[k] for k in ("eff_cores_start", "eff_cores_end")
+                     if isinstance(env.get(k), (int, float))]
+        if isinstance(data, dict):
+            for e in data.get("entries", []) or []:
+                if isinstance(e, dict) and isinstance(e.get("eff_cores"), (int, float)):
+                    effs.append(e["eff_cores"])
+        if not effs:
+            continue
+        if envref is None:
+            print(f"FAIL {name} carries eff_cores figures but SURVEY.md "
+                  "declares no <!--envref: N--> reference")
+            failures.append(f"{name} has eff_cores but no envref declared")
+            continue
+        worst = min(effs)
+        ok = worst >= 0.8 * envref
+        print(f"{'OK  ' if ok else 'FAIL'} envgate {name}: min eff_cores "
+              f"{worst} vs reference {envref} (floor {0.8 * envref:.2f})")
+        if not ok:
+            failures.append(
+                f"envgate {name}: eff_cores {worst} < 80% of reference "
+                f"{envref} — timings environmentally poisoned")
+
     # rule 4 (VERDICT r12 item 1): a checked artifact whose WORKING-TREE
     # copy differs from its committed (HEAD) blob fails — the r12
     # defect was exactly this: the driver's post-snapshot bench re-run
@@ -281,9 +335,31 @@ def selftest(text):
     bad = run_checks(text, dirty_checker=lambda name: "dirty")
     assert any("dirty vs HEAD" in f for f in bad), \
         "dirty checked artifact did not fail"
+    # mode 5 (r15): a checked artifact whose eff_cores reads contended
+    # (>20% under the declared envref) fails; and eff-carrying artifacts
+    # with NO envref declaration fail. Injected via a scratch artifact.
+    import tempfile
+    scratch = tempfile.NamedTemporaryFile(
+        "w", dir=ROOT, suffix=".json", delete=False)
+    rel = os.path.basename(scratch.name)
+    try:
+        json.dump({"total_median_sec": 1.0,
+                   "env": {"eff_cores_start": 10.0, "eff_cores_end": 30.0}},
+                  scratch)
+        scratch.close()
+        bad = run_checks(
+            text + f"\n<!--envref: 30-->\n<!--check: {rel} total_median_sec 1.0-->")
+        assert any("envgate" in f and rel in f for f in bad), \
+            "contended eff_cores did not fail envgate"
+        stripped = ENVREF_RE.sub("", text)
+        bad = run_checks(stripped + f"\n<!--check: {rel} total_median_sec 1.0-->")
+        assert any("no envref" in f for f in bad), \
+            "eff-carrying artifact without envref did not fail"
+    finally:
+        os.unlink(scratch.name)
     print("SELFTEST OK: stale figure, placeholder, missing tier, "
-          "unreferenced current-round artifact, and dirty checked "
-          "artifact all fail")
+          "unreferenced current-round artifact, dirty checked artifact, "
+          "and contended/undeclared eff_cores all fail")
 
 
 def main():

@@ -399,7 +399,7 @@ object Similarity {
       * is the inverse; training cost is paid once per corpus snapshot,
       * not per session. */
     def save(path: String): Unit = {
-      indexed.write.mode("overwrite").partitionBy("c").parquet(s"$path/layout")
+      writeLayout(indexed, s"$path/layout", overwrite = true)
       val spark = indexed.sparkSession
       import spark.implicits._
       centroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
@@ -690,7 +690,7 @@ object Similarity {
       .persist()
     try {
       val n = assigned.count()
-      assigned.write.mode("append").partitionBy("c").parquet(s"$path/layout")
+      writeLayout(assigned, s"$path/layout", overwrite = false)
       // appended rows change the cell occupancies the calibrated widths
       // were measured against — a stale persisted width would silently
       // under-probe, so the snapshot's calibration table is DROPPED (the
@@ -718,6 +718,23 @@ object Similarity {
   // tombstone count and both reclaimed by [[compactIndex]], which
   // rewrites ONLY the affected cell partitions.
   // ------------------------------------------------------------------
+
+  /** Write a cell-partitioned layout table. The CLUSTER-BY-CELL
+    * repartition before `partitionBy` is load-bearing at scale (round
+    * 15): a layout frame arrives with the source's task partitioning
+    * (one per input split — ~200 at 100M), and Spark's dynamic-
+    * partition write emits one file per (task, cell) pair — measured
+    * 487,500 files at n=1e8/nlist=2500, which turns the save into an
+    * hour of driver-side file commits and every subsequent load into a
+    * half-million-entry listing. Hashing rows to tasks BY CELL first
+    * bounds the file count at one per cell (the shuffle is tiny — the
+    * coded rows are ~24 B each), which is also the shape a probe's
+    * partition-pruned scan wants to read. */
+  private def writeLayout(layout: DataFrame, dest: String,
+      overwrite: Boolean): Unit =
+    layout.repartition(col("c"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("c").parquet(dest)
 
   /** Tombstone sets at or under this row count anti-join as a broadcast
     * hash table; larger sets go through the bloom-prefiltered exact
@@ -836,7 +853,7 @@ object Similarity {
       val survivors = antiTombstones(
         layout.filter(col("c").isin(affected.map(Integer.valueOf): _*)),
         Some(tomb), tombCount)
-      survivors.write.mode("overwrite").partitionBy("c").parquet(tmp)
+      writeLayout(survivors, tmp, overwrite = true)
       affected.foreach { cell =>
         val dst = new org.apache.hadoop.fs.Path(s"$path/layout/c=$cell")
         val src = new org.apache.hadoop.fs.Path(s"$tmp/c=$cell")
@@ -2455,7 +2472,7 @@ object Similarity {
       * centroids, the residual codebooks, and the id type. Train once
       * per corpus snapshot; [[Similarity.loadIvfPq]] is the inverse. */
     def save(path: String): Unit = {
-      coded.write.mode("overwrite").partitionBy("c").parquet(s"$path/layout")
+      writeLayout(coded, s"$path/layout", overwrite = true)
       val spark = coded.sparkSession
       import spark.implicits._
       unitCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
@@ -2559,7 +2576,7 @@ object Similarity {
       .persist()
     try {
       val n = assigned.count()
-      assigned.write.mode("append").partitionBy("c").parquet(s"$path/layout")
+      writeLayout(assigned, s"$path/layout", overwrite = false)
       // appended rows change the cell occupancies the calibrated widths
       // were measured against — a stale persisted width would silently
       // under-probe, so the snapshot's calibration table is DROPPED (the

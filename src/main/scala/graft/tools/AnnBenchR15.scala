@@ -221,9 +221,58 @@ object AnnBenchR15 {
         } finally variants.foreach(_.idx.unpersist())
         corpus.unpersist(blocking = false)
 
+      // ---------------------------------------------------------------
+      // Re-save an existing parked snapshot through the FIXED layout
+      // write (one file per cell — the cluster-by-cell repartition in
+      // Similarity.writeLayout) and time both the save and a probe from
+      // the re-parked copy. The tier100m run measured the PRE-fix park:
+      // 487,500 files (one per source-task x cell pair), save_s ~2.3x
+      // build_s; this mode pins the post-fix number on the same index
+      // bytes, and asserts the re-parked probe returns EXACTLY the rows
+      // the original park returns (same layout content => same probe).
+      case "repark" =>
+        val n = if (args.length > 1) args(1).toLong else 100000000L
+        val src = s"/tmp/annbench/park_clustered_${n}_r15"
+        val dst = s"/tmp/annbench/park_clustered_${n}_r15_fixed"
+        val corpus = AnnData.synthCorpus(spark, "clustered", n, D)
+        val queries = corpus.filter(col("vec_id") < 50)
+        val spin = AnnData.spinSeconds()
+        val eff = AnnData.effectiveCores()
+        val loaded = Similarity.loadIvfPq(spark, src)
+        val (_, tSave) = timed(loaded.save(dst))
+        val nFiles = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles().map(walk).sum
+            else if (f.getName.endsWith(".parquet")) 1L else 0L
+          walk(new java.io.File(s"$dst/layout"))
+        }
+        val np = 27 // the tier100m calibrated width (persisted with src)
+        val sl = -1
+        val reparked = Similarity.loadIvfPq(spark, dst)
+        var resSrc: Set[(Long, Long)] = Set.empty
+        var resDst: Set[(Long, Long)] = Set.empty
+        val ts = (1 to 3).map { _ =>
+          val (r, t) = timed(pairsOf(
+            reparked.topK(queries, "vec_id", "embedding", K, np, sl, corpus)))
+          resDst = r
+          t
+        }
+        val (rs, _) = timed(pairsOf(
+          loaded.topK(queries, "vec_id", "embedding", K, np, sl, corpus)))
+        resSrc = rs
+        require(resSrc == resDst,
+          s"re-parked probe diverged: ${(resSrc diff resDst).take(3)} / " +
+            s"${(resDst diff resSrc).take(3)}")
+        emit("build", "clustered", n, s"ivfpq[repark-fixed,a2500/c$np,16x256]",
+          spin, eff, Seq("save_s" -> tSave, "files" -> nFiles.toDouble))
+        emit("probe", "clustered", n, s"ivfpq[repark-fixed,a2500/c$np,16x256]",
+          spin, eff,
+          Seq("probe_s" -> median(ts), "probe_min" -> ts.min,
+            "probe_max" -> ts.max, "equal_to_prefix_park" -> 1.0))
+
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode $other — usage: AnnBenchR15 gen N|tier100m [N]|aniso [N]")
+          s"unknown mode $other — usage: AnnBenchR15 gen N|tier100m [N]|aniso [N]|repark [N]")
     }
     spark.stop()
   }

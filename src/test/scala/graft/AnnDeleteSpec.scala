@@ -175,6 +175,22 @@ class AnnDeleteSpec extends AnyFunSuite {
     assert(Similarity.compactIndex(spark, path) == 0L)
   }
 
+  test("save writes ONE file per cell — the layout write clusters by cell before partitioning") {
+    // without the cluster-by-cell repartition, a save emits one file
+    // per (source task, cell) pair — measured 487,500 files at
+    // n=1e8/nlist=2500, an hour of driver-side commits (round 15)
+    val path = java.nio.file.Files.createTempDirectory("ivf-save-files-").toString
+    val built = Similarity.buildIvf(embs, "vec_id", "embedding",
+      dim = 64, nlist = 16, iters = 3)
+    built.save(path)
+    built.unpersist()
+    val layout = spark.read.parquet(s"$path/layout")
+    val nCells = layout.select("c").distinct().count()
+    val nFiles = fileSnapshot(s"$path/layout").size
+    assert(nFiles == nCells,
+      s"expected exactly one file per non-empty cell ($nCells), got $nFiles")
+  }
+
   /** file name -> (length, mtime) snapshot of a layout tree. */
   private def fileSnapshot(dir: String): Map[String, (Long, Long)] = {
     def walk(f: java.io.File): Seq[java.io.File] =

@@ -331,9 +331,13 @@ object Similarity {
     def unpersist(): IvfIndex = { indexed.unpersist(blocking = false); this }
 
     /** The `k` widest cell occupancies, descending — the skew diagnostic
-      * (cell self-join cost is the sum of squared widths). */
+      * (cell self-join cost is the sum of squared widths). Counts the
+      * SURVIVING rows (ADVICE r15): tombstoned rows are unreachable by
+      * probes, so widths that include them would overstate the live
+      * occupancy the diagnostic is about. */
     def topWidths(k: Int): Seq[Long] =
-      indexed.groupBy("c").count().orderBy(col("count").desc).limit(k)
+      antiTombstones(indexed, tombstones, tombstoneCount)
+        .groupBy("c").count().orderBy(col("count").desc).limit(k)
         .collect().map(_.getLong(1)).toSeq
 
     /**
@@ -370,9 +374,16 @@ object Similarity {
       // c is PRUNED from the pool projection: the estimator must not
       // re-derive the O(n*nlist*d) assignment on an unpersisted layout —
       // only the bounded sample slice is assigned (inside
-      // calibrateNprobeFrom)
+      // calibrateNprobeFrom). The pool excludes tombstoned rows (ADVICE
+      // r15): deleteFromIndex drops the persisted calibration precisely
+      // because deletions change the neighbor field, so the re-earned
+      // width must be measured on the SURVIVING corpus — deleted rows
+      // appearing as sample queries or neighbors would partially defeat
+      // the drop. The row-count hint is likewise only valid untombstoned.
       calibrateNprobeWithPool(
-        indexed.select(col("id"), col("v"), col("vn")).filter(col("vn") > 0),
+        antiTombstones(
+          indexed.select(col("id"), col("v"), col("vn")).filter(col("vn") > 0),
+          tombstones, tombstoneCount),
         targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
 
     /** [[calibrateNprobe]] with a caller-supplied pool — the build path
@@ -697,6 +708,7 @@ object Similarity {
       // operational contract: append, then re-earn the recall gate /
       // recalibrate, which re-persists on the next save)
       saveCalibration(spark, path, Seq.empty)
+      untombstone(spark, path, assigned.select(col("id")))
       n
     } finally assigned.unpersist(blocking = false)
   }
@@ -764,6 +776,102 @@ object Similarity {
       if (n == 0) (None, 0L) else (Some(df), n)
     } catch { case _: org.apache.spark.sql.AnalysisException => (None, 0L) }
 
+  /** Remove the given ids from a snapshot's tombstone table (ADVICE
+    * r15): re-inserting a previously deleted id must make the NEW row
+    * visible — without this, the probe anti-join keeps suppressing the
+    * fresh row and the next [[compactIndex]] permanently deletes it
+    * before clearing the tombstone: silent data loss on the natural
+    * delete-then-reinsert (upsert) pattern. Bounded by the tombstone
+    * count; no-op when the snapshot has none. Runs AFTER the layout
+    * append lands (clearing first and crashing before the write would
+    * resurrect the OLD deleted row — the worse failure; the remaining
+    * crash window between append and clear merely reproduces the
+    * pre-fix suppression until the append is retried). */
+  private def untombstone(spark: org.apache.spark.sql.SparkSession,
+      path: String, appendedIds: DataFrame): Unit =
+    tombstonesOf(spark, path) match {
+      case (None, _) => ()
+      case (Some(tomb), _) =>
+        // pin before the self-overwrite (same rule as compactWith)
+        val keep = tomb.join(appendedIds.select(col("id")), Seq("id"),
+          "left_anti").localCheckpoint()
+        keep.write.mode("overwrite").parquet(s"$path/tombstones")
+    }
+
+  /** Name of the compaction swap-plan manifest inside the
+    * `layout_compacting` tmp dir. Its PRESENCE is the commit point of a
+    * compaction (ADVICE r15): written (atomically, via tmp + rename)
+    * only after every surviving row is durably in the tmp layout, so a
+    * crash mid-swap is completed — never rolled back — by
+    * [[recoverCompaction]] at the next entry point. A tmp dir WITHOUT
+    * the manifest is an uncommitted compaction: discarded, layout and
+    * tombstones untouched. */
+  private val CompactionManifest = "_MANIFEST"
+
+  /** Execute (or re-execute) a compaction swap plan. Idempotent per
+    * cell: a cell whose survivors were already renamed in (src gone,
+    * dst present) is skipped; a fully-deleted cell's dst delete
+    * re-runs harmlessly. */
+  private def swapCells(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      plan: Seq[(Int, Boolean)]): Unit =
+    plan.foreach { case (cell, hasSrc) =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/layout/c=$cell")
+      val src = new org.apache.hadoop.fs.Path(s"$path/layout_compacting/c=$cell")
+      if (hasSrc) {
+        if (fs.exists(src)) {
+          fs.delete(dst, true)
+          require(fs.rename(src, dst),
+            s"compactIndex: failed to move $src into the layout")
+        } // else: this cell's swap already completed before the crash
+      } else fs.delete(dst, true)
+    }
+
+  /** Complete or discard a compaction that crashed mid-flight (ADVICE
+    * r15: the bare delete-then-rename left a crash window in which a
+    * cell's SURVIVING rows were simply gone, and a subsequent load
+    * served silently wrong results). Called from every snapshot entry
+    * point — [[loadIvf]], [[loadIvfPq]], [[deleteFromIndex]],
+    * [[compactIndex]] (appends enter through the loads) — under the
+    * snapshot's single-writer contract. Manifest present: every
+    * survivor is durably in the tmp layout, so the swap is RE-RUN to
+    * completion and the tombstones cleared (exactly what the crashed
+    * compaction would have done). Manifest absent: the compaction
+    * never committed — the tmp dir is discarded and the layout +
+    * tombstone state stands untouched. */
+  private[graft] def recoverCompaction(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/layout_compacting")
+    if (!fs.exists(tmp)) return
+    val manifest = new org.apache.hadoop.fs.Path(tmp, CompactionManifest)
+    if (!fs.exists(manifest)) {
+      System.err.println(s"[graft] recoverCompaction: discarding " +
+        s"uncommitted compaction under $path (no manifest)")
+      fs.delete(tmp, true)
+      return
+    }
+    val in = fs.open(manifest)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val plan = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(c, s) = line.split(" ")
+        (c.toInt, s == "1")
+      }.toSeq
+    System.err.println(s"[graft] recoverCompaction: completing crashed " +
+      s"compaction under $path (${plan.size} cells)")
+    swapCells(fs, path, plan)
+    fs.delete(tmp, true)
+    tombstonesOf(spark, path) match {
+      case (Some(t), _) =>
+        t.localCheckpoint().limit(0)
+          .write.mode("overwrite").parquet(s"$path/tombstones")
+      case _ => ()
+    }
+  }
+
   /**
    * Register id deletions against a saved [[IvfIndex.save]] /
    * [[IvfPqIndex.save]] snapshot WITHOUT rewriting the layout — the
@@ -789,6 +897,7 @@ object Similarity {
     require(integralIdType(removeIds.schema(idCol).dataType),
       s"deleteFromIndex requires an integral id column, got " +
         s"${removeIds.schema(idCol).dataType}")
+    recoverCompaction(spark, path)
     val layoutIdType =
       spark.read.parquet(s"$path/layout").schema("id").dataType
     val ids = removeIds
@@ -822,9 +931,12 @@ object Similarity {
    * Returns the number of layout rows removed.
    */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = tombstonesOf(spark, path) match {
-    case (None, _) => 0L
-    case (Some(tomb0), tombCount) => compactWith(spark, path, tomb0, tombCount)
+      path: String): Long = {
+    recoverCompaction(spark, path)
+    tombstonesOf(spark, path) match {
+      case (None, _) => 0L
+      case (Some(tomb0), tombCount) => compactWith(spark, path, tomb0, tombCount)
+    }
   }
 
   private def compactWith(spark: org.apache.spark.sql.SparkSession,
@@ -854,15 +966,25 @@ object Similarity {
         layout.filter(col("c").isin(affected.map(Integer.valueOf): _*)),
         Some(tomb), tombCount)
       writeLayout(survivors, tmp, overwrite = true)
-      affected.foreach { cell =>
-        val dst = new org.apache.hadoop.fs.Path(s"$path/layout/c=$cell")
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/c=$cell")
-        fs.delete(dst, true)
-        // a fully-deleted cell has no surviving partition dir — the
-        // delete above already removed it from the layout
-        if (fs.exists(src)) require(fs.rename(src, dst),
-          s"compactIndex: failed to move $src into the layout")
+      // COMMIT POINT (ADVICE r15): every surviving row is now durably
+      // in tmp; record the swap plan (cell id + whether it has a
+      // surviving partition dir — a fully-deleted cell has none, and
+      // recovery must know the difference to stay idempotent) and make
+      // it visible atomically. From here a crash anywhere in the swap
+      // is COMPLETED by recoverCompaction at the next entry point;
+      // before it, the tmp dir is discarded and nothing changed.
+      val plan = affected.toSeq.map { cell =>
+        (cell, fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/c=$cell")))
       }
+      val manifestTmp = new org.apache.hadoop.fs.Path(tmp, s"$CompactionManifest.tmp")
+      val out = fs.create(manifestTmp, true)
+      try out.write(plan.map { case (c, s) => s"$c ${if (s) 1 else 0}" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(manifestTmp,
+        new org.apache.hadoop.fs.Path(tmp, CompactionManifest)),
+        "compactIndex: failed to commit the swap manifest")
+      swapCells(fs, path, plan)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     // clear the tombstone table (schema-preserving 0-row overwrite)
@@ -875,6 +997,7 @@ object Similarity {
     * probed cells' files), and no retraining happens — the centroids are
     * the tiny side table. */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    recoverCompaction(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("c").collect()
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
@@ -2308,7 +2431,11 @@ object Similarity {
      * (nlist rows to the driver).
      */
     def autoShortlist(k: Int, nprobe: Int): Int = {
-      val widths = coded.groupBy("c").agg(count(lit(1)).as("n"))
+      // occupancies of the SURVIVING rows (ADVICE r15): tombstoned rows
+      // are dropped before the shortlist heap ever sees them, so depths
+      // sized on counts that include them would overstate the scan
+      val widths = antiTombstones(coded, tombstones, tombstoneCount)
+        .groupBy("c").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc).limit(nprobe)
         .collect().map(_.getLong(1))
       autoShortlistRule(widths.sum, k, nprobe)
@@ -2326,9 +2453,14 @@ object Similarity {
     def calibrateNprobe(corpus: DataFrame, idCol: String, vecCol: String,
         targetCellRecall: Double = 0.95, sampleQueries: Int = 32,
         neighborsPerQuery: Int = 10, maxSampleRows: Long = 500000L): Int =
+      // the pool excludes tombstoned rows (ADVICE r15) — the re-earned
+      // width after a delete must reflect the SURVIVING corpus (see
+      // IvfIndex.calibrateNprobe)
       calibrateNprobeWithPool(
-        unitized(corpus, idCol, vecCol, "id")
-          .select(col("id"), col("u").as("v"), lit(1.0).as("vn")),
+        antiTombstones(
+          unitized(corpus, idCol, vecCol, "id")
+            .select(col("id"), col("u").as("v"), lit(1.0).as("vn")),
+          tombstones, tombstoneCount),
         targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
 
     /** [[calibrateNprobe]] with a caller-supplied unit-vector pool —
@@ -2343,8 +2475,13 @@ object Similarity {
       calibMemo.getOrElseUpdate(
         (targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows), {
           calibrationScans += 1
+          // the layout row count is only a valid pool-size hint while no
+          // rows are tombstoned (the pool is anti-joined — see
+          // calibrateNprobe); with tombstones the estimator counts the
+          // surviving pool itself
+          val hint = if (tombstoneCount == 0) Some(coded.count()) else None
           calibrateNprobeFrom(pool, assignCentroids, assignTwoLevel,
-            assignSpill, Some(coded.count()),
+            assignSpill, hint,
             targetCellRecall, sampleQueries, neighborsPerQuery, maxSampleRows)
         })
 
@@ -2503,6 +2640,7 @@ object Similarity {
   /** Reload an [[IvfPqIndex.save]] snapshot: the layout scan stays
     * partitioned by cell id, no retraining happens. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    recoverCompaction(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("c").collect()
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
@@ -2583,6 +2721,7 @@ object Similarity {
       // operational contract: append, then re-earn the recall gate /
       // recalibrate, which re-persists on the next save)
       saveCalibration(spark, path, Seq.empty)
+      untombstone(spark, path, assigned.select(col("id")))
       n
     } finally assigned.unpersist(blocking = false)
   }

@@ -264,14 +264,36 @@ def run_checks(text, repo_files=None, dirty_checker=None):
                   "declares no <!--envref: N--> reference")
             failures.append(f"{name} has eff_cores but no envref declared")
             continue
-        worst = min(effs)
-        ok = worst >= 0.8 * envref
-        print(f"{'OK  ' if ok else 'FAIL'} envgate {name}: min eff_cores "
-              f"{worst} vs reference {envref} (floor {0.8 * envref:.2f})")
-        if not ok:
+        # Two floors (r16, ADVICE r15: the r15 single-floor rule was
+        # back-fitted to the session's worst self-load reading and could
+        # not reject any run it had actually seen — and one ULP the other
+        # way it would have failed its own artifact):
+        #  - MEDIAN >= 0.8*envref: pervasive contention (the r14 driver
+        #    shape — most readings low) poisons an artifact even when no
+        #    single reading is catastrophic. The envref is now derived
+        #    from the quiet-reading band's median, not the worst point,
+        #    so this floor has real margin.
+        #  - MIN >= 0.6*envref: one deep reading (self-load right after a
+        #    heavy job, or a contention spike) fails outright; a single
+        #    mild dip does NOT sink an otherwise-quiet artifact, which is
+        #    the self-load special case ADVICE r15 asked for.
+        srt = sorted(effs)
+        med = (srt[len(srt) // 2] if len(srt) % 2 == 1
+               else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2)
+        worst = srt[0]
+        ok_med = med >= 0.8 * envref
+        ok_min = worst >= 0.6 * envref
+        print(f"{'OK  ' if ok_med and ok_min else 'FAIL'} envgate {name}: "
+              f"median eff_cores {med} (floor {0.8 * envref:.2f}), "
+              f"min {worst} (floor {0.6 * envref:.2f}) vs reference {envref}")
+        if not ok_med:
             failures.append(
-                f"envgate {name}: eff_cores {worst} < 80% of reference "
-                f"{envref} — timings environmentally poisoned")
+                f"envgate {name}: median eff_cores {med} < 80% of reference "
+                f"{envref} — timings environmentally poisoned (pervasive)")
+        if not ok_min:
+            failures.append(
+                f"envgate {name}: min eff_cores {worst} < 60% of reference "
+                f"{envref} — at least one timing deeply poisoned")
 
     # rule 4 (VERDICT r12 item 1): a checked artifact whose WORKING-TREE
     # copy differs from its committed (HEAD) blob fails — the r12
@@ -335,28 +357,47 @@ def selftest(text):
     bad = run_checks(text, dirty_checker=lambda name: "dirty")
     assert any("dirty vs HEAD" in f for f in bad), \
         "dirty checked artifact did not fail"
-    # mode 5 (r15): a checked artifact whose eff_cores reads contended
-    # (>20% under the declared envref) fails; and eff-carrying artifacts
-    # with NO envref declaration fail. Injected via a scratch artifact.
+    # mode 5 (r15, two-floor form since r16): envgate. Injected via a
+    # scratch artifact, four scenarios: (a) pervasively-contended
+    # readings fail the MEDIAN floor (the r14 driver shape); (b) one
+    # deep self-load reading among quiet ones passes the median floor
+    # but fails the MIN floor only when under 60%; (c) a single MILD dip
+    # among quiet readings passes both (the self-load allowance); (d)
+    # eff-carrying artifacts with NO envref declaration fail.
     import tempfile
-    scratch = tempfile.NamedTemporaryFile(
-        "w", dir=ROOT, suffix=".json", delete=False)
-    rel = os.path.basename(scratch.name)
-    try:
+
+    def eff_artifact(*effs):
+        scratch = tempfile.NamedTemporaryFile(
+            "w", dir=ROOT, suffix=".json", delete=False)
         json.dump({"total_median_sec": 1.0,
-                   "env": {"eff_cores_start": 10.0, "eff_cores_end": 30.0}},
-                  scratch)
+                   "entries": [{"eff_cores": e} for e in effs]}, scratch)
         scratch.close()
-        bad = run_checks(
-            text + f"\n<!--envref: 30-->\n<!--check: {rel} total_median_sec 1.0-->")
-        assert any("envgate" in f and rel in f for f in bad), \
-            "contended eff_cores did not fail envgate"
+        return scratch.name
+
+    for effs, expect_fail, tag in (
+            ((17.0, 17.5, 16.8), True, "pervasive contention (median floor)"),
+            ((25.0, 26.0, 11.0), True, "deep self-load dip (min floor)"),
+            ((25.0, 26.0, 19.5), False, "mild dip among quiet readings"),
+            ((25.0, 27.0, 26.0), False, "quiet artifact")):
+        fp = eff_artifact(*effs)
+        rel = os.path.basename(fp)
+        try:
+            bad = run_checks(
+                text + f"\n<!--envref: 24-->\n<!--check: {rel} total_median_sec 1.0-->")
+            hit = any("envgate" in f and rel in f for f in bad)
+            assert hit == expect_fail, \
+                f"envgate selftest: {tag} expected fail={expect_fail}, got {hit}"
+        finally:
+            os.unlink(fp)
+    fp = eff_artifact(25.0)
+    rel = os.path.basename(fp)
+    try:
         stripped = ENVREF_RE.sub("", text)
         bad = run_checks(stripped + f"\n<!--check: {rel} total_median_sec 1.0-->")
         assert any("no envref" in f for f in bad), \
             "eff-carrying artifact without envref did not fail"
     finally:
-        os.unlink(scratch.name)
+        os.unlink(fp)
     print("SELFTEST OK: stale figure, placeholder, missing tier, "
           "unreferenced current-round artifact, dirty checked artifact, "
           "and contended/undeclared eff_cores all fail")

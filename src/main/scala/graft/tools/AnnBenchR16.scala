@@ -223,6 +223,11 @@ object AnnBenchR16 {
 
       // ---------------------------------------------------------------
       case "m32" =>
+        // round-16 fold-in evidence: the FULL zero-knowledge conf path —
+        // every knob auto INCLUDING the new m/ksub density rule. On the
+        // failing 1e8 clustered corpus the occupancy probe must resolve
+        // 32x256 by itself (the emitted row records what it picked); on
+        // small corpora the same path resolves 16x32 (gate-verified).
         val n = if (args.length > 1) args(1).toLong else 100000000L
         val corpus = AnnData.synthCorpus(spark, "clustered", n, D)
         val queries = corpus.filter(col("vec_id") < 50)
@@ -231,18 +236,21 @@ object AnnBenchR16 {
         val effB = AnnData.effectiveCores()
         val ((idx, np, sl), tBuild) = withConf(
           "algo" -> "ivfpq", "nlist" -> "auto", "nprobe" -> "auto",
-          "tppc" -> "auto", "shortlist" -> "auto",
-          "m" -> "32", "ksub" -> "256") {
+          "tppc" -> "auto", "shortlist" -> "auto") {
           timed(Similarity.annBuildIvfPq(corpus, "vec_id", "embedding", D))
         }
         val nlist = idx.assignCentroids.length
+        val mPicked = idx.model.m
+        val ksubPicked = idx.model.ksub
         val park = s"/tmp/annbench/park_clustered_${n}_r16_m32"
         val (_, tSave) = timed(idx.save(park))
         idx.unpersist()
         val files = parquetFiles(s"$park/layout")
-        emit("build", "clustered", n, s"ivfpq[conf-auto,a$nlist/c$np,32x256]",
+        emit("build", "clustered", n,
+          s"ivfpq[conf-auto,a$nlist/c$np,auto->${mPicked}x$ksubPicked]",
           spinB, effB, Seq("build_s" -> tBuild, "save_s" -> tSave,
-            "files" -> files.toDouble))
+            "files" -> files.toDouble, "m" -> mPicked.toDouble,
+            "ksub" -> ksubPicked.toDouble))
         val spinP = AnnData.spinSeconds()
         val effP = AnnData.effectiveCores()
         val loaded = Similarity.loadIvfPq(spark, park)
@@ -253,7 +261,7 @@ object AnnBenchR16 {
           res = r
           t
         }
-        emit("probe", "clustered", n, s"ivfpq[parked,a$nlist/c$np,32x256]",
+        emit("probe", "clustered", n, s"ivfpq[parked,a$nlist/c$np,${mPicked}x$ksubPicked]",
           spinP, effP,
           Seq("probe_s" -> median(ts), "probe_min" -> ts.min,
             "probe_max" -> ts.max, "recall" -> recOf(exact, res)))

@@ -416,6 +416,10 @@ object Similarity {
       // each lands in its own subdirectory, so the four commits are
       // independent and the save pays the slowest write instead of the
       // sum of four sequential job latencies
+      // overwriting the layout may change the id type, and the previous
+      // life's tombstones / crashed-compaction tmp dir must not carry
+      // into the new snapshot (ADVICE r16 + round 17)
+      resetSnapshotSideState(spark, path)
       ioParallel(Seq(
         () => writeLayout(indexed, s"$path/layout", overwrite = true),
         () => centroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
@@ -774,11 +778,21 @@ object Similarity {
   /** The documented small/medium-regime default (unchanged since r10). */
   private[graft] val DefaultPqM = 16
   private[graft] val DefaultPqKsub = 32
-  /** Worst-cell occupancy above which the auto code size doubles:
-    * between the densest verified-recall-1.0 regime (1e7 tier,
-    * <= ~161k-point cells at 16-byte codes) and the measured failure
-    * (1e8 tier, 1.56M-point cells, recall 0.466). */
-  private[graft] val DenseCellOccupancyThreshold = 500000L
+  /** PROBED CANDIDATE MASS above which the auto code size doubles —
+    * the estimated worst-case scan (sum of the `nprobe` densest cells'
+    * occupancies at the calibrated probe width), the quantity that
+    * actually governs the ADC ranking noise budget. The r16 trigger
+    * thresholded the single densest cell, which measurably failed at
+    * its target regime: at n=1e8 clustered (nlist=2500) no single cell
+    * crossed 500k, yet the calibrated 27-cell probe scanned 1,318,707
+    * candidates — comparable to the 1,555,800 ADC-indistinguishable
+    * depth of 16-byte codes — and parked recall collapsed to 0.342
+    * (diagnostics/annbench_r16.jsonl; VERDICT r16 item 1). Anchors for
+    * the 500k value: the densest verified-recall-1.0 regime (1e7 tier)
+    * probes ~a latent cluster of ~156k rows; the measured failure
+    * probes 1.32M. Conf `spark.graft.ann.denseCellThreshold` (key kept
+    * from r16) overrides. */
+  private[graft] val DenseProbedMassThreshold = 500000L
   /** Bound on the occupancy-probe sample (one cheap job; skew this
     * coarse is visible at any sane sample size). */
   private[graft] val DenseCellProbeCap = 1000000L
@@ -796,8 +810,21 @@ object Similarity {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val fs = thunks.map(t => Future(blocking(t())))
-    fs.map(f => Await.result(f, Duration.Inf))
+    // settle EVERY thunk before propagating a failure (ADVICE r16): an
+    // eager rethrow would hand control back to the caller (whose retry
+    // could re-enter save()) while sibling writes to the same snapshot
+    // directory are still in flight
+    val settled = fs.map(f => Await.ready(f, Duration.Inf).value.get)
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
+    settled.map(_.get)
   }
+
+  /** Footer-count cap: a side-table directory accreted by many small
+    * append jobs can hold more footers than a sequential driver-side
+    * read should pay for — past this many files the caller's Spark
+    * counting job (parallel, still metadata-only for parquet) is the
+    * better shape (ADVICE r16). */
+  private val FooterCountMaxFiles = 256
 
   /** Sum of parquet footer row counts under a directory, driver-side —
     * the metadata-cheap way to count a tiny side table (round 16): a
@@ -816,16 +843,19 @@ object Similarity {
         val parts = fs.listStatus(p).filter { st =>
           st.isFile && st.getPath.getName.endsWith(".parquet")
         }
-        var n = 0L
-        parts.foreach { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try n += r.getRecordCount finally r.close()
+        if (parts.length > FooterCountMaxFiles) None
+        else {
+          var n = 0L
+          parts.foreach { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try n += r.getRecordCount finally r.close()
+          }
+          Some(n)
         }
-        Some(n)
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Drop tombstoned ids from a probe's cell-pruned layout slice.
     * Exact either way; the strategy only changes the plan shape. */
@@ -986,10 +1016,48 @@ object Similarity {
   /** Layout id type per snapshot path, memoized (round 16, VERDICT r15
     * nit 4): the type is fixed at save time (appends enforce it), so
     * re-reading parquet footers on every delete batch — a full listing
-    * at wide nlist — buys nothing. Keyed on the canonical path under
-    * the snapshot's single-writer contract. */
+    * at wide nlist — buys nothing. Keyed on the FILESYSTEM-qualified
+    * path (ADVICE r16: `java.io.File` canonicalization is wrong for
+    * non-local URIs) and EVICTED by `save()` — overwriting a snapshot
+    * with a different id type in the same JVM must not serve the stale
+    * type to a later [[deleteFromIndex]]. */
   private val layoutIdTypeMemo =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.DataType]
+
+  /** The memo key of a snapshot root: qualified through the path's own
+    * FileSystem so `hdfs://`/`s3a://` URIs and equivalent spellings of
+    * one local path collapse to a single entry. */
+  private def layoutMemoKey(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    catch { case scala.util.control.NonFatal(_) => p.toString }
+  }
+
+  /** Drop a snapshot root's memoized layout id type — called by the
+    * save paths (layout overwrite may change the type; ADVICE r16). */
+  private[operators] def evictLayoutIdType(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    layoutIdTypeMemo.remove(layoutMemoKey(spark, path)); ()
+  }
+
+  /** Reset a snapshot root's MUTABLE side state before a full re-save
+    * (round 17): `save()` defines a complete new snapshot, but the
+    * tombstone table and a crashed compaction's tmp layout belong to
+    * the PREVIOUS life of the path — left in place, the old tombstones
+    * would silently delete the new index's rows on the first load, and
+    * a stale manifest would "recover" a compaction against the new
+    * layout. Both are driver-side directory deletes (no Spark job). */
+  private def resetSnapshotSideState(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    evictLayoutIdType(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/layout_compacting"), true)
+    ()
+  }
 
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       removeIds: DataFrame, idCol: String): Long = {
@@ -998,7 +1066,7 @@ object Similarity {
         s"${removeIds.schema(idCol).dataType}")
     recoverCompaction(spark, path)
     val layoutIdType = layoutIdTypeMemo.getOrElseUpdate(
-      new java.io.File(path).getCanonicalPath,
+      layoutMemoKey(spark, path),
       spark.read.parquet(s"$path/layout").schema("id").dataType)
     val ids = removeIds
       .select(col(idCol).cast(layoutIdType).as("id"))
@@ -2720,6 +2788,10 @@ object Similarity {
       // independent and the save pays the slowest write instead of the
       // sum of seven sequential job latencies (~1.5 s of pure driver
       // round-trips per save at any scale)
+      // overwriting the layout may change the id type, and the previous
+      // life's tombstones / crashed-compaction tmp dir must not carry
+      // into the new snapshot (ADVICE r16 + round 17)
+      resetSnapshotSideState(spark, path)
       ioParallel(Seq(
         () => writeLayout(coded, s"$path/layout", overwrite = true),
         () => unitCentroids.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
@@ -2913,52 +2985,88 @@ object Similarity {
           .filter(col("c").isNotNull)
           .select(col("id"), col("c"),
             graft.functions.PqFunctions.centroidSubtract(col("v"), col("c"), unitCents).as("u"))
-      // m/ksub = AUTO (round 16, VERDICT r15 item 2): resolve the code
-      // size from the measured cell DENSITY. The r15 100M tier proved
-      // the failure mode: at ~1.56M-point cells, 16-byte residual codes
-      // quantize near-identical candidates to ADC-indistinguishable
-      // scores (measured indistinguishable-depth 1,555,800 at m=16 vs
-      // 184,400 at m=32 — diagnostics/annbench_r16.jsonl), so the
-      // scan/12 shortlist becomes a weak sample and recall collapses
-      // (0.466 vs >= 0.99) — a density defect the verified 1e7 tier
-      // (~13k-161k-point cells, recall 1.0 at 16 bytes) cannot see. The
-      // probe: worst-cell occupancy estimated on a bounded
-      // deterministic hash sample (<= ~1M rows, one job); cells denser
-      // than [[DenseCellOccupancyThreshold]] resolve to 32x256 codes
-      // (2x bytes, 2^8-resolution codebooks), everything else keeps the
-      // documented 16x32 default — so every small-SF gate is
-      // byte-stable while the zero-knowledge path self-corrects exactly
-      // where the defect was measured.
+      // m/ksub = AUTO (VERDICT r15 item 2; trigger REBUILT in round 17
+      // after VERDICT r16 item 1): resolve the code size from the
+      // estimated PROBED CANDIDATE MASS — the sum of the calibrated
+      // nprobe densest cells' occupancies, i.e. the worst-case scan a
+      // recall-honest probe of this index will rank by ADC score. The
+      // measured mechanism (diagnostics/annbench_r16.jsonl): 16-byte
+      // residual codes quantize candidates to ADC-indistinguishable
+      // scores out to depth 1,555,800 on the 1e8 clustered corpus
+      // (184,400 at 32 bytes), so once the probed mass reaches that
+      // order the scan/12 shortlist degrades toward a weak sample and
+      // recall collapses (0.342-0.466 vs >= 0.99). The r16 trigger
+      // thresholded the single densest cell and could not fire there —
+      // the calibrated probe covers the query's whole latent cluster
+      // (27 cells, 1.32M rows) while no one cell crossed the threshold.
+      // Probe: (1) the EXISTING nprobe calibration estimator at the
+      // conf cell-recall target gives the reference probe width (its
+      // result seeds the index's calibration memo, so an nprobe=auto
+      // probe of this build pays no second scan); (2) cell occupancies
+      // estimated on a bounded deterministic hash sample (<= ~1M rows,
+      // one job); mass = sum of the top-nprobe estimated occupancies.
+      // Above [[DenseProbedMassThreshold]] resolve 32x256 codes (2x
+      // bytes, 2^8-resolution codebooks), else the documented 16x32
+      // default — small corpora can never cross (mass <= n), so every
+      // small-SF gate stays byte-stable while the zero-knowledge path
+      // self-corrects exactly where the defect was measured.
+      val codeAuto = m == AutoCodeSentinel || ksub == AutoCodeSentinel
       val (mR, ksubR) =
-        if (m != AutoCodeSentinel) (m, ksub)
+        if (!codeAuto) (m, ksub)
         else {
+          val conf = corpus.sparkSession.conf
           // threshold conf-overridable (`spark.graft.ann.denseCellThreshold`)
           // so the dense branch is spec-testable at unit scale and the
           // cutover is tunable per deployment; default = the measured band
-          val threshold = corpus.sparkSession.conf
-            .getOption("spark.graft.ann.denseCellThreshold")
-            .map(_.trim.toLong).getOrElse(DenseCellOccupancyThreshold)
+          val threshold = conf.getOption("spark.graft.ann.denseCellThreshold")
+            .map(_.trim.toLong).getOrElse(DenseProbedMassThreshold)
+          val calTarget = conf.getOption("spark.graft.ann.cellRecallTarget")
+            .map(_.trim.toDouble).getOrElse(0.95)
+          // reference probe width at the recall-honest operating point —
+          // the same estimator (same pool, same params) a probe-time
+          // `nprobe=auto` would run, so the memoized width is reusable
+          val nprobeRef = ivf.calibrateNprobeWithPool(
+            wf.select(col("id"), col("v"), lit(1.0).as("vn")), calTarget)
           val n = ivf.rowCountHint.getOrElse(wf.count())
           val every = math.max(1L, n / DenseCellProbeCap)
           val sampled =
             if (every == 1L) wf
             else wf.filter(
               pmod(xxhash64(col("id"), lit("msample")), lit(every)) === 0)
-          val occRow = sampled
+          val topW = sampled
             .select(assignCellsChosen(col("v"), ivf.centroids,
               ivf.assignTwoLevel, ivf.assignSpill).as("c"))
             .filter(col("c").isNotNull)
             .groupBy("c").agg(count(lit(1)).as("w"))
-            .agg(max(col("w")).as("m")).head()
-          val occEst =
-            (if (occRow.isNullAt(0)) 0L else occRow.getLong(0)) * every
-          val pick =
-            if (occEst > threshold) (DenseCellM, DenseCellKsub)
+            .orderBy(col("w").desc, col("c"))
+            .limit(nprobeRef)
+            .collect().map(_.getLong(1))
+          val massEst = topW.sum * every
+          val pick0 =
+            if (massEst > threshold) (DenseCellM, DenseCellKsub)
             else (DefaultPqM, DefaultPqKsub)
+          // the dense pick must divide the embedding width (ADVICE r16:
+          // dim=48/80/112 corpora crossed the threshold into a crash) —
+          // downgrade to the largest divisor of dim at or under it
+          val pick =
+            if (dim % pick0._1 == 0) pick0
+            else {
+              val mFit = (pick0._1 to 1 by -1).find(dim % _ == 0).get
+              System.err.println(
+                s"[graft] m=auto: dim=$dim not divisible by ${pick0._1} — " +
+                  s"downgrading to m=$mFit")
+              (mFit, pick0._2)
+            }
+          // mixed explicit/auto resolves coherently (ADVICE r16): the
+          // probe fills ONLY the auto knob; an explicit one always pins
+          val resolved = (
+            if (m == AutoCodeSentinel) pick._1 else m,
+            if (ksub == AutoCodeSentinel) pick._2 else ksub)
           System.err.println(
-            s"[graft] m=auto: worst-cell occupancy est $occEst " +
-              s"(sample 1/$every of $n rows) -> m=${pick._1}, ksub=${pick._2}")
-          pick
+            s"[graft] m=auto: probed-mass est $massEst over top-$nprobeRef " +
+              s"cells (sample 1/$every of $n rows, threshold $threshold) " +
+              s"-> m=${resolved._1}, ksub=${resolved._2}")
+          resolved
         }
       // The PQ trainer fits on a bounded deterministic sample whose
       // SELECTION depends only on ids (lowest xxhash64(id, "pqtrain"),
@@ -3018,10 +3126,15 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       coded.count()
       phase("encode")
+      // widths the code-size probe already earned transfer to the built
+      // index (same centroids, same assignment rule, same pool rows) —
+      // a probe-time `nprobe=auto` on this build hits the memo instead
+      // of re-running the calibration scan
       (new IvfPqIndex(ivf.centroids, unitCents, model, coded,
         corpus.schema(idCol).dataType,
         assignTwoLevel = ivf.assignTwoLevel,
-        assignSpill = ivf.assignSpill), cached)
+        assignSpill = ivf.assignSpill)
+        .preloadCalibration(ivf.calibrationEntries), cached)
     } catch {
       case t: Throwable => cached.unpersist(blocking = false); throw t
     }

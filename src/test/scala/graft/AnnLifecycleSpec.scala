@@ -247,4 +247,40 @@ class AnnLifecycleSpec extends AnyFunSuite {
     assert(Similarity.loadIvf(spark, path2).calibrateNprobe(1.0) == 4,
       "an all-tombstoned IVF index must calibrate on the EMPTY pool fallback")
   }
+
+  // ADVICE r16 / VERDICT r16 item 3: the layout-id-type memo must be
+  // EVICTED when a snapshot at the same path is re-saved — a stale
+  // entry would cast delete ids to the OLD type (overflowing casts
+  // become null and are silently dropped).
+  test("re-saving a snapshot with a different id type evicts the stale type memo") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-retype-").toString
+    // first life: LONG ids — and a delete so the memo is populated
+    val longIds = embs.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val b1 = Similarity.buildIvf(longIds, "vec_id", "embedding",
+      dim = 64, nlist = 4, iters = 2)
+    b1.save(path); b1.unpersist()
+    assert(Similarity.deleteFromIndex(spark, path,
+      longIds.filter(col("vec_id") === 1).select("vec_id"), "vec_id") == 1L)
+    assert(spark.read.parquet(s"$path/tombstones").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    // second life: the SAME path re-saved with INT ids
+    val intIds = embs.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    val b2 = Similarity.buildIvf(intIds, "vec_id", "embedding",
+      dim = 64, nlist = 4, iters = 2)
+    b2.save(path); b2.unpersist()
+    assert(Similarity.deleteFromIndex(spark, path,
+      intIds.filter(col("vec_id") === 2).select("vec_id"), "vec_id") == 1L)
+    // a stale memo would have written LONG tombstones against the INT
+    // layout; the eviction makes the delete re-read the fresh type —
+    // and the re-save must have cleared the PREVIOUS life's tombstones
+    // (left in place they would silently delete the new index's rows)
+    assert(spark.read.parquet(s"$path/tombstones").schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "delete after a re-typed re-save must use the NEW layout id type")
+    assert(tombstoneIds(path) == Set(2L),
+      "re-save must reset the previous life's tombstones")
+  }
 }

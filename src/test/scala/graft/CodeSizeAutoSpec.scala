@@ -68,4 +68,65 @@ class CodeSizeAutoSpec extends AnyFunSuite {
       finally idx.unpersist()
     }
   }
+
+  // ADVICE r16: one explicit knob + one auto knob must resolve
+  // coherently — the probe fills ONLY the auto one (the r16 shape
+  // passed the -1 sentinel straight into pqTrain when m was explicit
+  // and ksub auto, and silently discarded an explicit ksub when m was
+  // auto).
+  test("explicit m with ksub=auto keeps m and fills ksub from the probe") {
+    val c = corpus(600)
+    confAuto("nlist" -> "4", "denseCellThreshold" -> "64", "m" -> "16") {
+      val (idx, _, _) = Similarity.annBuildIvfPq(c, "vec_id", "embedding", 64)
+      try assert(idx.model.m == 16 && idx.model.ksub == 256,
+        s"expected pinned m=16 with probed ksub=256, got " +
+          s"${idx.model.m}x${idx.model.ksub}")
+      finally idx.unpersist()
+    }
+  }
+
+  test("explicit ksub with m=auto keeps ksub and fills m from the probe") {
+    val c = corpus(600)
+    confAuto("nlist" -> "4", "denseCellThreshold" -> "64", "ksub" -> "32") {
+      val (idx, _, _) = Similarity.annBuildIvfPq(c, "vec_id", "embedding", 64)
+      try assert(idx.model.m == 32 && idx.model.ksub == 32,
+        s"expected probed m=32 with pinned ksub=32, got " +
+          s"${idx.model.m}x${idx.model.ksub}")
+      finally idx.unpersist()
+    }
+  }
+
+  // ADVICE r16: a dense-regime pick on a width not divisible by 32
+  // (e.g. d=48) must downgrade to the largest divisor instead of
+  // crashing pqTrain's require(dim % m == 0).
+  test("dense pick downgrades m to the largest divisor of a non-32-divisible dim") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val c = (0 until 600).map { i =>
+      (i.toLong, Array.fill(48)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    confAuto("nlist" -> "4", "denseCellThreshold" -> "64") {
+      val (idx, _, _) = Similarity.annBuildIvfPq(c, "vec_id", "embedding", 48)
+      try assert(idx.model.m == 24 && idx.model.ksub == 256,
+        s"expected downgraded m=24 (largest divisor of 48 <= 32) with " +
+          s"ksub=256, got ${idx.model.m}x${idx.model.ksub}")
+      finally idx.unpersist()
+    }
+  }
+
+  // Round 17: the code-size probe's calibration width transfers to the
+  // built index's memo — a probe-time nprobe=auto must not re-run the
+  // calibration scan on a fresh auto build.
+  test("auto build seeds the calibration memo (no probe-time rescan)") {
+    val c = corpus(600)
+    confAuto() {
+      val (idx, np, _) = Similarity.annBuildIvfPq(c, "vec_id", "embedding", 64)
+      try {
+        assert(np >= 1)
+        assert(idx.calibrationScans == 0,
+          s"nprobe=auto after an auto build must hit the seeded memo, " +
+            s"ran ${idx.calibrationScans} scan(s)")
+      } finally idx.unpersist()
+    }
+  }
 }

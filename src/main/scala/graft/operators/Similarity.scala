@@ -464,7 +464,14 @@ object Similarity {
       // see the SAME rows, and a non-deterministic queries frame (sample,
       // unordered limit) re-evaluated per job could otherwise probe cells
       // the isin filter excluded — silently dropping neighbors.
-      val pinned = probed.localCheckpoint()
+      // LAZY local checkpoint + ONE action (round 17, VERDICT r16 item
+      // 4): the eager checkpoint was one job and the cell collect a
+      // second — with eager=false the cell collect itself materializes
+      // the checkpointed partitions, so the probe set is pinned and the
+      // cell set collected in a single driver round-trip. Pinning
+      // semantics are unchanged: every later consumer reads the same
+      // materialized rows.
+      val pinned = probed.localCheckpoint(false)
       // Collect the probed cell set (bounded by nlist — tiny) and turn
       // it into a LITERAL isin predicate on the layout before the join:
       // on a saved snapshot (partitioned by c) this is static partition
@@ -853,6 +860,33 @@ object Similarity {
             try n += r.getRecordCount finally r.close()
           }
           Some(n)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-cell row counts of a cell-partitioned layout directory
+    * (parquet files under `layout/c=N`), descending, read from parquet
+    * footers driver-side — the metadata-cheap source for the
+    * auto-shortlist widths of a LOADED snapshot (round 17). None when
+    * the directory is missing, has no `c=` partitions, or any cell's
+    * footers are unreadable/over the footer cap — callers fall back to
+    * the counting job. */
+  private def layoutCellWidths(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String): Option[Array[Long]] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(layoutDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val cellDirs = fs.listStatus(p).filter { st =>
+          st.isDirectory && st.getPath.getName.startsWith("c=")
+        }
+        if (cellDirs.isEmpty) None
+        else {
+          val widths = cellDirs.flatMap(d =>
+            footerRowCount(spark, d.getPath.toString))
+          if (widths.length != cellDirs.length) None
+          else Some(widths.sorted(Ordering[Long].reverse))
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -2561,7 +2595,12 @@ object Similarity {
       private[graft] val assignSpill: Int = TwoLevelSpill,
       // registered-but-uncompacted deletions — see IvfIndex.tombstones
       private[operators] val tombstones: Option[DataFrame] = None,
-      private[operators] val tombstoneCount: Long = 0L) {
+      private[operators] val tombstoneCount: Long = 0L,
+      // the snapshot layout directory, when this index was LOADED from
+      // one (round 17): cell widths then come from parquet footers
+      // driver-side instead of a full-layout counting job — see
+      // [[cellWidthsDesc]]. None on in-memory builds.
+      private[operators] val layoutPath: Option[String] = None) {
 
     /** Release the pinned coded layout ([[Similarity.buildIvfPq]]
       * materializes it). A loaded snapshot reads from parquet — calling
@@ -2602,14 +2641,40 @@ object Similarity {
      * at 0.82. One groupBy-count job over the coded layout per call
      * (nlist rows to the driver).
      */
+    /** ALL cell widths, descending, memoized — valid only while nothing
+      * is tombstoned (the widths are then a pure function of the
+      * immutable layout this instance snapshot-read; the surviving-rows
+      * contract of ADVICE r15 routes tombstoned indexes to the live
+      * job in [[autoShortlist]]). On a LOADED snapshot the widths come
+      * from the cell partitions' parquet FOOTERS driver-side (round
+      * 17) — at wide nlist that replaces a full-layout counting job
+      * per probe (the r16 shape re-ran it on EVERY auto-depth probe of
+      * the same index) with one bounded metadata sweep. In-memory
+      * builds keep one counting job, memoized the same way. */
+    private lazy val cellWidthsDesc: Array[Long] = {
+      val fromFooters = layoutPath.flatMap(p =>
+        layoutCellWidths(coded.sparkSession, s"$p/layout"))
+      fromFooters.getOrElse {
+        coded.groupBy("c").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc)
+          .collect().map(_.getLong(1))
+      }
+    }
+
     def autoShortlist(k: Int, nprobe: Int): Int = {
       // occupancies of the SURVIVING rows (ADVICE r15): tombstoned rows
       // are dropped before the shortlist heap ever sees them, so depths
-      // sized on counts that include them would overstate the scan
-      val widths = antiTombstones(coded, tombstones, tombstoneCount)
-        .groupBy("c").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc).limit(nprobe)
-        .collect().map(_.getLong(1))
+      // sized on counts that include them would overstate the scan —
+      // with live tombstones the widths are computed by the (anti-
+      // joined) counting job; untombstoned indexes read the memoized
+      // static widths (footer-derived on loaded snapshots)
+      val widths =
+        if (tombstoneCount > 0)
+          antiTombstones(coded, tombstones, tombstoneCount)
+            .groupBy("c").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc).limit(nprobe)
+            .collect().map(_.getLong(1))
+        else cellWidthsDesc.take(nprobe)
       autoShortlistRule(widths.sum, k, nprobe)
     }
 
@@ -2697,8 +2762,17 @@ object Similarity {
         .select(col("query_id"), col("tab"),
           col("_cell.id").cast("int").as("c"),
           (lit(1.0) - element_at(col("du"), col("_cell.id").cast("int") + 1) / 2).as("cdot"))
-        .localCheckpoint()
-      val cells = probed.select("c").distinct().collect().map(_.getInt(0))
+        // LAZY checkpoint (round 17, VERDICT r16 item 4): the fused
+        // aggregate below materializes the pinned probe set, collects
+        // the probed cell set, AND counts the queries in ONE driver
+        // round-trip — the r16 shape paid three sequential actions
+        // (eager checkpoint, cells collect, query count) per probe.
+        .localCheckpoint(false)
+      val (cells, nQ) = {
+        val row = probed.agg(collect_set(col("c")).as("_cells"),
+          count_distinct(col("query_id")).as("_nq")).head()
+        (row.getSeq[Int](0).toArray, row.getLong(1))
+      }
       val scored = probed.join(
           antiTombstones( // deleted ids never score (see deleteFromIndex)
             coded.filter(col("c").isin(cells.map(Integer.valueOf): _*)),
@@ -2730,9 +2804,9 @@ object Similarity {
             .filter(col("_rn") <= shortlist)
             .select(col("query_id"), col("neighbor_id"))
         }
-      // query count from the PINNED probe set (localCheckpoint above) —
-      // no extra evaluation of a possibly-nondeterministic queries frame
-      val nQ = probed.select("query_id").distinct().count()
+      // query count came from the PINNED probe set (the fused aggregate
+      // above) — no extra evaluation of a possibly-nondeterministic
+      // queries frame
       rerankExact(short, corpus, queries, idCol, vecCol, k, idType,
         Some(nQ * shortlist.toLong))
     }
@@ -2869,7 +2943,8 @@ object Similarity {
     new IvfPqIndex(aCents, cents, PqModel(books, rotation),
       io(8).asInstanceOf[DataFrame], idType,
       assignTwoLevel = twoLevel, assignSpill = spill,
-      tombstones = tomb, tombstoneCount = tombCount)
+      tombstones = tomb, tombstoneCount = tombCount,
+      layoutPath = Some(path))
       .preloadCalibration(io(7).asInstanceOf[Seq[((Double, Int, Int, Long), Int)]])
   }
 

@@ -1686,14 +1686,19 @@ object SparkEntry {
         keyCols = Seq.empty,
         aggs = Seq(approx_count_distinct(col("user_id")).as("_approx"),
           count(lit(1)).as("n_events")))
-      val drained = graft.streaming.SkylineStreaming
-        .runOnce(agg, "stream_sketch_users_mem", statePartitions = Some(8))
+      // the exact batch side materializes WHILE the stream drains
+      // (guide §2.6): its jobs back-fill the executors the drain's
+      // driver-bound micro-batches leave idle; results identical
+      val (drained0, exact) = graft.streaming.SkylineStreaming
+        .runOnceOverlapping(agg, "stream_sketch_users_mem",
+          statePartitions = Some(8))(
+          EventTime.withTsUtc(t(s, dir, "events"))
+            .groupBy(expr("unix_micros(date_trunc('hour', ts_utc)) div 3600000000")
+              .as("hour_bucket"))
+            .agg(countDistinct(col("user_id")).as("exact_users")))
+      val drained = drained0
         .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
           col("_approx"), col("n_events"))
-      val exact = EventTime.withTsUtc(t(s, dir, "events"))
-        .groupBy(expr("unix_micros(date_trunc('hour', ts_utc)) div 3600000000")
-          .as("hour_bucket"))
-        .agg(countDistinct(col("user_id")).as("exact_users"))
       // the 3*rsd bound is ASYMPTOTIC — hourly windows with a handful of
       // users sit in HLL's sparse range where a hash collision shifts the
       // estimate by ±1-2, far above 15% of 5; the absolute floor of 3
@@ -1726,14 +1731,18 @@ object SparkEntry {
         aggs = Seq(
           FreqFunctions.misraGries(col("user_id").cast("string"), cap).as("_mg"),
           count(lit(1)).as("n_events")))
-      val drained = graft.streaming.SkylineStreaming
-        .runOnce(agg, "stream_heavy_hitters_mem", statePartitions = Some(8))
+      // exact per-(hour, user) counts materialize WHILE the stream
+      // drains (guide §2.6) — independent of the drained frame
+      val (drained0, exact) = graft.streaming.SkylineStreaming
+        .runOnceOverlapping(agg, "stream_heavy_hitters_mem",
+          statePartitions = Some(8))(
+          EventTime.withTsUtc(t(s, dir, "events"))
+            .groupBy(expr("unix_micros(date_trunc('hour', ts_utc)) div 3600000000")
+              .as("hour_bucket"), col("user_id"))
+            .agg(count(lit(1)).as("n_user")))
+      val drained = drained0
         .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
           col("_mg.token").as("_toks"), col("n_events"))
-      val exact = EventTime.withTsUtc(t(s, dir, "events"))
-        .groupBy(expr("unix_micros(date_trunc('hour', ts_utc)) div 3600000000")
-          .as("hour_bucket"), col("user_id"))
-        .agg(count(lit(1)).as("n_user"))
       // per window: the exact heavy set (count > N/(cap+1)) and whether
       // every member appears among the drained summary's tokens
       drained.join(exact, Seq("hour_bucket"), "left")
@@ -1768,14 +1777,18 @@ object SparkEntry {
       val agg = graft.streaming.EventStreams.windowedAgg(
         stream, "ts_utc", watermarkDelay = "1 hour", windowDuration = "1 hour",
         keyCols = Seq("_bin"), aggs = Seq(count(lit(1)).as("_n")))
-      val drained = graft.streaming.SkylineStreaming
-        .runOnce(agg, "stream_drift_psi_mem", statePartitions = Some(8))
+      // baseline fractions (10 rows after a full-corpus bin count)
+      // materialize WHILE the stream drains (guide §2.6); the windows x
+      // bins grid still derives from the drained frame afterwards so
+      // empty bins carry their psi mass
+      val (drained0, base) = graft.streaming.SkylineStreaming
+        .runOnceOverlapping(agg, "stream_drift_psi_mem",
+          statePartitions = Some(8))(
+          batchEv.select(PipelineOps.psiBin(col("_x"), edges).as("bin"))
+            .groupBy(col("bin")).agg(count(lit(1)).as("_nb")))
+      val drained = drained0
         .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
           col("_bin").as("bin"), col("_n"))
-      // baseline fractions from the batch corpus (10 rows); windows x
-      // bins grid so empty bins carry their psi mass
-      val base = batchEv.select(PipelineOps.psiBin(col("_x"), edges).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("_nb"))
       val baseTot = base.agg(sum(col("_nb")).as("_tb"))
       val grid = drained.select(col("hour_bucket")).distinct()
         .crossJoin(s.range(bins).select(col("id").cast("int").as("bin")))
@@ -1890,14 +1903,18 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
       try {
         val flagged = Dedup.flagNearDupsAgainst(index, stream, "doc_id", "text", 0.5)
-        val drained = graft.streaming.SkylineStreaming.runOnce(
-          flagged, "stream_dedup_ingest_mem", statePartitions = Some(8))
+        // the exact-counterpart odd-id set (memoized pair read +
+        // cross-parity filter + distinct) materializes WHILE the
+        // stream drains (guide §2.6)
+        val (drained, exactOdd) = graft.streaming.SkylineStreaming
+          .runOnceOverlapping(flagged, "stream_dedup_ingest_mem",
+            statePartitions = Some(8))(
+            memoJaccardPairs(s, dir, n = 3, threshold = 0.5)
+              .filter(col("id1") % 2 =!= col("id2") % 2)
+              .select(when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
+                .cast("long").as("id"))
+              .distinct())
         val got = drained.select(col("id").cast("long").as("id")).distinct()
-        val exactOdd = memoJaccardPairs(s, dir, n = 3, threshold = 0.5)
-          .filter(col("id1") % 2 =!= col("id2") % 2)
-          .select(when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
-            .cast("long").as("id"))
-          .distinct()
         // ONE pass over (drained FULL OUTER exact) for the three id
         // counts (round 16) — the r15 shape crossJoined three scalar
         // aggregates scanning the two (distinct-id) sides twice each

@@ -165,14 +165,26 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
-      .select("id", "sz", "s")
+      .select("id", "sz", "s", "rn")
     // Length filter on top of the prefix filter: J >= t forces
     // t*|y| <= |x| (and symmetrically), so wildly different sizes can
     // never qualify — prunes candidates before the expensive verify.
+    // POSITIONAL filter on top of both (PPJoin, Xiao et al. WWW'08;
+    // round 17): J >= t forces overlap O >= ceil(t/(1+t)*(|x|+|y|)),
+    // and for the FIRST shingle a qualifying pair shares in the global
+    // frequency order (both prefixes are ranked by that same order, so
+    // rn IS the position in it) the earlier shingles of the two sides
+    // are disjoint, hence O <= 1 + min(|x|-rn_x, |y|-rn_y) holds there
+    // — so dropping every candidate OCCURRENCE that fails the bound is
+    // LOSSLESS: a qualifying pair always survives through its first
+    // shared shingle, and duplicates/near-misses that only matched on
+    // late frequent shingles never reach the verify join.
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("a.sz") >= ceil(lit(threshold) * col("b.sz")) &&
-          col("b.sz") >= ceil(lit(threshold) * col("a.sz")))
+          col("b.sz") >= ceil(lit(threshold) * col("a.sz")) &&
+          lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) >=
+            ceil(lit(threshold) / (1 + threshold) * (col("a.sz") + col("b.sz"))))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     verifyJaccard(cands, docs, threshold)
   }

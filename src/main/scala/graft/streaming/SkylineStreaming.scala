@@ -230,23 +230,48 @@ object SkylineStreaming {
     * into the checkpoint at first run, so a resumed query must keep it. */
   def runOnce(result: DataFrame, queryName: String,
       outputMode: String = "complete",
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None): DataFrame =
+    runOnceOverlapping(result, queryName, outputMode, statePartitions)(null)._1
+
+  /** [[runOnce]] that additionally materializes an INDEPENDENT
+    * batch-side frame WHILE the drain runs (guide §2.6 — overlap
+    * independent jobs): a drain is mostly driver/state-store work that
+    * leaves executors idle, and the gated streaming queries all follow
+    * it with a batch-side exact counterpart that used to evaluate
+    * strictly afterwards, inside the final action. `side` is evaluated
+    * (localCheckpoint) on the caller thread while the streaming query
+    * drains on its own thread, so its jobs back-fill the idle
+    * executors; the returned frame is the materialized side, results
+    * identical to the sequential shape.
+    *
+    * Safe with the pinned state width: a StreamExecution CLONES the
+    * session (and its SQLConf) at `start()`, so restoring
+    * `spark.sql.shuffle.partitions` before the side job runs cannot
+    * change the drain's state partitioning — the side job gets the
+    * session width, the drain keeps `statePartitions`. */
+  def runOnceOverlapping(result: DataFrame, queryName: String,
+      outputMode: String = "complete",
+      statePartitions: Option[Int] = None)
+      (side: => DataFrame): (DataFrame, DataFrame) = {
     val spark = result.sparkSession
     val oldParts = statePartitions.map { n =>
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)
       prev
     }
-    try {
-      val q = result.writeStream
+    val q =
+      try result.writeStream
         .format("memory")
         .queryName(queryName)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      spark.table(queryName)
-    } finally oldParts.foreach(
-      spark.conf.set("spark.sql.shuffle.partitions", _))
+      finally oldParts.foreach(
+        spark.conf.set("spark.sql.shuffle.partitions", _))
+    val sideMat =
+      try Option(side).map(_.localCheckpoint())
+      catch { case t: Throwable => q.stop(); throw t }
+    q.awaitTermination()
+    (spark.table(queryName), sideMat.orNull)
   }
 }

@@ -115,10 +115,15 @@ object AnnBenchR17 {
       "usage: AnnBenchR17 oracle [N]|probe PARK [np] [sl] [reps]|" +
         "depthsweep PARK np divs|repark SRC DST|m32 [N]|delete PARK frac")
     val mode = args(0)
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the 100M probe's re-rank shuffle+sort spill can exceed the
+    // sandbox root disk's headroom; SPARK_GRAFT_LOCAL_DIR points the
+    // spill at a roomier volume (e.g. /dev/shm) for campaign runs
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d =>
+      builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File("diagnostics").mkdirs()
 
@@ -167,7 +172,8 @@ object AnnBenchR17 {
           t
         }
         emit("probe", "clustered", n,
-          s"ivfpq[parked-fixed,a${loaded.assignCentroids.length}/c$np,sl=$sl]",
+          s"ivfpq[parked,a${loaded.assignCentroids.length}/c$np," +
+            s"${loaded.model.m}x${loaded.model.ksub},sl=$sl]",
           spin, eff,
           Seq("probe_s" -> median(ts), "probe_min" -> ts.min,
             "probe_max" -> ts.max, "recall" -> recOf(exact, res),

@@ -628,4 +628,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  // Round 17 (guide §2.6): a batch side materialized WHILE the drain
+  // runs must change neither the drained rows nor the side's rows, and
+  // the drain must keep its pinned state width (the stream clones the
+  // session conf at start(), so the restore-before-side cannot leak
+  // into the running query).
+  test("runOnceOverlapping: drained rows and side rows equal the sequential shape") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def agg = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }
+    def side = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val seqDrained = graft.streaming.SkylineStreaming
+      .runOnce(agg, "ovl_seq_mem", statePartitions = Some(4))
+      .collect().map(_.toSeq).toSet
+    val seqSide = side.collect().map(_.toSeq).toSet
+    val (d, sd) = graft.streaming.SkylineStreaming
+      .runOnceOverlapping(agg, "ovl_par_mem", statePartitions = Some(4))(side)
+    assert(d.collect().map(_.toSeq).toSet == seqDrained)
+    assert(sd.collect().map(_.toSeq).toSet == seqSide)
+  }
+
 }
